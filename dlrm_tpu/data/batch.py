@@ -1,0 +1,30 @@
+"""Device batch layout.
+
+The reference feeds (X, lS_o, lS_i, T): dense [B, D], per-table ragged CSR offsets
+and indices, targets [B, 1] (dlrm_s_pytorch.py:407-414, dlrm_data_pytorch.py:324-411).
+On TPU the ragged CSR form becomes a padded dense layout at the host boundary:
+
+    dense:  float32[B, D]
+    idx:    int32[T, B, H]    padded multi-hot indices (H static)
+    wt:     float32[T, B, H]  index weights; 0 marks padding (None => all bags
+                              are exactly H long: the fixed-multi-hot fast path,
+                              like DLRM-v2's synthetic multi-hot batches)
+    labels: float32[B, 1]
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+
+
+class Batch(NamedTuple):
+    dense: jax.Array
+    idx: jax.Array
+    wt: Optional[jax.Array]
+    labels: Optional[jax.Array]
+
+    @property
+    def batch_size(self) -> int:
+        return self.dense.shape[0]

@@ -1,0 +1,210 @@
+"""Random input-batch generation with reference RNG parity.
+
+Replicates the numpy global-RNG call sequence of the reference generators so that
+tiny-config golden tests reproduce the reference's exact inputs:
+  * generate_dist_input_batch (dlrm_data_pytorch.py:899-960) — dense via ra.rand,
+    per-(table, sample) bag sizes via ra.random(1), indices via ra.random(size)
+    rounded and uniquified.
+  * generate_random_output_batch (:838-845) — targets via ra.rand.
+  * RandomDataset semantics (:571-680): whole batch per __getitem__, seed reset
+    on access to element 0 (reset_seed_on_access), last batch possibly short.
+
+The ragged bags are converted to the padded [T, B, H] device layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dlrm_tpu.config import DLRMConfig, TrainConfig
+from dlrm_tpu.data.batch import Batch
+
+
+@dataclass
+class HostBatch:
+    """Host-side numpy batch in the padded layout (pre-device)."""
+
+    dense: np.ndarray  # [B, D] float32
+    idx: np.ndarray  # [T, B, H] int32
+    wt: np.ndarray  # [T, B, H] float32
+    labels: np.ndarray  # [B, 1] float32
+
+    def to_device(self) -> Batch:
+        import jax.numpy as jnp
+
+        return Batch(
+            dense=jnp.asarray(self.dense),
+            idx=jnp.asarray(self.idx),
+            wt=jnp.asarray(self.wt),
+            labels=jnp.asarray(self.labels),
+        )
+
+
+def _gen_sparse_group(
+    size: int,
+    num_indices_per_lookup: int,
+    fixed: bool,
+    dist: str,
+    dmin: float,
+    dmax: float,
+    mu: float,
+    sigma: float,
+) -> np.ndarray:
+    """One bag of unique sorted indices; numpy RNG consumption order matches
+    dlrm_data_pytorch.py:923-951 exactly (including np.round banker's rounding)."""
+    if fixed:
+        group_size = np.int64(num_indices_per_lookup)
+    else:
+        r = np.random.random(1)
+        group_size = np.int64(
+            np.round(max([1.0], r * min(size, num_indices_per_lookup)))
+        )
+    if dist == "gaussian":
+        if mu == -1:
+            mu = (dmax + dmin) / 2.0
+        r = np.random.normal(mu, sigma, group_size)
+        group = np.clip(r, dmin, dmax)
+        group = np.unique(group).astype(np.int64)
+    elif dist == "uniform":
+        r = np.random.random(group_size)
+        group = np.unique(np.round(r * (size - 1)).astype(np.int64))
+    else:
+        raise ValueError(f"rand_data_dist {dist!r} not supported")
+    return group
+
+
+def generate_random_batch(
+    num_dense: int,
+    table_sizes: Sequence[int],
+    n: int,
+    hot_size: int,
+    num_indices_per_lookup_fixed: bool = False,
+    round_targets: bool = False,
+    rand_data_dist: str = "uniform",
+    rand_data_min: float = 0.0,
+    rand_data_max: float = 1.0,
+    rand_data_mu: float = -1.0,
+    rand_data_sigma: float = 1.0,
+    pad_batch_to: Optional[int] = None,
+) -> HostBatch:
+    """One batch drawn from the CURRENT np.random global state (parity path).
+
+    pad_batch_to: optionally pad a short final batch up to a static size with
+    zero-weight rows (labels padded with -1 so eval can mask them).
+    """
+    dense = np.random.rand(n, num_dense).astype(np.float32)
+    num_t = len(table_sizes)
+    idx = np.zeros((num_t, n, hot_size), dtype=np.int32)
+    wt = np.zeros((num_t, n, hot_size), dtype=np.float32)
+    for k, size in enumerate(table_sizes):
+        for b in range(n):
+            group = _gen_sparse_group(
+                int(size),
+                hot_size,
+                num_indices_per_lookup_fixed,
+                rand_data_dist,
+                rand_data_min,
+                rand_data_max,
+                rand_data_mu,
+                rand_data_sigma,
+            )
+            ln = min(len(group), hot_size)
+            idx[k, b, :ln] = group[:ln]
+            wt[k, b, :ln] = 1.0
+    labels = np.random.rand(n, 1).astype(np.float32)
+    if round_targets:
+        labels = np.round(labels).astype(np.float32)
+    if pad_batch_to is not None and n < pad_batch_to:
+        pad = pad_batch_to - n
+        dense = np.concatenate([dense, np.zeros((pad, num_dense), np.float32)])
+        idx = np.concatenate([idx, np.zeros((num_t, pad, hot_size), np.int32)], axis=1)
+        wt = np.concatenate([wt, np.zeros((num_t, pad, hot_size), np.float32)], axis=1)
+        labels = np.concatenate([labels, -np.ones((pad, 1), np.float32)])
+    return HostBatch(dense=dense, idx=idx, wt=wt, labels=labels)
+
+
+class RandomDataset:
+    """Batch-indexable random dataset (RandomDataset, dlrm_data_pytorch.py:571-680).
+
+    Each __getitem__(i) yields one whole batch; accessing element 0 resets the
+    global numpy seed when reset_seed_on_access is set (:635-638), reproducing
+    identical data every epoch.
+    """
+
+    def __init__(
+        self,
+        model_cfg: DLRMConfig,
+        train_cfg: TrainConfig,
+        reset_seed_on_access: bool = True,
+        pad_last_batch: bool = False,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.reset_seed_on_access = reset_seed_on_access
+        self.pad_last_batch = pad_last_batch
+        mb = train_cfg.mini_batch_size
+        nb = int(np.ceil(train_cfg.data_size / mb))
+        if train_cfg.num_batches > 0:
+            nb = train_cfg.num_batches
+            self.data_size = nb * mb
+        else:
+            self.data_size = train_cfg.data_size
+        self.num_batches = nb
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __getitem__(self, index: int) -> HostBatch:
+        tc, mc = self.train_cfg, self.model_cfg
+        if self.reset_seed_on_access and index == 0:
+            np.random.seed(tc.numpy_rand_seed)
+        n = min(tc.mini_batch_size, self.data_size - index * tc.mini_batch_size)
+        return generate_random_batch(
+            mc.num_dense,
+            mc.table_sizes,
+            n,
+            mc.num_indices_per_lookup,
+            tc.num_indices_per_lookup_fixed,
+            tc.round_targets,
+            tc.rand_data_dist,
+            tc.rand_data_min,
+            tc.rand_data_max,
+            tc.rand_data_mu,
+            tc.rand_data_sigma,
+            pad_batch_to=tc.mini_batch_size if self.pad_last_batch else None,
+        )
+
+    def __iter__(self) -> Iterator[HostBatch]:
+        for i in range(self.num_batches):
+            yield self[i]
+
+
+def fixed_multihot_batch(
+    rng: np.random.Generator,
+    num_dense: int,
+    table_sizes: Sequence[int],
+    batch_size: int,
+    hot_size: int,
+) -> HostBatch:
+    """Fast fixed-hot-size batch (DLRM-v2-style multi-hot; no parity constraints).
+    Every bag has exactly hot_size indices -> wt None-equivalent (all ones)."""
+    num_t = len(table_sizes)
+    dense = rng.random((batch_size, num_dense), dtype=np.float32)
+    idx = np.stack(
+        [
+            rng.integers(0, size, (batch_size, hot_size), dtype=np.int64).astype(
+                np.int32
+            )
+            for size in table_sizes
+        ]
+    )
+    labels = (rng.random((batch_size, 1)) < 0.5).astype(np.float32)
+    return HostBatch(
+        dense=dense,
+        idx=idx,
+        wt=np.ones((num_t, batch_size, hot_size), np.float32),
+        labels=labels,
+    )

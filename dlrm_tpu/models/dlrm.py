@@ -1,0 +1,318 @@
+"""The DLRM model as pure functions over a parameter pytree.
+
+Capability parity with the reference DLRM_Net (dlrm_s_pytorch.py:207-730) and the
+torchrec variants DLRM / DLRM_DCN / DLRM_Projection (torchrec_dlrm/dlrm_main.py:
+598-635): dense features -> bottom MLP; sparse multi-hot indices -> sum-pooled
+embedding lookups (plain / QR / MD-projected, optional weighted pooling); feature
+interaction {dot, cat, dcn, projection}; top MLP ending in sigmoid -> click
+probability; BCE/MSE/WBCE loss.
+
+TPU-first design decisions (not a port):
+  * params are a plain pytree; the model object only holds static config,
+    so every method composes with jit/grad/shard_map.
+  * all plain equal-width tables live in ONE stacked [sum_rows, dim] array ->
+    a single fused gather per step instead of a per-table op loop.
+  * sparse inputs are padded dense [T, B, H] (see dlrm_tpu/data/batch.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.data.batch import Batch
+from dlrm_tpu.ops.embedding import (
+    embedding_bag,
+    fused_embedding_bag,
+    qr_embedding_bag,
+)
+from dlrm_tpu.ops.interaction import (
+    cat_interaction,
+    dot_interaction,
+    low_rank_cross_net,
+    projection_interaction,
+)
+from dlrm_tpu.ops.mlp import apply_mlp, init_mlp, init_mlp_numpy
+
+Params = Dict
+
+
+def _xavier_uniform(rng, shape):
+    fan_in, fan_out = shape[0], shape[1]
+    a = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, shape, jnp.float32, -a, a)
+
+
+class DLRMModel:
+    """Static-config holder; all state lives in the params pytree."""
+
+    def __init__(self, cfg: DLRMConfig):
+        self.cfg = cfg
+        # The fused stacked-table fast path needs plain tables of uniform width.
+        self.fused = cfg.qr is None and cfg.md is None
+        if self.fused:
+            sizes = np.asarray(cfg.table_sizes, dtype=np.int64)
+            self.row_offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(
+                np.int32
+            )
+            self.total_rows = int(sizes.sum())
+        self.md_dims = cfg.md_dims
+
+    # ------------------------------------------------------------------ init
+
+    def _table_is_qr(self, n: int) -> bool:
+        return self.cfg.qr is not None and n > self.cfg.qr.threshold
+
+    def _table_is_md(self, i: int, n: int) -> bool:
+        return self.cfg.md is not None and n > self.cfg.md.threshold
+
+    def init_params(self, rng: jax.Array) -> Params:
+        """JAX-PRNG init with the reference's distributions: tables
+        U(-sqrt(1/n), sqrt(1/n)) (dlrm_s_pytorch.py:280-282), MLP weights
+        N(0, sqrt(2/(m+n))), biases N(0, sqrt(1/m)) (:221-225)."""
+        cfg = self.cfg
+        rng, r_emb, r_bot, r_top, r_int = jax.random.split(rng, 5)
+        params: Params = {}
+        if self.fused:
+            keys = jax.random.split(r_emb, cfg.num_tables)
+            tables = [
+                jax.random.uniform(
+                    keys[i],
+                    (n, cfg.embedding_dim),
+                    jnp.float32,
+                    -np.sqrt(1.0 / n),
+                    np.sqrt(1.0 / n),
+                )
+                for i, n in enumerate(cfg.table_sizes)
+            ]
+            params["emb"] = {"stacked": jnp.concatenate(tables, axis=0)}
+        else:
+            keys = jax.random.split(r_emb, cfg.num_tables)
+            entries = []
+            base = cfg.embedding_dim
+            for i, n in enumerate(cfg.table_sizes):
+                k = keys[i]
+                if self._table_is_qr(n):
+                    c = cfg.qr.collisions
+                    nq = (n + c - 1) // c
+                    m = base // 2 if cfg.qr.operation == "concat" else base
+                    kq, kr = jax.random.split(k)
+                    bound = np.sqrt(1.0 / n)
+                    entries.append(
+                        {
+                            "q": jax.random.uniform(
+                                kq, (nq, m), jnp.float32, -bound, bound
+                            ),
+                            "r": jax.random.uniform(
+                                kr, (c, m), jnp.float32, -bound, bound
+                            ),
+                        }
+                    )
+                elif self._table_is_md(i, n):
+                    dim = self.md_dims[i]
+                    kw, kp = jax.random.split(k)
+                    bound = np.sqrt(1.0 / n)
+                    entry = {
+                        "w": jax.random.uniform(
+                            kw, (n, dim), jnp.float32, -bound, bound
+                        )
+                    }
+                    if dim < base:
+                        entry["proj"] = _xavier_uniform(kp, (dim, base))
+                    entries.append(entry)
+                else:
+                    dim = self.md_dims[i] if cfg.md is not None else base
+                    bound = np.sqrt(1.0 / n)
+                    entries.append(
+                        {
+                            "w": jax.random.uniform(
+                                k, (n, dim), jnp.float32, -bound, bound
+                            )
+                        }
+                    )
+            params["emb"] = {"tables": entries}
+        if cfg.weighted_pooling is not None:
+            if self.fused:
+                params["v_w"] = jnp.ones((self.total_rows,), jnp.float32)
+            else:
+                params["v_w"] = [
+                    jnp.ones((n,), jnp.float32) for n in cfg.table_sizes
+                ]
+        params["bot"] = init_mlp(r_bot, cfg.mlp_bot)
+        params["top"] = init_mlp(r_top, cfg.ln_top)
+        params.update(self._init_interaction(r_int))
+        return params
+
+    def init_params_numpy(self) -> Params:
+        """Reference-parity init: consumes the GLOBAL np.random stream in the
+        exact order of DLRM_Net.__init__ (tables first at dlrm_s_pytorch.py:369,
+        then bottom MLP :376, then top MLP :377). Caller seeds np.random.
+        Restricted to plain tables (QR tables use the torch RNG in the
+        reference, so there is no numpy sequence to match)."""
+        cfg = self.cfg
+        if cfg.qr is not None:
+            raise NotImplementedError("numpy-parity init does not cover QR tables")
+        tables = []
+        for i, n in enumerate(cfg.table_sizes):
+            dim = self.md_dims[i]
+            w = np.random.uniform(
+                low=-np.sqrt(1.0 / n), high=np.sqrt(1.0 / n), size=(n, dim)
+            ).astype(np.float32)
+            tables.append(w)
+        params: Params = {}
+        if self.fused:
+            params["emb"] = {"stacked": jnp.asarray(np.concatenate(tables, axis=0))}
+        else:
+            entries = []
+            for i, (n, w) in enumerate(zip(cfg.table_sizes, tables)):
+                entry = {"w": jnp.asarray(w)}
+                if self._table_is_md(i, n) and self.md_dims[i] < cfg.embedding_dim:
+                    # reference uses torch xavier for the projection; any
+                    # xavier-uniform draw is acceptable here (not RNG-matched)
+                    a = np.sqrt(6.0 / (self.md_dims[i] + cfg.embedding_dim))
+                    entry["proj"] = jnp.asarray(
+                        np.random.uniform(
+                            -a, a, size=(self.md_dims[i], cfg.embedding_dim)
+                        ).astype(np.float32)
+                    )
+                entries.append(entry)
+            params["emb"] = {"tables": entries}
+        if cfg.weighted_pooling is not None:
+            if self.fused:
+                params["v_w"] = jnp.ones((self.total_rows,), jnp.float32)
+            else:
+                params["v_w"] = [jnp.ones((n,), jnp.float32) for n in cfg.table_sizes]
+        params["bot"] = init_mlp_numpy(cfg.mlp_bot)
+        params["top"] = init_mlp_numpy(cfg.ln_top)
+        params.update(self._init_interaction(jax.random.PRNGKey(0)))
+        return params
+
+    def _init_interaction(self, rng: jax.Array) -> Params:
+        cfg = self.cfg
+        out: Params = {}
+        if cfg.interaction == "dcn":
+            n = cfg.num_features * cfg.mlp_bot[-1]
+            r = cfg.dcn.low_rank_dim
+            layers = []
+            keys = jax.random.split(rng, cfg.dcn.num_layers)
+            for k in keys:
+                kv, kw = jax.random.split(k)
+                layers.append(
+                    {
+                        "v": _xavier_uniform(kv, (r, n)),
+                        "w": _xavier_uniform(kw, (n, r)),
+                        "b": jnp.zeros((n,), jnp.float32),
+                    }
+                )
+            out["dcn"] = layers
+        elif cfg.interaction == "projection":
+            d = cfg.mlp_bot[-1]
+            fd = cfg.num_features * d
+            p = cfg.proj_interaction_dims[-1]
+            k1, k2 = jax.random.split(rng)
+            out["proj_w1"] = _xavier_uniform(k1, (fd, p * d))
+            out["proj_w2"] = _xavier_uniform(k2, (fd, p * d))
+        return out
+
+    # --------------------------------------------------------------- forward
+
+    def apply_emb(self, params: Params, batch: Batch) -> jax.Array:
+        """Pooled embeddings [B, T, dim] (apply_emb, dlrm_s_pytorch.py:407-462)."""
+        cfg = self.cfg
+        idx, wt = batch.idx, batch.wt
+        if self.fused:
+            if "v_w" in params:
+                flat_idx = idx + jnp.asarray(self.row_offsets)[:, None, None]
+                vw = jnp.take(params["v_w"], flat_idx, axis=0)  # [T, B, H]
+                wt = vw if wt is None else wt * vw
+            return fused_embedding_bag(
+                params["emb"]["stacked"], jnp.asarray(self.row_offsets), idx, wt
+            )
+        pooled = []
+        for k, entry in enumerate(params["emb"]["tables"]):
+            idx_k = idx[k]
+            wt_k = None if wt is None else wt[k]
+            if "v_w" in params:
+                vw = jnp.take(params["v_w"][k], idx_k, axis=0)
+                wt_k = vw if wt_k is None else wt_k * vw
+            if "q" in entry:
+                v = qr_embedding_bag(
+                    entry["q"],
+                    entry["r"],
+                    cfg.qr.collisions,
+                    cfg.qr.operation,
+                    idx_k,
+                    wt_k,
+                )
+            else:
+                v = embedding_bag(entry["w"], idx_k, wt_k)
+                if "proj" in entry:
+                    v = jnp.dot(
+                        v, entry["proj"], preferred_element_type=jnp.float32
+                    )
+            pooled.append(v)
+        return jnp.stack(pooled, axis=1)  # [B, T, dim]
+
+    def interact(self, params: Params, x: jax.Array, ly: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        if cfg.interaction == "dot":
+            return dot_interaction(x, ly, cfg.interaction_itself)
+        if cfg.interaction == "cat":
+            return cat_interaction(x, ly)
+        if cfg.interaction == "dcn":
+            x0 = cat_interaction(x, ly)
+            return low_rank_cross_net(params["dcn"], x0)
+        if cfg.interaction == "projection":
+            return projection_interaction(
+                x, ly, params["proj_w1"], params["proj_w2"]
+            )
+        raise AssertionError(cfg.interaction)
+
+    def apply(self, params: Params, batch: Batch) -> jax.Array:
+        """Forward pass -> click probability [B, 1]
+        (sequential_forward, dlrm_s_pytorch.py:587-612)."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        x = apply_mlp(params["bot"], batch.dense.astype(dtype), cfg.sigmoid_bot)
+        ly = self.apply_emb(params, batch).astype(x.dtype)
+        z = self.interact(params, x, ly)
+        # sigmoid on the last top layer (sigmoid_top = len-2, dlrm_s_pytorch.py:1293)
+        p = apply_mlp(params["top"], z, sigmoid_layer=len(params["top"]) - 1)
+        if 0.0 < cfg.loss_threshold < 1.0:
+            p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
+        return p.astype(jnp.float32)
+
+    # ------------------------------------------------------------------ loss
+
+    def loss(self, params: Params, batch: Batch) -> jax.Array:
+        p = self.apply(params, batch)
+        return compute_loss(self.cfg, p, batch.labels)
+
+    def loss_and_prob(self, params: Params, batch: Batch):
+        p = self.apply(params, batch)
+        return compute_loss(self.cfg, p, batch.labels), p
+
+
+def compute_loss(cfg: DLRMConfig, probs: jax.Array, labels: jax.Array) -> jax.Array:
+    """MSE / BCE / weighted-BCE on predicted probabilities
+    (dlrm_s_pytorch.py:384-397, loss_fn_wrap :148-156)."""
+    t = labels.astype(jnp.float32)
+    if cfg.loss == "mse":
+        return jnp.mean(jnp.square(probs - t))
+    eps = 1e-12
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    per = -(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
+    if cfg.loss == "bce":
+        return jnp.mean(per)
+    # wbce: per-sample weight selected by the integer target
+    # (loss_ws[T.long()], dlrm_s_pytorch.py:153-156)
+    ws = jnp.where(
+        t >= 0.5,
+        jnp.float32(cfg.loss_weights[1]),
+        jnp.float32(cfg.loss_weights[0]),
+    )
+    return jnp.mean(ws * per)

@@ -1,0 +1,145 @@
+"""Embedding-bag ops: sum-pooled multi-hot lookups, TPU-native layout.
+
+The reference's hot loop is one `nn.EmbeddingBag(mode="sum", sparse=True)` call per
+table over ragged (indices, offsets) CSR inputs (dlrm_s_pytorch.py:407-462). On TPU we
+use a *padded dense* layout instead — XLA requires static shapes, and a single large
+gather over one stacked table array maps far better onto HBM bandwidth than 26 small
+ragged ops:
+
+    idx: int32[T, B, H]   padded multi-hot indices (H = max hot size, static)
+    wt:  float32[T, B, H] per-index weights; 0.0 marks padding. Also carries
+                          per-sample weights (weighted pooling) and 1/len for
+                          mean pooling — one code path for all pooling modes.
+
+All tables of equal width are stacked into one [sum(rows), dim] array; per-table row
+offsets are static constants folded into the gather. The backward of jnp.take is an
+XLA scatter-add, which on padded entries contributes exactly 0 (weight 0).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def embedding_bag(
+    table: jax.Array,  # [n, d]
+    idx: jax.Array,  # [B, H] int32
+    wt: Optional[jax.Array] = None,  # [B, H] float32, 0 = padding
+) -> jax.Array:  # [B, d]
+    """Sum-pooled lookup on a single table (EmbeddingBag mode='sum' equivalent)."""
+    rows = jnp.take(table, idx, axis=0)  # [B, H, d]
+    if wt is None:
+        return jnp.sum(rows, axis=1)
+    return jnp.einsum("bhd,bh->bd", rows, wt.astype(rows.dtype))
+
+
+def stack_tables(tables: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack equal-width tables into one array; return (stacked, row_offsets)."""
+    dims = {t.shape[1] for t in tables}
+    if len(dims) != 1:
+        raise ValueError(f"stack_tables requires equal widths, got {dims}")
+    offsets = np.zeros(len(tables), dtype=np.int32)
+    acc = 0
+    for i, t in enumerate(tables):
+        offsets[i] = acc
+        acc += t.shape[0]
+    return np.concatenate(tables, axis=0), offsets
+
+
+def fused_embedding_bag(
+    stacked: jax.Array,  # [sum_n, d]
+    row_offsets: jax.Array,  # [T] int32 (static per model)
+    idx: jax.Array,  # [T, B, H] int32 (per-table local indices)
+    wt: Optional[jax.Array] = None,  # [T, B, H] float32
+) -> jax.Array:  # [B, T, d]
+    """Sum-pooled lookup over ALL tables in one gather.
+
+    Equivalent to the reference's per-table apply_emb loop
+    (dlrm_s_pytorch.py:407-462) but fused: local indices are shifted by the
+    static per-table row offset and gathered from the stacked array at once.
+    """
+    flat_idx = idx + row_offsets[:, None, None]  # [T, B, H]
+    rows = jnp.take(stacked, flat_idx, axis=0)  # [T, B, H, d]
+    if wt is None:
+        pooled = jnp.sum(rows, axis=2)  # [T, B, d]
+    else:
+        pooled = jnp.einsum("tbhd,tbh->tbd", rows, wt.astype(rows.dtype))
+    return jnp.transpose(pooled, (1, 0, 2))  # [B, T, d]
+
+
+def qr_embedding_bag(
+    q_table: jax.Array,  # [ceil(n/c), d]
+    r_table: jax.Array,  # [c, d]
+    collisions: int,
+    operation: str,
+    idx: jax.Array,  # [B, H]
+    wt: Optional[jax.Array] = None,  # [B, H]
+) -> jax.Array:
+    """Quotient-remainder compressed lookup (tricks/qr_embedding_bag.py:192-226).
+
+    index -> (index // c) into the quotient table and (index % c) into the
+    remainder table; the two pooled results are combined by mult/add/concat.
+    The reference pools each bag first and then combines pooled vectors, which
+    for 'mult' is NOT the same as combining per-index rows; we follow the
+    reference's pooled-then-combine semantics exactly.
+    """
+    idx_q = idx // collisions
+    idx_r = idx % collisions
+    vq = embedding_bag(q_table, idx_q, wt)
+    vr = embedding_bag(r_table, idx_r, wt)
+    if operation == "mult":
+        return vq * vr
+    if operation == "add":
+        return vq + vr
+    if operation == "concat":
+        return jnp.concatenate([vq, vr], axis=1)
+    raise ValueError(f"qr operation {operation!r} not supported")
+
+
+def offsets_to_padded(
+    indices: np.ndarray,  # [nnz] flat indices of one table's batch (CSR values)
+    offsets: np.ndarray,  # [B] bag start offsets (CSR indptr without the end)
+    hot_size: int,
+    per_sample_weights: Optional[np.ndarray] = None,  # [nnz]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side conversion from the reference's ragged (indices, offsets) CSR
+    format (dlrm_s_pytorch.py:407-414) to the padded (idx[B,H], wt[B,H]) layout.
+
+    Bags longer than hot_size are truncated (the caller picks H = max bag len
+    to avoid that); padding gets index 0 with weight 0.
+    """
+    indices = np.asarray(indices, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    batch = offsets.shape[0]
+    ends = np.concatenate([offsets[1:], [indices.shape[0]]])
+    idx = np.zeros((batch, hot_size), dtype=np.int32)
+    wt = np.zeros((batch, hot_size), dtype=np.float32)
+    for b in range(batch):
+        lo, hi = offsets[b], ends[b]
+        ln = min(hi - lo, hot_size)
+        idx[b, :ln] = indices[lo : lo + ln]
+        if per_sample_weights is None:
+            wt[b, :ln] = 1.0
+        else:
+            wt[b, :ln] = per_sample_weights[lo : lo + ln]
+    return idx, wt
+
+
+def padded_to_offsets(
+    idx: np.ndarray, wt: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse of offsets_to_padded (drops zero-weight padding)."""
+    batch = idx.shape[0]
+    offsets = np.zeros(batch, dtype=np.int64)
+    out = []
+    acc = 0
+    for b in range(batch):
+        mask = wt[b] != 0.0
+        offsets[b] = acc
+        out.extend(idx[b][mask].tolist())
+        acc += int(mask.sum())
+    return np.asarray(out, dtype=np.int64), offsets

@@ -1,0 +1,333 @@
+"""CLI entry point with flag parity to the reference
+(dlrm_s_pytorch.py:904-1021 argparse surface).
+
+Usage:  python -m dlrm_tpu.cli --mini-batch-size=2 --data-size=6
+
+Flags keep the reference's names and defaults; unsupported-on-TPU flags
+(--use-gpu, --local_rank, --dist-backend) are accepted and mapped to the mesh
+runner or ignored with a note, so reference invocations run unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from dlrm_tpu.config import DCNConfig, DLRMConfig, MDConfig, QRConfig, TrainConfig
+
+
+def dash_separated_ints(value: str) -> str:
+    """Validator matching the reference's flag format (dlrm_s_pytorch.py:733-744)."""
+    vals = value.split("-")
+    for val in vals:
+        try:
+            int(val)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"{value} is not a valid dash-separated list of ints"
+            )
+    return value
+
+
+def dash_separated_floats(value: str) -> str:
+    vals = value.split("-")
+    for val in vals:
+        try:
+            float(val)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"{value} is not a valid dash-separated list of floats"
+            )
+    return value
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native DLRM")
+    # model arch
+    p.add_argument("--arch-sparse-feature-size", type=int, default=2)
+    p.add_argument("--arch-embedding-size", type=dash_separated_ints, default="4-3-2")
+    p.add_argument("--arch-mlp-bot", type=dash_separated_ints, default="4-3-2")
+    p.add_argument("--arch-mlp-top", type=dash_separated_ints, default="4-2-1")
+    p.add_argument(
+        "--arch-interaction-op", type=str, default="dot",
+        choices=["dot", "cat", "dcn", "projection"],
+    )
+    p.add_argument("--arch-interaction-itself", action="store_true", default=False)
+    p.add_argument("--weighted-pooling", type=str, default=None)
+    # dcn / projection (torchrec_dlrm/dlrm_main.py:170-194)
+    p.add_argument("--dcn-num-layers", type=int, default=3)
+    p.add_argument("--dcn-low-rank-dim", type=int, default=512)
+    p.add_argument("--interaction-branch1-layer-sizes", type=dash_separated_ints, default="2048-2048")
+    p.add_argument("--interaction-branch2-layer-sizes", type=dash_separated_ints, default="2048-2048")
+    # embedding tricks
+    p.add_argument("--md-flag", action="store_true", default=False)
+    p.add_argument("--md-threshold", type=int, default=200)
+    p.add_argument("--md-temperature", type=float, default=0.3)
+    p.add_argument("--md-round-dims", action="store_true", default=False)
+    p.add_argument("--qr-flag", action="store_true", default=False)
+    p.add_argument("--qr-threshold", type=int, default=200)
+    p.add_argument("--qr-operation", type=str, default="mult")
+    p.add_argument("--qr-collisions", type=int, default=4)
+    # activations and loss
+    p.add_argument("--activation-function", type=str, default="relu")
+    p.add_argument("--loss-function", type=str, default="mse")
+    p.add_argument("--loss-weights", type=dash_separated_floats, default="1.0-1.0")
+    p.add_argument("--loss-threshold", type=float, default=0.0)
+    p.add_argument("--round-targets", type=bool, default=False)
+    # data
+    p.add_argument("--data-size", type=int, default=1)
+    p.add_argument("--num-batches", type=int, default=0)
+    p.add_argument(
+        "--data-generation", type=str, default="random"
+    )  # random | synthetic | dataset
+    p.add_argument("--rand-data-dist", type=str, default="uniform")
+    p.add_argument("--rand-data-min", type=float, default=0)
+    p.add_argument("--rand-data-max", type=float, default=1)
+    p.add_argument("--rand-data-mu", type=float, default=-1)
+    p.add_argument("--rand-data-sigma", type=float, default=1)
+    p.add_argument("--data-trace-file", type=str, default="./input/dist_emb_j.log")
+    p.add_argument("--data-set", type=str, default="kaggle")
+    p.add_argument("--raw-data-file", type=str, default="")
+    p.add_argument("--processed-data-file", type=str, default="")
+    p.add_argument("--data-randomize", type=str, default="total")
+    p.add_argument("--data-trace-enable-padding", type=bool, default=False)
+    p.add_argument("--max-ind-range", type=int, default=-1)
+    p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
+    p.add_argument("--num-indices-per-lookup", type=int, default=10)
+    p.add_argument("--num-indices-per-lookup-fixed", type=bool, default=False)
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--memory-map", action="store_true", default=False)
+    # training
+    p.add_argument("--mini-batch-size", type=int, default=1)
+    p.add_argument("--nepochs", type=int, default=1)
+    p.add_argument("--learning-rate", type=float, default=0.01)
+    p.add_argument("--print-precision", type=int, default=5)
+    p.add_argument("--numpy-rand-seed", type=int, default=123)
+    p.add_argument("--optimizer", type=str, default="sgd")
+    p.add_argument(
+        "--dataset-multiprocessing", action="store_true", default=False
+    )
+    # inference / quantization
+    p.add_argument("--inference-only", action="store_true", default=False)
+    p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
+    p.add_argument("--quantize-emb-with-bit", type=int, default=32)
+    # device / distributed
+    p.add_argument("--use-gpu", action="store_true", default=False)  # ignored
+    p.add_argument("--use-tpu", action="store_true", default=True)
+    p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--dist-backend", type=str, default="")
+    p.add_argument("--mesh-data", type=int, default=1)
+    p.add_argument("--mesh-model", type=int, default=0)  # 0 = all remaining
+    p.add_argument("--sharded", action="store_true", default=False)
+    # debug / profiling
+    p.add_argument("--print-freq", type=int, default=1)
+    p.add_argument("--test-freq", type=int, default=-1)
+    p.add_argument("--test-mini-batch-size", type=int, default=-1)
+    p.add_argument("--test-num-workers", type=int, default=-1)
+    p.add_argument("--print-time", action="store_true", default=False)
+    p.add_argument("--print-wall-time", action="store_true", default=False)
+    p.add_argument("--debug-mode", action="store_true", default=False)
+    p.add_argument("--enable-profiling", action="store_true", default=False)
+    p.add_argument("--plot-compute-graph", action="store_true", default=False)
+    p.add_argument("--tensor-board-filename", type=str, default="")
+    # checkpointing
+    p.add_argument("--save-model", type=str, default="")
+    p.add_argument("--load-model", type=str, default="")
+    # mlperf
+    p.add_argument("--mlperf-logging", action="store_true", default=False)
+    p.add_argument("--mlperf-acc-threshold", type=float, default=0.0)
+    p.add_argument("--mlperf-auc-threshold", type=float, default=0.0)
+    p.add_argument("--mlperf-bin-loader", action="store_true", default=False)
+    p.add_argument("--mlperf-bin-shuffle", action="store_true", default=False)
+    p.add_argument("--mlperf-grad-accum-iter", type=int, default=1)
+    # compute
+    p.add_argument("--compute-dtype", type=str, default="float32")
+    return p
+
+
+def configs_from_args(args) -> tuple[DLRMConfig, TrainConfig]:
+    ln_emb = tuple(int(x) for x in args.arch_embedding_size.split("-"))
+    mlp_bot = tuple(int(x) for x in args.arch_mlp_bot.split("-"))
+    mlp_top = tuple(int(x) for x in args.arch_mlp_top.split("-"))
+    loss_w = tuple(float(x) for x in args.loss_weights.split("-"))
+    qr = (
+        QRConfig(
+            collisions=args.qr_collisions,
+            threshold=args.qr_threshold,
+            operation=args.qr_operation,
+        )
+        if args.qr_flag
+        else None
+    )
+    md = (
+        MDConfig(
+            temperature=args.md_temperature,
+            threshold=args.md_threshold,
+            round_dims=args.md_round_dims,
+        )
+        if args.md_flag
+        else None
+    )
+    dcn = (
+        DCNConfig(num_layers=args.dcn_num_layers, low_rank_dim=args.dcn_low_rank_dim)
+        if args.arch_interaction_op == "dcn"
+        else None
+    )
+    proj = None
+    if args.arch_interaction_op == "projection":
+        b1 = tuple(int(x) for x in args.interaction_branch1_layer_sizes.split("-"))
+        d = mlp_bot[-1]
+        if b1[-1] % d != 0:
+            sys.exit(
+                "ERROR: interaction branch1 layer sizes must be divisible by "
+                "embedding dim"
+            )
+        proj = (b1[-1] // d,)
+    model_cfg = DLRMConfig(
+        embedding_dim=args.arch_sparse_feature_size,
+        table_sizes=ln_emb,
+        mlp_bot=mlp_bot,
+        mlp_top=mlp_top,
+        interaction=args.arch_interaction_op,
+        interaction_itself=args.arch_interaction_itself,
+        num_indices_per_lookup=args.num_indices_per_lookup,
+        dcn=dcn,
+        proj_interaction_dims=proj,
+        qr=qr,
+        md=md,
+        weighted_pooling=args.weighted_pooling,
+        loss=args.loss_function,
+        loss_weights=loss_w,
+        loss_threshold=args.loss_threshold,
+        compute_dtype=args.compute_dtype,
+    )
+    train_cfg = TrainConfig(
+        mini_batch_size=args.mini_batch_size,
+        test_mini_batch_size=args.test_mini_batch_size,
+        nepochs=args.nepochs,
+        learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        data_generation=args.data_generation,
+        data_size=args.data_size,
+        num_batches=args.num_batches,
+        numpy_rand_seed=args.numpy_rand_seed,
+        round_targets=args.round_targets,
+        num_indices_per_lookup_fixed=args.num_indices_per_lookup_fixed,
+        rand_data_dist=args.rand_data_dist,
+        rand_data_min=args.rand_data_min,
+        rand_data_max=args.rand_data_max,
+        rand_data_mu=args.rand_data_mu,
+        rand_data_sigma=args.rand_data_sigma,
+        print_freq=args.print_freq,
+        test_freq=args.test_freq,
+        print_time=args.print_time,
+        debug_mode=args.debug_mode,
+        grad_accum_iter=args.mlperf_grad_accum_iter,
+        mlperf_logging=args.mlperf_logging,
+        mlperf_acc_threshold=args.mlperf_acc_threshold,
+        mlperf_auc_threshold=args.mlperf_auc_threshold,
+        save_model=args.save_model,
+        load_model=args.load_model,
+        inference_only=args.inference_only,
+    )
+    return model_cfg, train_cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    np.set_printoptions(precision=args.print_precision)
+
+    from dlrm_tpu.data.random_data import RandomDataset
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.train.harness import Trainer, dump_parameters
+    from dlrm_tpu.utils.logging import MLPerfLogger, ScalarLogger
+
+    model_cfg, train_cfg = configs_from_args(args)
+    model = DLRMModel(model_cfg)
+
+    if args.debug_mode:
+        print("model arch:")
+        print(
+            f"mlp top arch {len(model_cfg.ln_top) - 1} layers, with input to "
+            f"output dimensions:"
+        )
+        print(np.asarray(model_cfg.ln_top))
+        print("# of interactions")
+        print(model_cfg.interaction_output_dim)
+        print(
+            f"mlp bot arch {len(model_cfg.mlp_bot) - 1} layers, with input to "
+            f"output dimensions:"
+        )
+        print(np.asarray(model_cfg.mlp_bot))
+        print("# of features (sparse and dense)")
+        print(model_cfg.num_features)
+        print("dense feature size")
+        print(model_cfg.num_dense)
+        print("sparse feature size")
+        print(model_cfg.embedding_dim)
+        print(
+            f"# of embeddings (= # of sparse features) {model_cfg.num_tables}, "
+            f"with dimensions {model_cfg.embedding_dim}x:"
+        )
+        print(np.asarray(model_cfg.table_sizes))
+
+    if train_cfg.data_generation in ("random", "synthetic"):
+        train_data = RandomDataset(model_cfg, train_cfg)
+        test_data = RandomDataset(model_cfg, train_cfg, pad_last_batch=True)
+    else:
+        from dlrm_tpu.data.criteo import make_criteo_datasets
+
+        train_data, test_data = make_criteo_datasets(model_cfg, train_cfg, args)
+
+    scalar_log = ScalarLogger(
+        args.tensor_board_filename + ".scalars.jsonl"
+        if args.tensor_board_filename
+        else None
+    )
+    mlperf = MLPerfLogger(enabled=args.mlperf_logging)
+    trainer = Trainer(
+        model, train_cfg, train_data,
+        test_data if (train_cfg.test_freq > 0 or train_cfg.inference_only or train_cfg.mlperf_logging) else None,
+        scalar_log=scalar_log, mlperf=mlperf,
+    )
+
+    if args.sharded:
+        from dlrm_tpu.optim.optimizers import init_opt_state
+        from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+        from dlrm_tpu.parallel.mesh import make_mesh
+
+        import jax
+
+        mesh = make_mesh(
+            data=args.mesh_data,
+            model=args.mesh_model if args.mesh_model > 0 else None,
+        )
+        bf = ButterflyDLRM(model, mesh)
+        state = trainer.init_state()
+        state.params = bf.shard_params(state.params)
+        state.opt_state = init_opt_state(train_cfg.optimizer, state.params)
+        trainer.train_step = bf.make_train_step(
+            train_cfg.optimizer, train_cfg.mini_batch_size, state.params,
+            state.opt_state,
+        )
+        trainer.eval_step = bf.make_eval_step(state.params)
+        trainer.to_device = lambda hb: bf.shard_batch(hb.to_device())
+        trainer.train(state)
+        return 0
+
+    state = trainer.init_state()
+    if args.debug_mode:
+        print("initial parameters (weights and bias):")
+        dump_parameters(state.params, args.print_precision)
+    state = trainer.train(state)
+    if args.debug_mode:
+        print("updated parameters (weights and bias):")
+        dump_parameters(state.params, args.print_precision)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -272,42 +272,70 @@ class DLRMModel:
             )
         raise AssertionError(cfg.interaction)
 
-    def apply(self, params: Params, batch: Batch) -> jax.Array:
-        """Forward pass -> click probability [B, 1]
-        (sequential_forward, dlrm_s_pytorch.py:587-612)."""
+    def apply_with_logits(self, params: Params, batch: Batch):
+        """Forward pass -> (click probability [B, 1], pre-sigmoid logits)
+        (sequential_forward, dlrm_s_pytorch.py:587-612). The logits feed the
+        numerically-stable BCE (sigmoid saturates to exactly 1.0 in fp32/bf16
+        after large top-MLP steps; torch's BCELoss survives by clamping logs
+        at -100, we do it the clean way from logits)."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         x = apply_mlp(params["bot"], batch.dense.astype(dtype), cfg.sigmoid_bot)
         ly = self.apply_emb(params, batch).astype(x.dtype)
         z = self.interact(params, x, ly)
-        # sigmoid on the last top layer (sigmoid_top = len-2, dlrm_s_pytorch.py:1293)
-        p = apply_mlp(params["top"], z, sigmoid_layer=len(params["top"]) - 1)
+        # sigmoid sits on the last top layer (sigmoid_top = len-2,
+        # dlrm_s_pytorch.py:1293) -> run all but the activation, keep logits
+        logits = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
+        last = params["top"][-1]
+        logits = (
+            jnp.dot(
+                logits, last["w"].astype(logits.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + last["b"]
+        ).astype(jnp.float32)
+        p = jax.nn.sigmoid(logits)
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
-        return p.astype(jnp.float32)
+        return p, logits
+
+    def apply(self, params: Params, batch: Batch) -> jax.Array:
+        return self.apply_with_logits(params, batch)[0]
 
     # ------------------------------------------------------------------ loss
 
     def loss(self, params: Params, batch: Batch) -> jax.Array:
-        p = self.apply(params, batch)
-        return compute_loss(self.cfg, p, batch.labels)
+        p, logits = self.apply_with_logits(params, batch)
+        return compute_loss(self.cfg, p, batch.labels, logits=logits)
 
     def loss_and_prob(self, params: Params, batch: Batch):
-        p = self.apply(params, batch)
-        return compute_loss(self.cfg, p, batch.labels), p
+        p, logits = self.apply_with_logits(params, batch)
+        return compute_loss(self.cfg, p, batch.labels, logits=logits), p
 
 
-def compute_loss(cfg: DLRMConfig, probs: jax.Array, labels: jax.Array) -> jax.Array:
-    """MSE / BCE / weighted-BCE on predicted probabilities
-    (dlrm_s_pytorch.py:384-397, loss_fn_wrap :148-156)."""
+def per_example_loss(
+    cfg: DLRMConfig,
+    probs: jax.Array,
+    labels: jax.Array,
+    logits: Optional[jax.Array] = None,
+) -> jax.Array:
+    """MSE / BCE / weighted-BCE per example (dlrm_s_pytorch.py:384-397,
+    loss_fn_wrap :148-156). BCE is computed from logits when available:
+    -log sigmoid(z) = softplus(-z), so per = softplus(z) - t*z — exact and
+    finite for any z. With loss_threshold clamping active the reference
+    semantics (clamped probabilities) are used instead."""
     t = labels.astype(jnp.float32)
     if cfg.loss == "mse":
-        return jnp.mean(jnp.square(probs - t))
-    eps = 1e-12
-    p = jnp.clip(probs, eps, 1.0 - eps)
-    per = -(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
+        return jnp.square(probs - t)
+    if logits is not None and not (0.0 < cfg.loss_threshold < 1.0):
+        z = logits.astype(jnp.float32)
+        per = jax.nn.softplus(z) - t * z
+    else:
+        eps = 1e-7  # >= fp32 ulp at 1.0 so the clip actually bites
+        p = jnp.clip(probs, eps, 1.0 - eps)
+        per = -(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
     if cfg.loss == "bce":
-        return jnp.mean(per)
+        return per
     # wbce: per-sample weight selected by the integer target
     # (loss_ws[T.long()], dlrm_s_pytorch.py:153-156)
     ws = jnp.where(
@@ -315,4 +343,13 @@ def compute_loss(cfg: DLRMConfig, probs: jax.Array, labels: jax.Array) -> jax.Ar
         jnp.float32(cfg.loss_weights[1]),
         jnp.float32(cfg.loss_weights[0]),
     )
-    return jnp.mean(ws * per)
+    return ws * per
+
+
+def compute_loss(
+    cfg: DLRMConfig,
+    probs: jax.Array,
+    labels: jax.Array,
+    logits: Optional[jax.Array] = None,
+) -> jax.Array:
+    return jnp.mean(per_example_loss(cfg, probs, labels, logits))

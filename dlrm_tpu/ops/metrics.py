@@ -1,0 +1,168 @@
+"""Evaluation metrics: exact + streaming AUC, accuracy/precision/recall/F1/AP.
+
+Replaces the reference's sklearn metric suite (dlrm_s_pytorch.py:830-855) and
+torchmetrics AUROC (torchrec_dlrm/dlrm_main.py:337-366) with implementations
+that are (a) exact on small sets, validated against sklearn in tests, and
+(b) streaming/distributed-reducible at scale: a fixed-bucket score histogram
+whose per-device partials combine by addition (psum / cross-host sum), turning
+the 89M-sample Criteo eval into O(num_buckets) state per device (SURVEY.md §7
+"AUC at scale").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------- exact
+
+
+def roc_auc_exact(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Exact ROC-AUC via the rank-sum (Mann-Whitney U) formulation with
+    midrank tie handling — equal to sklearn.metrics.roc_auc_score."""
+    scores = np.asarray(scores, dtype=np.float64).ravel()
+    labels = np.asarray(labels, dtype=np.float64).ravel()
+    pos = labels > 0.5
+    n_pos = int(pos.sum())
+    n_neg = labels.size - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(scores.size, dtype=np.float64)
+    sorted_scores = scores[order]
+    # midranks for ties
+    i = 0
+    while i < scores.size:
+        j = i
+        while j + 1 < scores.size and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    rank_sum_pos = ranks[pos].sum()
+    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def binary_metrics(
+    scores: np.ndarray, labels: np.ndarray, threshold: float = 0.5
+) -> Dict[str, float]:
+    """recall/precision/f1/accuracy at a threshold + average precision,
+    mirroring the mlperf eval block (dlrm_s_pytorch.py:830-855)."""
+    scores = np.asarray(scores, dtype=np.float64).ravel()
+    labels = (np.asarray(labels, dtype=np.float64).ravel() > 0.5).astype(np.int64)
+    pred = (scores >= threshold).astype(np.int64)
+    tp = int(((pred == 1) & (labels == 1)).sum())
+    fp = int(((pred == 1) & (labels == 0)).sum())
+    fn = int(((pred == 0) & (labels == 1)).sum())
+    tn = int(((pred == 0) & (labels == 0)).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    accuracy = (tp + tn) / max(1, labels.size)
+    return {
+        "recall": recall,
+        "precision": precision,
+        "f1": f1,
+        "accuracy": accuracy,
+        "ap": average_precision(scores, labels),
+        "roc_auc": roc_auc_exact(scores, labels),
+    }
+
+
+def average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
+    """sklearn-style average precision (step-wise integral of the PR curve)."""
+    scores = np.asarray(scores, dtype=np.float64).ravel()
+    labels = (np.asarray(labels, dtype=np.float64).ravel() > 0.5).astype(np.float64)
+    if labels.sum() == 0:
+        return float("nan")
+    order = np.argsort(-scores, kind="mergesort")
+    tp_cum = np.cumsum(labels[order])
+    # group by distinct score (sklearn evaluates at threshold boundaries)
+    s_sorted = scores[order]
+    distinct = np.where(np.diff(s_sorted))[0]
+    idx = np.concatenate([distinct, [labels.size - 1]])
+    tp = tp_cum[idx]
+    total = idx + 1.0
+    precision = tp / total
+    recall = tp / labels.sum()
+    recall_prev = np.concatenate([[0.0], recall[:-1]])
+    return float(np.sum((recall - recall_prev) * precision))
+
+
+# ------------------------------------------------------------------ streaming
+
+
+@dataclass
+class AucState:
+    """Additive streaming state: per-bucket positive/negative counts.
+
+    Combine across devices/hosts/batches by summing the arrays (psum-able).
+    """
+
+    pos: np.ndarray  # [num_buckets] float64
+    neg: np.ndarray
+
+    @classmethod
+    def create(cls, num_buckets: int = 1 << 14) -> "AucState":
+        return cls(
+            pos=np.zeros(num_buckets, np.float64),
+            neg=np.zeros(num_buckets, np.float64),
+        )
+
+    def merge(self, other: "AucState") -> "AucState":
+        return AucState(pos=self.pos + other.pos, neg=self.neg + other.neg)
+
+
+def auc_update(
+    state: AucState, scores: np.ndarray, labels: np.ndarray,
+    weights: np.ndarray | None = None,
+) -> AucState:
+    nb = state.pos.shape[0]
+    scores = np.clip(np.asarray(scores, np.float64).ravel(), 0.0, 1.0)
+    labels = np.asarray(labels, np.float64).ravel()
+    if weights is None:
+        weights = np.ones_like(labels)
+    mask = labels >= 0  # padded eval rows carry label -1
+    b = np.minimum((scores * nb).astype(np.int64), nb - 1)
+    pos = np.bincount(
+        b[mask], weights=(weights * (labels > 0.5))[mask], minlength=nb
+    )
+    neg = np.bincount(
+        b[mask], weights=(weights * (labels <= 0.5))[mask], minlength=nb
+    )
+    return AucState(pos=state.pos + pos, neg=state.neg + neg)
+
+
+def auc_compute(state: AucState) -> float:
+    """Trapezoidal AUC over the bucketed ROC curve (within-bucket ties get the
+    midrank treatment, so the estimate is unbiased for tied buckets)."""
+    p, n = state.pos, state.neg
+    tp_total, fn_total = p.sum(), n.sum()
+    if tp_total == 0 or fn_total == 0:
+        return float("nan")
+    # descending score order
+    p_desc, n_desc = p[::-1], n[::-1]
+    tp_cum = np.cumsum(p_desc)
+    fp_cum = np.cumsum(n_desc)
+    tpr = np.concatenate([[0.0], tp_cum / tp_total])
+    fpr = np.concatenate([[0.0], fp_cum / fn_total])
+    return float(np.trapezoid(tpr, fpr))
+
+
+def auc_update_jax(pos, neg, scores, labels):
+    """On-device histogram update (jit/psum friendly): returns new (pos, neg)."""
+    nb = pos.shape[0]
+    s = jnp.clip(scores.reshape(-1), 0.0, 1.0)
+    l = labels.reshape(-1)
+    mask = l >= 0
+    b = jnp.minimum((s * nb).astype(jnp.int32), nb - 1)
+    is_pos = (l > 0.5) & mask
+    is_neg = (l <= 0.5) & mask
+    pos = pos.at[b].add(jnp.where(is_pos, 1.0, 0.0))
+    neg = neg.at[b].add(jnp.where(is_neg, 1.0, 0.0))
+    return pos, neg

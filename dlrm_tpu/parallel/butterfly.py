@@ -1,0 +1,319 @@
+"""Hybrid-parallel DLRM train step: the butterfly all-to-all, TPU-native.
+
+Reproduces the reference's distributed_forward dataflow (dlrm_s_pytorch.py:528-585
++ extend_distributed.py:389-486) as ONE jitted shard_map over a ("data", "model")
+mesh:
+
+  * embedding tables row-sharded over "model" in the planner's padded stacked
+    layout (each model shard owns whole tables), replicated over "data";
+  * sparse indices arrive [T, B, H] with tables sharded over "model" and batch
+    sharded over "data" — each device looks up its local tables for its data
+    group's FULL batch slice;
+  * `lax.all_to_all` swaps (tables x batch) -> every device ends with ALL
+    tables for its 1/(D*M) batch slice — the butterfly shuffle
+    (dlrm_s_pytorch.py:555-569). XLA schedules the collective asynchronously,
+    overlapping it with the bottom MLP exactly like the reference's explicit
+    Request/Wait split (:563-568);
+  * dense params replicated; their grads psum over the whole mesh (the DDP
+    allreduce, dlrm_s_pytorch.py:1329-1336); table grads psum over "data" only
+    and stay shard-local over "model" (the sparse path);
+  * the optimizer update runs inside the same shard_map on local shards
+    (the in-backward fused update of torchrec, dlrm_main.py:649-653).
+
+Gradient scaling is single-device-consistent: the global loss is the mean over
+the GLOBAL batch (local sum / B_global, then psum), so sharded training is
+numerically equivalent to single-device training on the same global batch.
+(The reference instead backpropagates each rank's local-mean loss, which scales
+table gradients by world_size relative to single-device runs — a quirk we
+deliberately do not reproduce; see SURVEY.md §2.3.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.data.batch import Batch
+from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.ops.mlp import apply_mlp
+from dlrm_tpu.optim.optimizers import apply_updates
+from dlrm_tpu.parallel.planner import TablePlacement, plan_tables
+
+
+class ButterflyDLRM:
+    """Sharded DLRM runner over a ("data", "model") mesh.
+
+    Holds static placement metadata; params/opt-state live in globally-shaped
+    jax.Arrays with NamedShardings (single-controller view), so checkpointing
+    and single-device export see ordinary arrays.
+    """
+
+    def __init__(self, model: DLRMModel, mesh: Mesh):
+        cfg = model.cfg
+        if not model.fused:
+            raise NotImplementedError(
+                "butterfly path currently requires plain uniform-width tables "
+                "(QR/MD tricks run table-wise replicated via the GSPMD path)"
+            )
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.dsize = mesh.shape["data"]
+        self.msize = mesh.shape["model"]
+        # round-robin placement => equal table count per model shard after
+        # padding T to a multiple of msize (dummy tables hit padded zero rows)
+        self.placement = plan_tables(
+            cfg.table_sizes, self.msize, strategy="round_robin"
+        )
+        num_t = cfg.num_tables
+        self.t_pad = -(-num_t // self.msize) * self.msize  # ceil to multiple
+        self.t_local = self.t_pad // self.msize
+        # per-(padded)table local row offset inside its shard
+        local_off = np.zeros(self.t_pad, dtype=np.int32)
+        shard_rows = self.placement.shard_rows
+        for t in range(num_t):
+            g = self.placement.global_offsets[t]
+            local_off[t] = g % shard_rows
+        # dummy tables point at the shard's last (padded, zero-grad-safe) row
+        local_off[num_t:] = shard_rows - 1
+        # reorder [T_pad] so that axis order groups tables by shard:
+        # device m receives rows [m*t_local:(m+1)*t_local] of the P("model")
+        # sharded [T_pad, ...] arrays -> table order must be shard-major.
+        order = []
+        for s in range(self.msize):
+            order += [t for t in range(self.t_pad) if t % self.msize == s]
+        self.shard_major_order = np.asarray(order, dtype=np.int32)  # [T_pad]
+        # inverse: after the a2a concat, axis 0 is shard-major; restore table order
+        inv = np.zeros(self.t_pad, dtype=np.int32)
+        inv[self.shard_major_order] = np.arange(self.t_pad, dtype=np.int32)
+        self.unpermute = inv[: cfg.num_tables]  # select real tables, in order
+        self.local_offsets_shard_major = local_off[self.shard_major_order]
+
+        self._train_step = None
+        self._eval_step = None
+
+    # ----------------------------------------------------------- shardings
+
+    def shard_params(self, params):
+        """Re-lay single-device params into the sharded placement layout."""
+        from dlrm_tpu.parallel.planner import build_stacked
+
+        cfg = self.cfg
+        stacked = np.asarray(params["emb"]["stacked"])
+        tables = []
+        for t, n in enumerate(cfg.table_sizes):
+            off = int(self.model.row_offsets[t])
+            tables.append(stacked[off : off + n])
+        relaid = build_stacked(self.placement, tables)
+        out = dict(params)
+        out["emb"] = {"stacked": self._put(relaid, P("model"))}
+        if "v_w" in params:
+            vw = np.asarray(params["v_w"])
+            vtabs = []
+            for t, n in enumerate(cfg.table_sizes):
+                off = int(self.model.row_offsets[t])
+                vtabs.append(vw[off : off + n][:, None])
+            vst = build_stacked(self.placement, vtabs)[:, 0]
+            out["v_w"] = self._put(vst, P("model"))
+        rep = NamedSharding(self.mesh, P())
+        for k in ("bot", "top", "dcn", "proj_w1", "proj_w2"):
+            if k in out:
+                out[k] = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(jnp.asarray(a), rep), out[k]
+                )
+        return out
+
+    def unshard_params(self, params):
+        """Back to the single-device contiguous layout (checkpoint export)."""
+        from dlrm_tpu.parallel.planner import extract_table
+
+        cfg = self.cfg
+        stacked = np.asarray(jax.device_get(params["emb"]["stacked"]))
+        tables = [
+            extract_table(self.placement, stacked, t)
+            for t in range(cfg.num_tables)
+        ]
+        out = dict(params)
+        out["emb"] = {"stacked": jnp.asarray(np.concatenate(tables, axis=0))}
+        if "v_w" in params:
+            vst = np.asarray(jax.device_get(params["v_w"]))[:, None]
+            vt = [
+                extract_table(self.placement, vst, t)[:, 0]
+                for t in range(cfg.num_tables)
+            ]
+            out["v_w"] = jnp.asarray(np.concatenate(vt))
+        return out
+
+    def _put(self, x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
+
+    def shard_batch(self, batch: Batch) -> Batch:
+        """idx/wt: [T_pad, B, H] tables sharded over model, batch over data;
+        dense/labels: batch sharded over (data, model)."""
+        num_t, b, h = batch.idx.shape
+        pad_t = self.t_pad - num_t
+        idx = np.asarray(batch.idx)
+        wt = (
+            np.asarray(batch.wt)
+            if batch.wt is not None
+            else np.ones((num_t, b, h), np.float32)
+        )
+        if pad_t:
+            idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
+            wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
+        # shard-major table order so P("model") slices line up with ownership
+        idx = idx[self.shard_major_order]
+        wt = wt[self.shard_major_order]
+        return Batch(
+            dense=self._put(batch.dense, P(("data", "model"))),
+            idx=self._put(idx, P("model", "data")),
+            wt=self._put(wt, P("model", "data")),
+            labels=self._put(batch.labels, P(("data", "model"))),
+        )
+
+    # ------------------------------------------------------------- kernels
+
+    def _forward_local(self, params, dense_l, idx_l, wt_l, local_off):
+        """Device-local forward: local-table lookup -> a2a -> interaction ->
+        top MLP. Returns probabilities for this device's batch slice."""
+        cfg = self.cfg
+        emb_l = params["emb"]["stacked"]  # [shard_rows, d] local rows
+        flat_idx = idx_l + local_off[:, None, None]
+        if "v_w" in params:
+            vw = jnp.take(params["v_w"], flat_idx, axis=0)
+            wt_eff = wt_l * vw
+        else:
+            wt_eff = wt_l
+        rows = jnp.take(emb_l, flat_idx, axis=0)  # [t_local, b_d, H, d]
+        pooled = jnp.einsum(
+            "tbhd,tbh->tbd", rows, wt_eff.astype(rows.dtype)
+        )  # [t_local, b_d, d]
+        # ---- the butterfly: split batch over model ranks, gather all tables
+        ly = jax.lax.all_to_all(
+            pooled, "model", split_axis=1, concat_axis=0, tiled=True
+        )  # [t_pad, b_dm, d] shard-major table order
+        ly = jnp.take(ly, jnp.asarray(self.unpermute), axis=0)  # [T, b_dm, d]
+        ly = jnp.transpose(ly, (1, 0, 2))  # [b_dm, T, d]
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        x = apply_mlp(params["bot"], dense_l.astype(dtype), cfg.sigmoid_bot)
+        z = self.model.interact(params, x, ly.astype(x.dtype))
+        logits = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
+        last = params["top"][-1]
+        logits = (
+            jnp.dot(
+                logits, last["w"].astype(logits.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + last["b"]
+        ).astype(jnp.float32)
+        p = jax.nn.sigmoid(logits)
+        if 0.0 < cfg.loss_threshold < 1.0:
+            p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
+        return p, logits
+
+    def make_train_step(
+        self, optimizer: str, global_batch: int, params, opt_state
+    ):
+        """params/opt_state are templates used only to build the shard_map
+        spec trees (structure, not values)."""
+        cfg = self.cfg
+        mesh = self.mesh
+
+        def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l, off_l, lr):
+            def loss_fn(p):
+                probs, logits = self._forward_local(p, dense_l, idx_l, wt_l, off_l)
+                # local sum / global count -> psum = global mean
+                per = per_example_loss(cfg, probs, labels_l, logits)
+                return jnp.sum(per) / global_batch
+
+            loss_local, grads = jax.value_and_grad(loss_fn)(params)
+            loss = jax.lax.psum(loss_local, ("data", "model"))
+
+            def reduce_grad(path, g):
+                keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+                if keys and keys[0] in ("emb", "v_w"):
+                    return jax.lax.psum(g, "data")  # table grads: DP-replica sum
+                return jax.lax.psum(g, ("data", "model"))  # dense: full allreduce
+
+            grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+            new_params, new_state = apply_updates(
+                optimizer, params, grads, opt_state, lr
+            )
+            return new_params, new_state, loss
+
+        pspec = _tree_specs(params)
+        ospec = _tree_specs(opt_state)
+        step = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(
+                pspec,
+                ospec,
+                P(("data", "model")),
+                P("model", "data"),
+                P("model", "data"),
+                P(("data", "model")),
+                P("model"),
+                P(),
+            ),
+            out_specs=(pspec, ospec, P()),
+            check_vma=False,
+        )
+        local_off = self._put(self.local_offsets_shard_major, P("model"))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch: Batch, lr):
+            return step(
+                params, opt_state, batch.dense, batch.idx, batch.wt,
+                batch.labels, local_off, jnp.float32(lr),
+            )
+
+        return train_step
+
+    def make_eval_step(self, params):
+        mesh = self.mesh
+
+        def device_fn(params, dense_l, idx_l, wt_l, off_l):
+            return self._forward_local(params, dense_l, idx_l, wt_l, off_l)[0]
+
+        pspec = _tree_specs(params)
+        step = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(
+                pspec,
+                P(("data", "model")),
+                P("model", "data"),
+                P("model", "data"),
+                P("model"),
+            ),
+            out_specs=P(("data", "model")),
+            check_vma=False,
+        )
+        local_off = self._put(self.local_offsets_shard_major, P("model"))
+
+        @jax.jit
+        def eval_step(params, batch: Batch):
+            return step(params, batch.dense, batch.idx, batch.wt, local_off)
+
+        return eval_step
+
+
+def _spec_for_path(path, leaf) -> P:
+    """Model-axis row sharding for embedding-table state (params AND their
+    optimizer accumulators); everything else replicated."""
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    if ("emb" in keys or "v_w" in keys) and getattr(leaf, "ndim", 0) >= 1:
+        return P("model")
+    return P()
+
+
+def _tree_specs(tree):
+    return jax.tree_util.tree_map_with_path(_spec_for_path, tree)

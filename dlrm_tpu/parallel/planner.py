@@ -1,0 +1,187 @@
+"""Embedding-table sharding planner.
+
+Plays the role of TorchRec's EmbeddingShardingPlanner + Topology
+(torchrec_dlrm/dlrm_main.py:654-667) and of the v1 round-robin / contiguous
+table assignment (dlrm_s_pytorch.py:636, extend_distributed.py:47-62), redesigned
+for GSPMD: the planner produces ONE stacked [num_shards * shard_rows, dim] layout
+where each model-axis shard's rows hold the tables assigned to it (plus padding),
+so the whole embedding state is a single array sharded with PartitionSpec("model")
+on dim 0 — XLA sees aligned shard boundaries and every lookup is one gather.
+
+Strategies:
+  * table_wise  — greedy longest-processing-time bin packing of whole tables
+                  onto shards (balances rows like TorchRec's planner heuristic)
+  * round_robin — table k -> shard k % num_shards (v1 semantics)
+  * row_wise    — every table split evenly across all shards (for tables far
+                  bigger than one device's HBM); lookup uses the same global
+                  layout, indices map to (shard, local row) by row range.
+
+All placement math is host-side numpy; the result is static metadata baked
+into the jitted step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# TPU fp32 sublane tile: keep shard boundaries 8-row aligned.
+_ROW_ALIGN = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class TablePlacement:
+    """Static layout of all tables inside one globally-sharded stacked array."""
+
+    table_sizes: Tuple[int, ...]
+    num_shards: int
+    strategy: str
+    # per-table shard id (table_wise/round_robin); -1 = row-wise sharded
+    table_shard: Tuple[int, ...]
+    # per-table start row in the GLOBAL stacked array
+    global_offsets: Tuple[int, ...]
+    # rows per shard (equal across shards; includes padding)
+    shard_rows: int
+
+    @property
+    def total_rows(self) -> int:
+        return self.num_shards * self.shard_rows
+
+    def local_tables(self, shard: int) -> List[int]:
+        return [t for t, s in enumerate(self.table_shard) if s == shard]
+
+
+def plan_tables(
+    table_sizes: Sequence[int],
+    num_shards: int,
+    strategy: str = "table_wise",
+) -> TablePlacement:
+    sizes = [int(n) for n in table_sizes]
+    num_t = len(sizes)
+
+    if strategy == "row_wise":
+        # every table striped across all shards: table t's shard-s slice has
+        # ceil(n_t / S) rows; global layout groups by shard then table.
+        per_shard_tbl = [_round_up(int(np.ceil(n / num_shards)), _ROW_ALIGN) for n in sizes]
+        shard_rows = sum(per_shard_tbl)
+        # global offset of table t within a shard block
+        intra = np.concatenate([[0], np.cumsum(per_shard_tbl)[:-1]])
+        return TablePlacement(
+            table_sizes=tuple(sizes),
+            num_shards=num_shards,
+            strategy="row_wise",
+            table_shard=tuple(-1 for _ in sizes),
+            global_offsets=tuple(int(x) for x in intra),  # per-shard-block offset
+            shard_rows=int(shard_rows),
+        )
+
+    if strategy == "round_robin":
+        assign = [t % num_shards for t in range(num_t)]
+    elif strategy == "table_wise":
+        # greedy LPT: biggest table to the least-loaded shard
+        order = np.argsort(sizes, kind="stable")[::-1]
+        load = [0] * num_shards
+        assign = [0] * num_t
+        for t in order:
+            s = int(np.argmin(load))
+            assign[int(t)] = s
+            load[s] += sizes[int(t)]
+    else:
+        raise ValueError(f"sharding strategy {strategy!r} not supported")
+
+    # local offsets within each shard (aligned), then pad shards to equal rows
+    local_off = [0] * num_t
+    shard_fill = [0] * num_shards
+    for t in range(num_t):
+        s = assign[t]
+        local_off[t] = shard_fill[s]
+        shard_fill[s] += _round_up(sizes[t], _ROW_ALIGN)
+    shard_rows = _round_up(max(shard_fill) if shard_fill else _ROW_ALIGN, _ROW_ALIGN)
+    global_offsets = tuple(
+        assign[t] * shard_rows + local_off[t] for t in range(num_t)
+    )
+    return TablePlacement(
+        table_sizes=tuple(sizes),
+        num_shards=num_shards,
+        strategy=strategy,
+        table_shard=tuple(assign),
+        global_offsets=global_offsets,
+        shard_rows=int(shard_rows),
+    )
+
+
+def build_stacked(
+    placement: TablePlacement, tables: Sequence[np.ndarray]
+) -> np.ndarray:
+    """Materialize the padded global stacked array from per-table arrays."""
+    dim = tables[0].shape[1]
+    out = np.zeros((placement.total_rows, dim), dtype=tables[0].dtype)
+    if placement.strategy == "row_wise":
+        S = placement.num_shards
+        for t, w in enumerate(tables):
+            n = w.shape[0]
+            rows_per = int(np.ceil(n / S))
+            for s in range(S):
+                lo = s * rows_per
+                hi = min(n, lo + rows_per)
+                if lo >= n:
+                    break
+                dst = s * placement.shard_rows + placement.global_offsets[t]
+                out[dst : dst + (hi - lo)] = w[lo:hi]
+        return out
+    for t, w in enumerate(tables):
+        off = placement.global_offsets[t]
+        out[off : off + w.shape[0]] = w
+    return out
+
+
+def extract_table(
+    placement: TablePlacement, stacked: np.ndarray, t: int
+) -> np.ndarray:
+    """Recover table t's rows from the stacked layout (checkpoint export)."""
+    n = placement.table_sizes[t]
+    if placement.strategy == "row_wise":
+        S = placement.num_shards
+        rows_per = int(np.ceil(n / S))
+        parts = []
+        for s in range(S):
+            lo = s * rows_per
+            hi = min(n, lo + rows_per)
+            if lo >= n:
+                break
+            src = s * placement.shard_rows + placement.global_offsets[t]
+            parts.append(stacked[src : src + (hi - lo)])
+        return np.concatenate(parts, axis=0)
+    off = placement.global_offsets[t]
+    return stacked[off : off + n]
+
+
+def global_index_map(placement: TablePlacement):
+    """Returns f(table_id, local_idx)->global_row as numpy arrays, usable both
+    host-side and (as static constants) inside jit."""
+    if placement.strategy == "row_wise":
+        S = placement.num_shards
+        rows_per = np.asarray(
+            [int(np.ceil(n / S)) for n in placement.table_sizes], dtype=np.int64
+        )
+        intra = np.asarray(placement.global_offsets, dtype=np.int64)
+        shard_rows = placement.shard_rows
+
+        def to_global(t: int, idx):
+            s = idx // rows_per[t]
+            local = idx % rows_per[t]
+            return s * shard_rows + intra[t] + local
+
+        return to_global
+    offs = np.asarray(placement.global_offsets, dtype=np.int64)
+
+    def to_global(t: int, idx):
+        return offs[t] + idx
+
+    return to_global

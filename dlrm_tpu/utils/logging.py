@@ -1,0 +1,103 @@
+"""Observability: scalar logging + MLPerf-style structured event log.
+
+Replaces the reference's TensorBoard SummaryWriter (dlrm_s_pytorch.py:1509-1510,
+1668) with a dependency-free JSONL scalar writer (one {"tag", "step", "value"}
+per line — trivially importable into TensorBoard or pandas), and mlperf_logger.py
+(log_start/log_end/log_event, :25-113) with a structured JSONL event log using
+the same event-key vocabulary (INIT/RUN/EPOCH/BLOCK/EVAL START-STOP, hyperparams,
+RUN_STOP status).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+class ScalarLogger:
+    """JSONL scalar writer (TensorBoard-equivalent scalars)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._f = None
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._f is None:
+            return
+        self._f.write(
+            json.dumps({"tag": tag, "step": int(step), "value": float(value)})
+            + "\n"
+        )
+
+    def flush(self) -> None:
+        if self._f:
+            self._f.flush()
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None
+
+
+# MLPerf-compatible event keys (mlperf_logger.py usage in dlrm_s_pytorch.py:
+# 1036-1040, 1097-1102, 1389-1396, 1487-1507, 1520-1533, 1676-1683, 1717-1724)
+INIT_START = "init_start"
+INIT_STOP = "init_stop"
+RUN_START = "run_start"
+RUN_STOP = "run_stop"
+EPOCH_START = "epoch_start"
+EPOCH_STOP = "epoch_stop"
+BLOCK_START = "block_start"
+BLOCK_STOP = "block_stop"
+EVAL_START = "eval_start"
+EVAL_STOP = "eval_stop"
+EVAL_ACCURACY = "eval_accuracy"
+CACHE_CLEAR = "cache_clear"
+
+
+class MLPerfLogger:
+    """Structured event logger in the mlperf_logging line format
+    (:::MLLOG <json>), rank-0 gated like mlperf_logger._log_print (:40-53)."""
+
+    def __init__(self, enabled: bool = False, stream=None, rank: int = 0):
+        self.enabled = enabled and rank == 0
+        self.stream = stream or sys.stdout
+
+    def _emit(self, event_type: str, key: str, value=None, metadata=None):
+        if not self.enabled:
+            return
+        rec = {
+            "namespace": "",
+            "time_ms": int(time.time() * 1000),
+            "event_type": event_type,
+            "key": key,
+            "value": value,
+            "metadata": metadata or {},
+        }
+        print(":::MLLOG " + json.dumps(rec), file=self.stream)
+
+    def start(self, key: str, value=None, metadata=None):
+        self._emit("INTERVAL_START", key, value, metadata)
+
+    def end(self, key: str, value=None, metadata=None):
+        self._emit("INTERVAL_END", key, value, metadata)
+
+    def event(self, key: str, value=None, metadata=None):
+        self._emit("POINT_IN_TIME", key, value, metadata)
+
+    def submission(self, benchmark: str = "dlrm", platform: str = "tpu") -> None:
+        """Submission metadata block (mlperf_logger.py:88-113)."""
+        for k, v in {
+            "submission_benchmark": benchmark,
+            "submission_division": "closed",
+            "submission_org": "reference",
+            "submission_platform": platform,
+            "submission_status": "onprem",
+        }.items():
+            self.event(k, v)

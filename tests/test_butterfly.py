@@ -1,0 +1,94 @@
+"""Sharded-vs-single-device numerical equivalence of the butterfly path.
+
+Mirrors the reference's correctness contract for distributed_forward
+(dlrm_s_pytorch.py:528-585): sharded training must produce the same model as
+the sequential path on the same global batch (our framework makes this exact
+by using global-mean loss scaling; see dlrm_tpu/parallel/butterfly.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from dlrm_tpu.config import DLRMConfig, TrainConfig
+from dlrm_tpu.data.random_data import RandomDataset
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+from dlrm_tpu.parallel.mesh import make_mesh
+from dlrm_tpu.train.step import make_eval_step, make_train_step
+
+CFG = DLRMConfig(
+    embedding_dim=4,
+    table_sizes=(60, 9, 300, 17, 45),  # 5 tables on 4 model shards: uneven
+    mlp_bot=(13, 8, 4),
+    mlp_top=(8, 4, 1),
+    interaction="dot",
+    loss="bce",
+    num_indices_per_lookup=6,
+)
+
+
+def _data(n_batches=4, mb=16):
+    tc = TrainConfig(
+        mini_batch_size=mb, num_batches=n_batches, numpy_rand_seed=7
+    )
+    return [hb for hb in RandomDataset(CFG, tc)], tc
+
+
+@pytest.mark.parametrize("dsize,msize", [(2, 4), (1, 8), (4, 2)])
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_butterfly_matches_single_device(dsize, msize, optimizer):
+    model = DLRMModel(CFG)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )  # host copies: the single-device step donates its params
+    batches, tc = _data()
+
+    # ---- single device reference
+    step1 = make_train_step(model, optimizer)
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state(optimizer, p1)
+    for hb in batches:
+        p1, s1, loss1, _ = step1(p1, s1, hb.to_device(), 0.05)
+
+    # ---- butterfly sharded
+    mesh = make_mesh(data=dsize, model=msize)
+    bf = ButterflyDLRM(model, mesh)
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state("sgd", p2) if optimizer == "sgd" else init_opt_state(
+        optimizer, p2
+    )
+    step2 = bf.make_train_step(optimizer, tc.mini_batch_size, p2, s2)
+    for hb in batches:
+        b = bf.shard_batch(hb.to_device())
+        p2, s2, loss2 = step2(p2, s2, b, 0.05)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p2u = bf.unshard_params(p2)
+    for name in ("bot", "top"):
+        for l1, l2 in zip(p1[name], p2u[name]):
+            np.testing.assert_allclose(
+                np.asarray(l1["w"]), np.asarray(l2["w"]), atol=2e-5
+            )
+    np.testing.assert_allclose(
+        np.asarray(p1["emb"]["stacked"]),
+        np.asarray(p2u["emb"]["stacked"]),
+        atol=2e-5,
+    )
+
+
+def test_butterfly_eval_matches_single_device():
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(5))
+    batches, _ = _data(n_batches=1)
+    probs1 = np.asarray(make_eval_step(model)(params, batches[0].to_device()))
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh)
+    p2 = bf.shard_params(params)
+    ev = bf.make_eval_step(p2)
+    probs2 = np.asarray(ev(p2, bf.shard_batch(batches[0].to_device())))
+    np.testing.assert_allclose(probs1, probs2, atol=1e-5)

@@ -275,8 +275,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(np.asarray(model_cfg.table_sizes))
 
     if train_cfg.data_generation in ("random", "synthetic"):
-        train_data = RandomDataset(model_cfg, train_cfg)
-        test_data = RandomDataset(model_cfg, train_cfg, pad_last_batch=True)
+        train_data = RandomDataset(
+            model_cfg, train_cfg,
+            trace_file=args.data_trace_file,
+            enable_padding=args.data_trace_enable_padding,
+        )
+        test_data = RandomDataset(
+            model_cfg, train_cfg, pad_last_batch=True,
+            trace_file=args.data_trace_file,
+            enable_padding=args.data_trace_enable_padding,
+        )
     else:
         from dlrm_tpu.data.criteo import make_criteo_datasets
 

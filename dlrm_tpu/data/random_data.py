@@ -140,11 +140,15 @@ class RandomDataset:
         train_cfg: TrainConfig,
         reset_seed_on_access: bool = True,
         pad_last_batch: bool = False,
+        trace_file: str = "",
+        enable_padding: bool = False,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.reset_seed_on_access = reset_seed_on_access
         self.pad_last_batch = pad_last_batch
+        self.trace_file = trace_file
+        self.enable_padding = enable_padding
         mb = train_cfg.mini_batch_size
         nb = int(np.ceil(train_cfg.data_size / mb))
         if train_cfg.num_batches > 0:
@@ -162,6 +166,18 @@ class RandomDataset:
         if self.reset_seed_on_access and index == 0:
             np.random.seed(tc.numpy_rand_seed)
         n = min(tc.mini_batch_size, self.data_size - index * tc.mini_batch_size)
+        if tc.data_generation == "synthetic":
+            from dlrm_tpu.data.synthetic import generate_synthetic_batch
+
+            return generate_synthetic_batch(
+                mc.num_dense,
+                mc.table_sizes,
+                n,
+                mc.num_indices_per_lookup,
+                self.trace_file,
+                tc.num_indices_per_lookup_fixed,
+                self.enable_padding,
+            )
         return generate_random_batch(
             mc.num_dense,
             mc.table_sizes,

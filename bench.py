@@ -24,7 +24,7 @@ def main():
     from dlrm_tpu.data.random_data import fixed_multihot_batch
     from dlrm_tpu.models.dlrm import DLRMModel
     from dlrm_tpu.optim.optimizers import init_opt_state
-    from dlrm_tpu.train.step import make_train_step
+    from dlrm_tpu.train.fused_step import make_fused_train_step
 
     batch_size = 2048
     cfg = DLRMConfig(
@@ -43,32 +43,37 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     opt = "rwsadagrad"
     opt_state = init_opt_state(opt, params)
-    step = make_train_step(model, opt)
+    step = make_fused_train_step(model, opt)
 
     rng = np.random.default_rng(0)
-    batches = [
-        fixed_multihot_batch(
-            rng, cfg.num_dense, cfg.table_sizes, batch_size,
-            cfg.num_indices_per_lookup,
-        ).to_device()
-        for _ in range(4)
-    ]
+    batch = fixed_multihot_batch(
+        rng, cfg.num_dense, cfg.table_sizes, batch_size,
+        cfg.num_indices_per_lookup,
+    ).to_device()
 
-    # warmup / compile
-    params, opt_state, loss, _ = step(params, opt_state, batches[0], 0.01)
-    jax.block_until_ready(jax.tree_util.tree_leaves(params))
-
+    # Measure K steps inside ONE lax.scan and force completion with a real
+    # device->host transfer: per-call dispatch timing is unreliable on
+    # remote/tunneled backends.
+    raw = step.__wrapped__
     iters = 30
+
+    def one(carry, _):
+        p, s = carry
+        p, s, loss, _ = raw(p, s, batch, 0.01)
+        return (p, s), loss
+
+    @jax.jit
+    def many(p, s):
+        (p, s), losses = jax.lax.scan(one, (p, s), None, length=iters)
+        return p, s, losses
+
+    params, opt_state, losses = many(params, opt_state)  # compile + warmup
+    np.asarray(losses)
     t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss, _ = step(
-            params, opt_state, batches[i % len(batches)], 0.01
-        )
-    # block on the params (the step's true output dependency) — blocking only
-    # on the scalar loss under-measures on async backends
-    jax.block_until_ready(jax.tree_util.tree_leaves(params))
+    params, opt_state, losses = many(params, opt_state)
+    losses = np.asarray(losses)
     dt = time.perf_counter() - t0
-    assert np.isfinite(float(loss)), f"non-finite loss {float(loss)}"
+    assert np.isfinite(losses).all(), f"non-finite losses {losses}"
 
     examples_per_sec = batch_size * iters / dt
     print(

@@ -272,17 +272,15 @@ class DLRMModel:
             )
         raise AssertionError(cfg.interaction)
 
-    def apply_with_logits(self, params: Params, batch: Batch):
-        """Forward pass -> (click probability [B, 1], pre-sigmoid logits)
-        (sequential_forward, dlrm_s_pytorch.py:587-612). The logits feed the
-        numerically-stable BCE (sigmoid saturates to exactly 1.0 in fp32/bf16
-        after large top-MLP steps; torch's BCELoss survives by clamping logs
-        at -100, we do it the clean way from logits)."""
+    def forward_from_pooled(self, params: Params, dense: jax.Array, ly: jax.Array):
+        """Dense tower + interaction + top MLP given pooled embeddings
+        [B, T, d] -> (probability, logits). Split out so the fused-sparse
+        train step (dlrm_tpu/train/fused_step.py) can differentiate w.r.t.
+        the pooled activations instead of the table."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        x = apply_mlp(params["bot"], batch.dense.astype(dtype), cfg.sigmoid_bot)
-        ly = self.apply_emb(params, batch).astype(x.dtype)
-        z = self.interact(params, x, ly)
+        x = apply_mlp(params["bot"], dense.astype(dtype), cfg.sigmoid_bot)
+        z = self.interact(params, x, ly.astype(x.dtype))
         # sigmoid sits on the last top layer (sigmoid_top = len-2,
         # dlrm_s_pytorch.py:1293) -> run all but the activation, keep logits
         logits = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
@@ -298,6 +296,15 @@ class DLRMModel:
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
         return p, logits
+
+    def apply_with_logits(self, params: Params, batch: Batch):
+        """Full forward pass -> (click probability [B, 1], pre-sigmoid logits)
+        (sequential_forward, dlrm_s_pytorch.py:587-612). The logits feed the
+        numerically-stable BCE (sigmoid saturates to exactly 1.0 in fp32/bf16
+        after large top-MLP steps; torch's BCELoss survives by clamping logs
+        at -100, we do it the clean way from logits)."""
+        ly = self.apply_emb(params, batch)
+        return self.forward_from_pooled(params, batch.dense, ly)
 
     def apply(self, params: Params, batch: Batch) -> jax.Array:
         return self.apply_with_logits(params, batch)[0]

@@ -1,0 +1,118 @@
+"""Sparse in-backward embedding updates: touch only the rows a batch hit.
+
+The naive AD path materializes a dense [total_rows, dim] gradient for every
+step (the VJP of gather is a scatter-add into zeros) and then streams the whole
+table through the optimizer — for 26x200k x 128 fp32 tables that is ~10 GB of
+HBM traffic per step and dominates the step time. This module replaces it with
+the TPU equivalent of FBGEMM's fused EXACT_* optimizers (invoked by torchrec's
+apply_optimizer_in_backward, torchrec_dlrm/dlrm_main.py:649-653):
+
+  1. per-hit gradient g[t,b,h] = wt[t,b,h] * dpooled[t,b,:] (chain rule of the
+     weighted sum-pool);
+  2. EXACT duplicate coalescing — sort hits by row id, segment-sum per unique
+     row (Adagrad's accumulator update is nonlinear, so duplicate hits in the
+     batch must be summed before squaring, same reason the reference coalesces
+     sparse grads, optim/rwsadagrad.py:117-120);
+  3. one scatter per state array touching only unique rows (donated buffers ->
+     in-place).
+
+All shapes are static (N = T*B*H slots; unused slots degenerate to zero-adds
+on row 0), so everything jits. Traffic per step is O(touched rows), not
+O(table rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
+
+def per_hit_gradients(
+    dpooled: jax.Array,  # [B, T, d] cotangent of the pooled embeddings
+    idx: jax.Array,  # [T, B, H] local/global row indices
+    wt: Optional[jax.Array],  # [T, B, H] or None (pure sum pooling)
+    row_offsets: jax.Array,  # [T] table start rows in the stacked array
+) -> Tuple[jax.Array, jax.Array]:
+    """Flatten to (rows [N], grads [N, d]) with N = T*B*H."""
+    t, b, h = idx.shape
+    d = dpooled.shape[-1]
+    rows = (idx + row_offsets[:, None, None]).reshape(-1)  # [N]
+    g = jnp.transpose(dpooled, (1, 0, 2))[:, :, None, :]  # [T, B, 1, d]
+    g = jnp.broadcast_to(g, (t, b, h, d))
+    if wt is not None:
+        g = g * wt[..., None].astype(g.dtype)
+    return rows, g.reshape(-1, d).astype(jnp.float32)
+
+
+def coalesce(rows: jax.Array, grads: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort by row and segment-sum duplicates.
+
+    Returns (unique_rows [N], summed_grads [N, d], valid [N]) where only the
+    first `num_unique` slots are meaningful; the rest have valid=False, row 0,
+    grad 0 (safe zero-add targets)."""
+    n = rows.shape[0]
+    order = jnp.argsort(rows)
+    r_s = rows[order]
+    g_s = grads[order]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), r_s[1:] != r_s[:-1]]
+    )
+    seg = jnp.cumsum(is_first) - 1  # [N] compact segment id
+    summed = jax.ops.segment_sum(g_s, seg, num_segments=n)  # [N, d]
+    urows = jax.ops.segment_max(r_s, seg, num_segments=n)  # [N]
+    num_seg = seg[-1] + 1
+    slot = jnp.arange(n)
+    valid = slot < num_seg
+    urows = jnp.where(valid, urows, 0)
+    return urows, summed, valid
+
+
+def apply_sparse_sgd(
+    table: jax.Array,  # [rows, d] (donated)
+    rows: jax.Array,  # [N]
+    grads: jax.Array,  # [N, d] per-hit grads (duplicates fine: update linear)
+    lr,
+) -> jax.Array:
+    return table.at[rows].add((-lr * grads).astype(table.dtype))
+
+
+def apply_sparse_rowwise_adagrad(
+    table: jax.Array,  # [rows, d] (donated)
+    accum: jax.Array,  # [rows] row-wise accumulator (donated)
+    rows: jax.Array,
+    grads: jax.Array,
+    lr,
+    eps: float = ADAGRAD_EPS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact RWSAdagrad row update (optim/rwsadagrad.py:117-143):
+    acc_r += mean(G_r^2); row -= lr * G_r / (sqrt(acc_r) + eps), with G_r the
+    coalesced per-row gradient sum."""
+    urows, G, valid = coalesce(rows, grads)
+    m = jnp.mean(jnp.square(G), axis=1) * valid  # [N]
+    accum = accum.at[urows].add(m.astype(accum.dtype))
+    denom = jnp.sqrt(accum[urows]) + eps
+    delta = (-lr * G / denom[:, None]) * valid[:, None]
+    table = table.at[urows].add(delta.astype(table.dtype))
+    return table, accum
+
+
+def apply_sparse_adagrad(
+    table: jax.Array,
+    accum: jax.Array,  # [rows, d] element-wise accumulator (donated)
+    rows: jax.Array,
+    grads: jax.Array,
+    lr,
+    eps: float = ADAGRAD_EPS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Element-wise Adagrad restricted to touched rows (torch.optim.Adagrad
+    sparse semantics: coalesce, then sum += G^2; p -= lr*G/(sqrt(sum)+eps))."""
+    urows, G, valid = coalesce(rows, grads)
+    accum = accum.at[urows].add((jnp.square(G) * valid[:, None]).astype(accum.dtype))
+    denom = jnp.sqrt(accum[urows]) + eps
+    delta = (-lr * G / denom) * valid[:, None]
+    table = table.at[urows].add(delta.astype(table.dtype))
+    return table, accum

@@ -183,7 +183,6 @@ class ButterflyDLRM:
     def _forward_local(self, params, dense_l, idx_l, wt_l, local_off):
         """Device-local forward: local-table lookup -> a2a -> interaction ->
         top MLP. Returns probabilities for this device's batch slice."""
-        cfg = self.cfg
         emb_l = params["emb"]["stacked"]  # [shard_rows, d] local rows
         flat_idx = idx_l + local_off[:, None, None]
         if "v_w" in params:
@@ -195,6 +194,12 @@ class ButterflyDLRM:
         pooled = jnp.einsum(
             "tbhd,tbh->tbd", rows, wt_eff.astype(rows.dtype)
         )  # [t_local, b_d, d]
+        return self._tail_from_pooled(params, dense_l, pooled)
+
+    def _tail_from_pooled(self, params, dense_l, pooled):
+        """The post-lookup tail: butterfly a2a -> table-order restore ->
+        interaction -> top MLP."""
+        cfg = self.cfg
         # ---- the butterfly: split batch over model ranks, gather all tables
         ly = jax.lax.all_to_all(
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
@@ -222,30 +227,119 @@ class ButterflyDLRM:
         self, optimizer: str, global_batch: int, params, opt_state
     ):
         """params/opt_state are templates used only to build the shard_map
-        spec trees (structure, not values)."""
+        spec trees (structure, not values).
+
+        When the config allows it (plain tables, no learned pooling, sgd/
+        adagrad/rwsadagrad) the table update is the fused sparse path: the
+        pooled-activation cotangent [t_local, b_d, d] is all-gathered over
+        "data" (every table replica sees all hits for its tables) and
+        scattered into the local shard — O(touched rows) traffic, exact
+        coalesced semantics, like the single-device fused step."""
         cfg = self.cfg
         mesh = self.mesh
+        fuse = (
+            "v_w" not in params
+            and optimizer in ("sgd", "adagrad", "rwsadagrad")
+        )
 
         def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l, off_l, lr):
-            def loss_fn(p):
-                probs, logits = self._forward_local(p, dense_l, idx_l, wt_l, off_l)
-                # local sum / global count -> psum = global mean
+            if not fuse:
+                def loss_fn(p):
+                    probs, logits = self._forward_local(
+                        p, dense_l, idx_l, wt_l, off_l
+                    )
+                    per = per_example_loss(cfg, probs, labels_l, logits)
+                    return jnp.sum(per) / global_batch
+
+                loss_local, grads = jax.value_and_grad(loss_fn)(params)
+                loss = jax.lax.psum(loss_local, ("data", "model"))
+
+                def reduce_grad(path, g):
+                    keys = [
+                        getattr(p, "key", getattr(p, "idx", None)) for p in path
+                    ]
+                    if keys and keys[0] in ("emb", "v_w"):
+                        return jax.lax.psum(g, "data")
+                    return jax.lax.psum(g, ("data", "model"))
+
+                grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+                new_params, new_state = apply_updates(
+                    optimizer, params, grads, opt_state, lr
+                )
+                return new_params, new_state, loss
+
+            # ------------------------- fused sparse path
+            from dlrm_tpu.ops.sparse_update import (
+                apply_sparse_adagrad,
+                apply_sparse_rowwise_adagrad,
+                apply_sparse_sgd,
+                per_hit_gradients,
+            )
+
+            emb_l = params["emb"]["stacked"]  # local shard rows
+            flat_idx = idx_l + off_l[:, None, None]  # [t_local, b_d, H]
+            rows_v = jnp.take(emb_l, flat_idx, axis=0)
+            pooled = jnp.einsum(
+                "tbhd,tbh->tbd", rows_v, wt_l.astype(rows_v.dtype)
+            )
+            dense_params = {k: v for k, v in params.items() if k != "emb"}
+
+            def rest(dp, pooled_in):
+                probs, logits = self._tail_from_pooled(
+                    {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
+                )
                 per = per_example_loss(cfg, probs, labels_l, logits)
                 return jnp.sum(per) / global_batch
 
-            loss_local, grads = jax.value_and_grad(loss_fn)(params)
+            loss_local, (dgrads, dpooled) = jax.value_and_grad(
+                rest, argnums=(0, 1)
+            )(dense_params, pooled)
             loss = jax.lax.psum(loss_local, ("data", "model"))
-
-            def reduce_grad(path, g):
-                keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-                if keys and keys[0] in ("emb", "v_w"):
-                    return jax.lax.psum(g, "data")  # table grads: DP-replica sum
-                return jax.lax.psum(g, ("data", "model"))  # dense: full allreduce
-
-            grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
-            new_params, new_state = apply_updates(
-                optimizer, params, grads, opt_state, lr
+            dgrads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ("data", "model")), dgrads
             )
+            if optimizer == "sgd":
+                dense_state = {"step": opt_state["step"]}
+            else:
+                dense_state = {
+                    "step": opt_state["step"],
+                    "accum": {
+                        k: v for k, v in opt_state["accum"].items() if k != "emb"
+                    },
+                }
+            new_dense, new_dense_state = apply_updates(
+                optimizer, dense_params, dgrads, dense_state, lr
+            )
+            # gather ALL data-groups' hits for my tables (replicas stay equal)
+            dp_all = jax.lax.all_gather(
+                dpooled, "data", axis=1, tiled=True
+            )  # [t_local, B, d]
+            idx_all = jax.lax.all_gather(flat_idx, "data", axis=1, tiled=True)
+            wt_all = jax.lax.all_gather(wt_l, "data", axis=1, tiled=True)
+            rows, g = per_hit_gradients(
+                jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
+                jnp.zeros((idx_all.shape[0],), jnp.int32),
+            )
+            if optimizer == "sgd":
+                new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
+                new_state = {"step": new_dense_state["step"]}
+            else:
+                acc_l = opt_state["accum"]["emb"]["stacked"]
+                fn = (
+                    apply_sparse_rowwise_adagrad
+                    if optimizer == "rwsadagrad"
+                    else apply_sparse_adagrad
+                )
+                new_emb, new_acc = fn(emb_l, acc_l, rows, g, lr)
+                new_state = {
+                    "step": new_dense_state["step"],
+                    "accum": {
+                        **new_dense_state["accum"],
+                        "emb": {"stacked": new_acc},
+                    },
+                }
+            new_params = dict(new_dense)
+            new_params["emb"] = {"stacked": new_emb}
             return new_params, new_state, loss
 
         pspec = _tree_specs(params)

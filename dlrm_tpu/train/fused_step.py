@@ -1,0 +1,113 @@
+"""Train step with the sparse optimizer update fused into the backward.
+
+TPU equivalent of torchrec's apply_optimizer_in_backward + FBGEMM EXACT_*
+fused kernels (torchrec_dlrm/dlrm_main.py:649-653): table gradients are never
+materialized densely. The step differentiates the network w.r.t. the POOLED
+embedding activations [B, T, d]; the chain rule through the weighted sum-pool
+is applied hit-by-hit and scattered straight into the (donated) table and
+accumulator — O(touched rows) HBM traffic instead of O(table rows).
+
+Numerically identical to the plain step (tests/test_fused_step.py): the
+coalescing in ops/sparse_update.py reproduces exact sparse-Adagrad semantics.
+Requires the stacked fast path (plain uniform-width tables); QR/MD/weighted-
+pooling configs use the plain step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_tpu.data.batch import Batch
+from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.ops.sparse_update import (
+    apply_sparse_adagrad,
+    apply_sparse_rowwise_adagrad,
+    apply_sparse_sgd,
+    per_hit_gradients,
+)
+from dlrm_tpu.optim.optimizers import apply_updates
+
+
+def supports_fused(model: DLRMModel) -> bool:
+    return model.fused and model.cfg.weighted_pooling is None
+
+
+def make_fused_train_step(model: DLRMModel, optimizer: str):
+    if not supports_fused(model):
+        raise ValueError(
+            "fused sparse step requires plain uniform-width tables without "
+            "learned pooling; use dlrm_tpu.train.step.make_train_step"
+        )
+    cfg = model.cfg
+    offsets = jnp.asarray(model.row_offsets)
+
+    def train_step(params, opt_state, batch: Batch, lr):
+        from dlrm_tpu.ops.embedding import fused_embedding_bag
+
+        emb = params["emb"]["stacked"]
+        pooled = fused_embedding_bag(emb, offsets, batch.idx, batch.wt)
+
+        dense_params = {k: v for k, v in params.items() if k != "emb"}
+
+        def rest(dp, ly):
+            probs, logits = model.forward_from_pooled(dp, batch.dense, ly)
+            return jnp.mean(
+                per_example_loss(cfg, probs, batch.labels, logits)
+            ), probs
+
+        (loss, probs), (dgrads, dly) = jax.value_and_grad(
+            rest, argnums=(0, 1), has_aux=True
+        )(dense_params, pooled)
+
+        # ---- dense params: the regular optimizer
+        if optimizer == "sgd":
+            dense_state = {"step": opt_state["step"]}
+        else:
+            dense_state = {
+                "step": opt_state["step"],
+                "accum": {
+                    k: v for k, v in opt_state["accum"].items() if k != "emb"
+                },
+            }
+        new_dense, new_dense_state = apply_updates(
+            optimizer, dense_params, dgrads, dense_state, lr
+        )
+
+        # ---- table: fused sparse update from the pooled cotangent
+        rows, g = per_hit_gradients(dly, batch.idx, batch.wt, offsets)
+        if optimizer == "sgd":
+            new_emb = apply_sparse_sgd(emb, rows, g, lr)
+            new_state = {"step": new_dense_state["step"]}
+        elif optimizer == "rwsadagrad":
+            new_emb, new_acc = apply_sparse_rowwise_adagrad(
+                emb, opt_state["accum"]["emb"]["stacked"], rows, g, lr
+            )
+            new_state = {
+                "step": new_dense_state["step"],
+                "accum": {
+                    **new_dense_state["accum"],
+                    "emb": {"stacked": new_acc},
+                },
+            }
+        elif optimizer == "adagrad":
+            new_emb, new_acc = apply_sparse_adagrad(
+                emb, opt_state["accum"]["emb"]["stacked"], rows, g, lr
+            )
+            new_state = {
+                "step": new_dense_state["step"],
+                "accum": {
+                    **new_dense_state["accum"],
+                    "emb": {"stacked": new_acc},
+                },
+            }
+        else:
+            raise ValueError(f"optimizer {optimizer!r} not supported")
+
+        new_params = dict(new_dense)
+        new_params["emb"] = {"stacked": new_emb}
+        return new_params, new_state, loss, probs
+
+    return jax.jit(train_step, donate_argnums=(0, 1))

@@ -67,7 +67,21 @@ class Trainer:
         self.test_data = test_data
         self.scalar_log = scalar_log or obs.ScalarLogger(None)
         self.mlperf = mlperf or obs.MLPerfLogger(enabled=train_cfg.mlperf_logging)
-        self.train_step = train_step or make_train_step(model, train_cfg.optimizer)
+        if train_step is None:
+            from dlrm_tpu.train.fused_step import (
+                make_fused_train_step,
+                supports_fused,
+            )
+
+            # fused sparse in-backward update when the config allows it
+            # (O(touched rows) table traffic); plain AD otherwise
+            if supports_fused(model) and train_cfg.optimizer in (
+                "sgd", "adagrad", "rwsadagrad",
+            ):
+                train_step = make_fused_train_step(model, train_cfg.optimizer)
+            else:
+                train_step = make_train_step(model, train_cfg.optimizer)
+        self.train_step = train_step
         self.eval_step = eval_step or make_eval_step(model)
         self.to_device = to_device or (lambda hb: hb.to_device())
         self.lr_policy = LRPolicy(

@@ -1,0 +1,111 @@
+"""Fused-sparse train step == plain AD train step, exactly.
+
+The fused path reproduces EXACT sparse optimizer semantics (duplicate indices
+coalesced before the nonlinear Adagrad update), so both paths must produce
+the same parameters to fp32 roundoff — including batches engineered to have
+heavy duplicate hits on the same rows.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dlrm_tpu.config import DLRMConfig, TrainConfig
+from dlrm_tpu.data.random_data import RandomDataset, fixed_multihot_batch
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.train.fused_step import make_fused_train_step, supports_fused
+from dlrm_tpu.train.step import make_train_step
+
+CFG = DLRMConfig(
+    embedding_dim=8,
+    table_sizes=(40, 7, 100),  # tiny table 7 -> guaranteed duplicate hits
+    mlp_bot=(4, 8, 8),
+    mlp_top=(8, 4, 1),
+    loss="bce",
+    num_indices_per_lookup=5,
+)
+
+
+def _params():
+    model = DLRMModel(CFG)
+    return model, jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(1))
+    )
+
+
+def _batches(n=4, mb=12):
+    tc = TrainConfig(mini_batch_size=mb, num_batches=n, numpy_rand_seed=11)
+    return list(RandomDataset(CFG, tc))
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad", "rwsadagrad"])
+def test_fused_matches_plain(optimizer):
+    model, params0 = _params()
+    assert supports_fused(model)
+    batches = _batches()
+
+    import jax.numpy as jnp
+
+    p1 = jax.tree_util.tree_map(jnp.asarray, params0)
+    s1 = init_opt_state(optimizer, p1)
+    plain = make_train_step(model, optimizer)
+    for hb in batches:
+        p1, s1, l1, _ = plain(p1, s1, hb.to_device(), 0.05)
+
+    p2 = jax.tree_util.tree_map(jnp.asarray, params0)
+    s2 = init_opt_state(optimizer, p2)
+    fused = make_fused_train_step(model, optimizer)
+    for hb in batches:
+        p2, s2, l2, _ = fused(p2, s2, hb.to_device(), 0.05)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p1)[0],
+        jax.tree_util.tree_flatten_with_path(p2)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-6, err_msg=str(k1)
+        )
+    # optimizer accumulators too (exact coalescing semantics)
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s1)[0],
+        jax.tree_util.tree_flatten_with_path(s2)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-6, err_msg=str(k1)
+        )
+
+
+def test_fused_heavy_duplicates():
+    """All hits on a handful of rows: coalescing must sum before squaring."""
+    model, params0 = _params()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    import dataclasses
+
+    hb = fixed_multihot_batch(rng, 4, CFG.table_sizes, 16, 5)
+    # force every index into {0, 1} -> massive duplication
+    hb = dataclasses.replace(hb, idx=(hb.idx % 2).astype(np.int32))
+
+    p1 = jax.tree_util.tree_map(jnp.asarray, params0)
+    s1 = init_opt_state("rwsadagrad", p1)
+    p1, s1, _, _ = make_train_step(model, "rwsadagrad")(p1, s1, hb.to_device(), 0.1)
+
+    p2 = jax.tree_util.tree_map(jnp.asarray, params0)
+    s2 = init_opt_state("rwsadagrad", p2)
+    p2, s2, _, _ = make_fused_train_step(model, "rwsadagrad")(
+        p2, s2, hb.to_device(), 0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1["emb"]["stacked"]),
+        np.asarray(p2["emb"]["stacked"]),
+        atol=3e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1["accum"]["emb"]["stacked"]),
+        np.asarray(s2["accum"]["emb"]["stacked"]),
+        atol=3e-6,
+    )

@@ -218,12 +218,58 @@ class DLRMModel:
             out["proj_w2"] = _xavier_uniform(k2, (fd, p * d))
         return out
 
+    # --------------------------------------------------------- quantization
+
+    def quantize_embeddings(self, params: Params, bits: int) -> Params:
+        """Post-training row-wise quantization for inference
+        (quantize_embedding, dlrm_s_pytorch.py:465-481): replaces the fp32
+        tables with int8/int4 rows + per-row scale/bias; the fp32 tables are
+        dropped (like the reference sets emb_l = None)."""
+        from dlrm_tpu.ops.quantized import quantize_table
+
+        out = dict(params)
+        if self.fused:
+            q = quantize_table(np.asarray(params["emb"]["stacked"]), bits)
+            out["emb"] = {"quantized": jax.tree_util.tree_map(jnp.asarray, q)}
+        else:
+            entries = []
+            for entry in params["emb"]["tables"]:
+                if "w" not in entry:
+                    raise NotImplementedError(
+                        "quantized inference supports plain/MD tables only "
+                        "(reference: 4/8-bit is mutually exclusive with QR, "
+                        "dlrm_s_pytorch.py:1042-1057)"
+                    )
+                q = {
+                    "quantized": jax.tree_util.tree_map(
+                        jnp.asarray,
+                        quantize_table(np.asarray(entry["w"]), bits),
+                    )
+                }
+                if "proj" in entry:
+                    q["proj"] = entry["proj"]
+                entries.append(q)
+            out["emb"] = {"tables": entries}
+        return out
+
     # --------------------------------------------------------------- forward
 
     def apply_emb(self, params: Params, batch: Batch) -> jax.Array:
         """Pooled embeddings [B, T, dim] (apply_emb, dlrm_s_pytorch.py:407-462)."""
+        from dlrm_tpu.ops.quantized import infer_bits, quantized_embedding_bag
+
         cfg = self.cfg
         idx, wt = batch.idx, batch.wt
+        if self.fused and "quantized" in params.get("emb", {}):
+            qt = params["emb"]["quantized"]
+            flat_idx = idx + jnp.asarray(self.row_offsets)[:, None, None]
+            if "v_w" in params:
+                vw = jnp.take(params["v_w"], flat_idx, axis=0)
+                wt = vw if wt is None else wt * vw
+            pooled = quantized_embedding_bag(
+                qt, flat_idx, wt, bits=infer_bits(qt, cfg.embedding_dim)
+            )  # [T, B, d]
+            return jnp.transpose(pooled, (1, 0, 2))
         if self.fused:
             if "v_w" in params:
                 flat_idx = idx + jnp.asarray(self.row_offsets)[:, None, None]
@@ -239,7 +285,16 @@ class DLRMModel:
             if "v_w" in params:
                 vw = jnp.take(params["v_w"][k], idx_k, axis=0)
                 wt_k = vw if wt_k is None else wt_k * vw
-            if "q" in entry:
+            if "quantized" in entry:
+                v = quantized_embedding_bag(
+                    entry["quantized"],
+                    idx_k,
+                    wt_k,
+                    bits=infer_bits(entry["quantized"], self.md_dims[k]),
+                )
+                if "proj" in entry:
+                    v = jnp.dot(v, entry["proj"], preferred_element_type=jnp.float32)
+            elif "q" in entry:
                 v = qr_embedding_bag(
                     entry["q"],
                     entry["r"],

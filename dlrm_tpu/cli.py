@@ -326,11 +326,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         trainer.train(state)
         return 0
 
+    from dlrm_tpu.utils.profiling import profile
+
     state = trainer.init_state()
+    if args.quantize_emb_with_bit in (4, 8) and args.inference_only:
+        state.params = model.quantize_embeddings(
+            state.params, args.quantize_emb_with_bit
+        )
     if args.debug_mode:
         print("initial parameters (weights and bias):")
         dump_parameters(state.params, args.print_precision)
-    state = trainer.train(state)
+    with profile(args.enable_profiling, args.tensor_board_filename or "dlrm_profile"):
+        state = trainer.train(state)
     if args.debug_mode:
         print("updated parameters (weights and bias):")
         dump_parameters(state.params, args.print_precision)

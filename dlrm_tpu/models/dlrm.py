@@ -332,13 +332,18 @@ class DLRMModel:
         [B, T, d] -> (probability, logits). Split out so the fused-sparse
         train step (dlrm_tpu/train/fused_step.py) can differentiate w.r.t.
         the pooled activations instead of the table."""
+        from dlrm_tpu.utils import profiling as prof
+
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        x = apply_mlp(params["bot"], dense.astype(dtype), cfg.sigmoid_bot)
-        z = self.interact(params, x, ly.astype(x.dtype))
+        with prof.scope(prof.BOT_FWD):
+            x = apply_mlp(params["bot"], dense.astype(dtype), cfg.sigmoid_bot)
+        with prof.scope(prof.INT_FWD):
+            z = self.interact(params, x, ly.astype(x.dtype))
         # sigmoid sits on the last top layer (sigmoid_top = len-2,
         # dlrm_s_pytorch.py:1293) -> run all but the activation, keep logits
-        logits = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
+        with prof.scope(prof.TOP_FWD):
+            logits = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
         last = params["top"][-1]
         logits = (
             jnp.dot(
@@ -358,7 +363,10 @@ class DLRMModel:
         numerically-stable BCE (sigmoid saturates to exactly 1.0 in fp32/bf16
         after large top-MLP steps; torch's BCELoss survives by clamping logs
         at -100, we do it the clean way from logits)."""
-        ly = self.apply_emb(params, batch)
+        from dlrm_tpu.utils import profiling as prof
+
+        with prof.scope(prof.EMB_FWD):
+            ly = self.apply_emb(params, batch)
         return self.forward_from_pooled(params, batch.dense, ly)
 
     def apply(self, params: Params, batch: Batch) -> jax.Array:

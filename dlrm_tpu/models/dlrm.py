@@ -61,6 +61,13 @@ class DLRMModel:
             )
             self.total_rows = int(sizes.sum())
         self.md_dims = cfg.md_dims
+        # actual per-table dims: the MD solver dim applies only to tables above
+        # the threshold; smaller tables keep the base dim
+        # (_m = m[i] if n > md_threshold else base, dlrm_s_pytorch.py:267-269)
+        self.table_dims = tuple(
+            self.md_dims[i] if self._table_is_md(i, n) else cfg.embedding_dim
+            for i, n in enumerate(cfg.table_sizes)
+        )
 
     # ------------------------------------------------------------------ init
 
@@ -113,7 +120,7 @@ class DLRMModel:
                         }
                     )
                 elif self._table_is_md(i, n):
-                    dim = self.md_dims[i]
+                    dim = self.table_dims[i]
                     kw, kp = jax.random.split(k)
                     bound = np.sqrt(1.0 / n)
                     entry = {
@@ -125,7 +132,7 @@ class DLRMModel:
                         entry["proj"] = _xavier_uniform(kp, (dim, base))
                     entries.append(entry)
                 else:
-                    dim = self.md_dims[i] if cfg.md is not None else base
+                    dim = base
                     bound = np.sqrt(1.0 / n)
                     entries.append(
                         {
@@ -158,7 +165,7 @@ class DLRMModel:
             raise NotImplementedError("numpy-parity init does not cover QR tables")
         tables = []
         for i, n in enumerate(cfg.table_sizes):
-            dim = self.md_dims[i]
+            dim = self.table_dims[i]
             w = np.random.uniform(
                 low=-np.sqrt(1.0 / n), high=np.sqrt(1.0 / n), size=(n, dim)
             ).astype(np.float32)
@@ -290,7 +297,7 @@ class DLRMModel:
                     entry["quantized"],
                     idx_k,
                     wt_k,
-                    bits=infer_bits(entry["quantized"], self.md_dims[k]),
+                    bits=infer_bits(entry["quantized"], self.table_dims[k]),
                 )
                 if "proj" in entry:
                     v = jnp.dot(v, entry["proj"], preferred_element_type=jnp.float32)

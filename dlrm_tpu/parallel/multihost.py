@@ -1,0 +1,79 @@
+"""Multi-host support: process init, global batch assembly, barriers.
+
+Replaces extend_distributed.init_distributed's env-based rank discovery and
+process groups (extend_distributed.py:65-191) with jax.distributed (one line —
+coordinator/rank/world come from the launcher env) and the NCCL-barrier with
+multihost sync (mlperf_logger.py:66-74 equivalent).
+
+Input pipeline options on multi-host, matching the reference's two patterns:
+  * replicated loading — every host reads the full global batch (exactly what
+    the v1 trainer does: every rank runs the same loader,
+    dlrm_s_pytorch.py:1541); use global_batch_from_replicated.
+  * rank-strided loading — host h reads batches h, h+P, h+2P... of the global
+    stream (multi_hot_criteo.py:262 round-robin) or the h-th batch slice; use
+    global_batch_from_local_shard with the host's slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlrm_tpu.data.batch import Batch
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize the JAX distributed runtime when running multi-process.
+    No-op for single-process runs. Returns the process index."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
+
+
+def barrier(name: str = "dlrm") -> None:
+    """Global device barrier (mlperf_logger.barrier equivalent)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def global_batch_from_replicated(mesh: Mesh, batch: Batch, specs) -> Batch:
+    """Every host holds the FULL global batch (v1 pattern); device_put slices
+    out each device's shard locally — no cross-host data movement."""
+    def put(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return Batch(*(put(x, s) for x, s in zip(batch, specs)))
+
+
+def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
+    """Each host holds only its slice of the global batch (v2 rank-strided
+    pattern); assembles the logical global array across processes."""
+    from jax.experimental import multihost_utils
+
+    def put(x, spec):
+        if x is None:
+            return None
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, spec
+        )
+
+    return Batch(*(put(x, s) for x, s in zip(local, specs)))
+
+
+def process_local_rank_stride(num_batches: int) -> range:
+    """Batch indices this process should load under round-robin assignment."""
+    return range(jax.process_index(), num_batches, jax.process_count())

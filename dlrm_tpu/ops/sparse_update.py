@@ -7,18 +7,20 @@ HBM traffic per step and dominates the step time. This module replaces it with
 the TPU equivalent of FBGEMM's fused EXACT_* optimizers (invoked by torchrec's
 apply_optimizer_in_backward, torchrec_dlrm/dlrm_main.py:649-653):
 
-  1. per-hit gradient g[t,b,h] = wt[t,b,h] * dpooled[t,b,:] (chain rule of the
-     weighted sum-pool);
-  2. EXACT duplicate coalescing — sort hits by row id, segment-sum per unique
-     row (Adagrad's accumulator update is nonlinear, so duplicate hits in the
-     batch must be summed before squaring, same reason the reference coalesces
-     sparse grads, optim/rwsadagrad.py:117-120);
-  3. one scatter per state array touching only unique rows (donated buffers ->
-     in-place).
+  1. sort the hit row-ids (indices only — the [N, d] gradient rows are
+     gathered directly in sorted order from the pooled cotangent, so no
+     pre-sort gradient materialization);
+  2. EXACT duplicate coalescing — segment-sum per unique row (Adagrad's
+     accumulator update is nonlinear, so duplicate hits in a batch must be
+     summed before squaring, the same reason the reference coalesces sparse
+     grads, optim/rwsadagrad.py:117-120);
+  3. one scatter per state array touching only unique rows, with the
+     sorted+unique fast-path hints (XLA's duplicate-index scatter lowering is
+     pathologically slow on TPU); invalid slots target distinct out-of-bounds
+     rows and are dropped.
 
-All shapes are static (N = T*B*H slots; unused slots degenerate to zero-adds
-on row 0), so everything jits. Traffic per step is O(touched rows), not
-O(table rows).
+All shapes are static (N = T*B*H slots), so everything jits. Traffic per step
+is O(touched rows), not O(table rows).
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ import jax.numpy as jnp
 
 from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
 
+_DROP = jax.lax.GatherScatterMode.FILL_OR_DROP
+
 
 def per_hit_gradients(
     dpooled: jax.Array,  # [B, T, d] cotangent of the pooled embeddings
@@ -37,7 +41,8 @@ def per_hit_gradients(
     wt: Optional[jax.Array],  # [T, B, H] or None (pure sum pooling)
     row_offsets: jax.Array,  # [T] table start rows in the stacked array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Flatten to (rows [N], grads [N, d]) with N = T*B*H."""
+    """Legacy helper: flatten to (rows [N], grads [N, d]). Prefer
+    coalesce_hits which avoids materializing the pre-sort gradient rows."""
     t, b, h = idx.shape
     d = dpooled.shape[-1]
     rows = (idx + row_offsets[:, None, None]).reshape(-1)  # [N]
@@ -48,27 +53,66 @@ def per_hit_gradients(
     return rows, g.reshape(-1, d).astype(jnp.float32)
 
 
+def coalesce_hits(
+    dpooled: jax.Array,  # [B, T, d]
+    idx: jax.Array,  # [T, B, H]
+    wt: Optional[jax.Array],  # [T, B, H] or None
+    row_offsets: jax.Array,  # [T]
+    total_rows: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(unique_rows [N], coalesced grads [N, d], valid [N]) — sorted, unique.
+
+    The sort runs on (row_id, hit_id) int pairs only; gradient rows are
+    gathered from dpooled in already-sorted order (one [N, d] gather), then
+    segment-summed with sorted-segment hints.
+    """
+    t, b, h = idx.shape
+    n = t * b * h
+    rows = (idx + row_offsets[:, None, None]).reshape(-1)  # [N] global rows
+    hit = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    r_s, hit_s = jax.lax.sort_key_val(rows, hit)
+    # hit -> (table, sample) of the pooled cotangent; weight by the hit weight
+    tbl = hit_s // (b * h)
+    smp = (hit_s // h) % b
+    g_s = jnp.take(
+        dpooled.reshape(b * t, -1), smp * t + tbl, axis=0
+    ).astype(jnp.float32)  # [N, d] gathered in sorted order
+    if wt is not None:
+        w_s = jnp.take(wt.reshape(-1), hit_s, axis=0)
+        g_s = g_s * w_s[:, None]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), r_s[1:] != r_s[:-1]])
+    seg = jnp.cumsum(is_first) - 1  # sorted, compact
+    summed = jax.ops.segment_sum(
+        g_s, seg, num_segments=n, indices_are_sorted=True
+    )
+    urows = jax.ops.segment_max(
+        r_s, seg, num_segments=n, indices_are_sorted=True
+    )
+    num_seg = seg[-1] + 1
+    slot = jnp.arange(n)
+    valid = slot < num_seg
+    # invalid slots -> distinct ascending out-of-bounds ids (> any valid row)
+    urows = jnp.where(valid, urows, total_rows + slot)
+    return urows, summed, valid
+
+
 def coalesce(
     rows: jax.Array, grads: jax.Array, total_rows: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sort by row and segment-sum duplicates.
-
-    Returns (unique_rows [N], summed_grads [N, d], valid [N]). The result is
-    SORTED and UNIQUE by construction: valid slots hold ascending unique row
-    ids; invalid slots hold distinct ascending out-of-bounds ids
-    (total_rows + slot) so downstream scatters can use the fast
-    indices_are_sorted/unique_indices lowering with FILL_OR_DROP mode —
-    duplicate-index scatters are pathologically slow on TPU."""
+    """Coalesce pre-materialized (rows, grads) — used when the per-hit grads
+    are only available explicitly (e.g. tests)."""
     n = rows.shape[0]
     order = jnp.argsort(rows)
     r_s = rows[order]
     g_s = grads[order]
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), r_s[1:] != r_s[:-1]]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), r_s[1:] != r_s[:-1]])
+    seg = jnp.cumsum(is_first) - 1
+    summed = jax.ops.segment_sum(
+        g_s, seg, num_segments=n, indices_are_sorted=True
     )
-    seg = jnp.cumsum(is_first) - 1  # [N] compact segment id
-    summed = jax.ops.segment_sum(g_s, seg, num_segments=n)  # [N, d]
-    urows = jax.ops.segment_max(r_s, seg, num_segments=n)  # [N]
+    urows = jax.ops.segment_max(
+        r_s, seg, num_segments=n, indices_are_sorted=True
+    )
     num_seg = seg[-1] + 1
     slot = jnp.arange(n)
     valid = slot < num_seg
@@ -76,19 +120,11 @@ def coalesce(
     return urows, summed, valid
 
 
-_DROP = jax.lax.GatherScatterMode.FILL_OR_DROP
+# ------------------------------------------------------------------ appliers
+# All take the COALESCED (urows, G, valid) triple from coalesce_hits/coalesce.
 
 
-def apply_sparse_sgd(
-    table: jax.Array,  # [rows, d] (donated)
-    rows: jax.Array,  # [N]
-    grads: jax.Array,  # [N, d] per-hit grads
-    lr,
-) -> jax.Array:
-    # SGD is linear so coalescing is not required for correctness, but XLA's
-    # scatter lowering for duplicate/unsorted indices is extremely slow on
-    # TPU; the sorted-unique scatter (+ the sort to get there) is far faster.
-    urows, G, valid = coalesce(rows, grads, table.shape[0])
+def sgd_from_coalesced(table, urows, G, valid, lr):
     delta = (-lr * G) * valid[:, None]
     return table.at[urows].add(
         delta.astype(table.dtype), indices_are_sorted=True,
@@ -96,19 +132,12 @@ def apply_sparse_sgd(
     )
 
 
-def apply_sparse_rowwise_adagrad(
-    table: jax.Array,  # [rows, d] (donated)
-    accum: jax.Array,  # [rows] row-wise accumulator (donated)
-    rows: jax.Array,
-    grads: jax.Array,
-    lr,
-    eps: float = ADAGRAD_EPS,
-) -> Tuple[jax.Array, jax.Array]:
+def rowwise_adagrad_from_coalesced(
+    table, accum, urows, G, valid, lr, eps: float = ADAGRAD_EPS
+):
     """Exact RWSAdagrad row update (optim/rwsadagrad.py:117-143):
-    acc_r += mean(G_r^2); row -= lr * G_r / (sqrt(acc_r) + eps), with G_r the
-    coalesced per-row gradient sum."""
-    urows, G, valid = coalesce(rows, grads, table.shape[0])
-    m = jnp.mean(jnp.square(G), axis=1) * valid  # [N]
+    acc_r += mean(G_r^2); row -= lr * G_r / (sqrt(acc_r) + eps)."""
+    m = jnp.mean(jnp.square(G), axis=1) * valid
     accum = accum.at[urows].add(
         m.astype(accum.dtype), indices_are_sorted=True, unique_indices=True,
         mode=_DROP,
@@ -128,17 +157,11 @@ def apply_sparse_rowwise_adagrad(
     return table, accum
 
 
-def apply_sparse_adagrad(
-    table: jax.Array,
-    accum: jax.Array,  # [rows, d] element-wise accumulator (donated)
-    rows: jax.Array,
-    grads: jax.Array,
-    lr,
-    eps: float = ADAGRAD_EPS,
-) -> Tuple[jax.Array, jax.Array]:
+def adagrad_from_coalesced(
+    table, accum, urows, G, valid, lr, eps: float = ADAGRAD_EPS
+):
     """Element-wise Adagrad restricted to touched rows (torch.optim.Adagrad
     sparse semantics: coalesce, then sum += G^2; p -= lr*G/(sqrt(sum)+eps))."""
-    urows, G, valid = coalesce(rows, grads, table.shape[0])
     accum = accum.at[urows].add(
         (jnp.square(G) * valid[:, None]).astype(accum.dtype),
         indices_are_sorted=True, unique_indices=True, mode=_DROP,
@@ -156,3 +179,23 @@ def apply_sparse_adagrad(
         unique_indices=True, mode=_DROP,
     )
     return table, accum
+
+
+# ------------------------------------------------- legacy (rows, grads) API
+
+
+def apply_sparse_sgd(table, rows, grads, lr):
+    urows, G, valid = coalesce(rows, grads, table.shape[0])
+    return sgd_from_coalesced(table, urows, G, valid, lr)
+
+
+def apply_sparse_rowwise_adagrad(table, accum, rows, grads, lr,
+                                 eps: float = ADAGRAD_EPS):
+    urows, G, valid = coalesce(rows, grads, table.shape[0])
+    return rowwise_adagrad_from_coalesced(table, accum, urows, G, valid, lr, eps)
+
+
+def apply_sparse_adagrad(table, accum, rows, grads, lr,
+                         eps: float = ADAGRAD_EPS):
+    urows, G, valid = coalesce(rows, grads, table.shape[0])
+    return adagrad_from_coalesced(table, accum, urows, G, valid, lr, eps)

@@ -249,9 +249,11 @@ class ButterflyDLRM:
                         p, dense_l, idx_l, wt_l, off_l
                     )
                     per = per_example_loss(cfg, probs, labels_l, logits)
-                    return jnp.sum(per) / global_batch
+                    return jnp.sum(per) / global_batch, probs
 
-                loss_local, grads = jax.value_and_grad(loss_fn)(params)
+                (loss_local, probs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
                 loss = jax.lax.psum(loss_local, ("data", "model"))
 
                 def reduce_grad(path, g):
@@ -266,7 +268,7 @@ class ButterflyDLRM:
                 new_params, new_state = apply_updates(
                     optimizer, params, grads, opt_state, lr
                 )
-                return new_params, new_state, loss
+                return new_params, new_state, loss, probs
 
             # ------------------------- fused sparse path
             from dlrm_tpu.ops.sparse_update import (
@@ -289,10 +291,10 @@ class ButterflyDLRM:
                     {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
                 )
                 per = per_example_loss(cfg, probs, labels_l, logits)
-                return jnp.sum(per) / global_batch
+                return jnp.sum(per) / global_batch, probs
 
-            loss_local, (dgrads, dpooled) = jax.value_and_grad(
-                rest, argnums=(0, 1)
+            (loss_local, probs), (dgrads, dpooled) = jax.value_and_grad(
+                rest, argnums=(0, 1), has_aux=True
             )(dense_params, pooled)
             loss = jax.lax.psum(loss_local, ("data", "model"))
             dgrads = jax.tree_util.tree_map(
@@ -340,7 +342,7 @@ class ButterflyDLRM:
                 }
             new_params = dict(new_dense)
             new_params["emb"] = {"stacked": new_emb}
-            return new_params, new_state, loss
+            return new_params, new_state, loss, probs
 
         pspec = _tree_specs(params)
         ospec = _tree_specs(opt_state)
@@ -357,7 +359,7 @@ class ButterflyDLRM:
                 P("model"),
                 P(),
             ),
-            out_specs=(pspec, ospec, P()),
+            out_specs=(pspec, ospec, P(), P(("data", "model"))),
             check_vma=False,
         )
         local_off = self._put(self.local_offsets_shard_major, P("model"))

@@ -23,10 +23,10 @@ import jax.numpy as jnp
 from dlrm_tpu.data.batch import Batch
 from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
 from dlrm_tpu.ops.sparse_update import (
-    apply_sparse_adagrad,
-    apply_sparse_rowwise_adagrad,
-    apply_sparse_sgd,
-    per_hit_gradients,
+    adagrad_from_coalesced,
+    coalesce_hits,
+    rowwise_adagrad_from_coalesced,
+    sgd_from_coalesced,
 )
 from dlrm_tpu.optim.optimizers import apply_updates
 
@@ -77,24 +77,20 @@ def make_fused_train_step(model: DLRMModel, optimizer: str):
         )
 
         # ---- table: fused sparse update from the pooled cotangent
-        rows, g = per_hit_gradients(dly, batch.idx, batch.wt, offsets)
+        urows, G, valid = coalesce_hits(
+            dly, batch.idx, batch.wt, offsets, emb.shape[0]
+        )
         if optimizer == "sgd":
-            new_emb = apply_sparse_sgd(emb, rows, g, lr)
+            new_emb = sgd_from_coalesced(emb, urows, G, valid, lr)
             new_state = {"step": new_dense_state["step"]}
-        elif optimizer == "rwsadagrad":
-            new_emb, new_acc = apply_sparse_rowwise_adagrad(
-                emb, opt_state["accum"]["emb"]["stacked"], rows, g, lr
+        elif optimizer in ("rwsadagrad", "adagrad"):
+            fn = (
+                rowwise_adagrad_from_coalesced
+                if optimizer == "rwsadagrad"
+                else adagrad_from_coalesced
             )
-            new_state = {
-                "step": new_dense_state["step"],
-                "accum": {
-                    **new_dense_state["accum"],
-                    "emb": {"stacked": new_acc},
-                },
-            }
-        elif optimizer == "adagrad":
-            new_emb, new_acc = apply_sparse_adagrad(
-                emb, opt_state["accum"]["emb"]["stacked"], rows, g, lr
+            new_emb, new_acc = fn(
+                emb, opt_state["accum"]["emb"]["stacked"], urows, G, valid, lr
             )
             new_state = {
                 "step": new_dense_state["step"],

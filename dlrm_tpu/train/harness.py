@@ -142,13 +142,16 @@ class Trainer:
         for epoch in range(state.epoch, tc.nepochs):
             self.mlperf.start(obs.EPOCH_START, metadata={"epoch_num": epoch})
             accum_loss, accum_time, accum_count = 0.0, 0.0, 0
-            pending = None  # (loss_device, t_start) for async timing
-            for it, host_batch in enumerate(self.train_data):
+            # host-prep + H2D overlapped with the device step
+            # (TrainPipelineSparseDist equivalent, dlrm_tpu/train/pipeline.py)
+            from dlrm_tpu.train.pipeline import DevicePrefetcher
+
+            prefetched = DevicePrefetcher(self.train_data, self.to_device)
+            for it, batch in enumerate(prefetched):
                 # checkpoint fast-forward (dlrm_s_pytorch.py:1535-1546)
                 if epoch == skip_epoch and it < skip_iter:
                     continue
                 t0 = time.perf_counter()
-                batch = self.to_device(host_batch)
                 lr = self.lr_policy.lr
                 state.params, state.opt_state, loss, _ = self.train_step(
                     state.params, state.opt_state, batch, lr
@@ -205,11 +208,12 @@ class Trainer:
     def evaluate(self, state: TrainState) -> Dict[str, float]:
         """inference() equivalent (dlrm_s_pytorch.py:759-899)."""
         tc = self.tc
+        from dlrm_tpu.train.pipeline import DevicePrefetcher
+
         self.mlperf.start(obs.EVAL_START)
         scores: List[np.ndarray] = []
         labels: List[np.ndarray] = []
-        for host_batch in self.test_data:
-            batch = self.to_device(host_batch)
+        for batch in DevicePrefetcher(self.test_data, self.to_device):
             p = self.eval_step(state.params, batch)
             scores.append(np.asarray(p).ravel())
             lbl = np.asarray(batch.labels).ravel()

@@ -1,0 +1,88 @@
+"""Overlapped train pipeline: host batch prep / H2D transfer / device step.
+
+Capability parity with torchrec's TrainPipelineSparseDist 3-stage overlap
+(torchrec_dlrm/dlrm_main.py:63, 478-480: copy / input-dist / fwd-bwd). On TPU
+the stages map to:
+
+  stage 1  host-side batch materialization (numpy padding, multi-hot
+           expansion) — runs in a background thread;
+  stage 2  host->device transfer (device_put / sharded put) — async, issued
+           `depth` batches ahead;
+  stage 3  the jitted train step — dispatched asynchronously; XLA overlaps the
+           butterfly all-to-all with the bottom MLP inside the step itself.
+
+The prefetcher keeps `depth` device batches in flight, so the host loop is
+never the bottleneck unless batch prep exceeds a full step time.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+from dlrm_tpu.data.batch import Batch
+
+
+class DevicePrefetcher:
+    """Wraps a host-batch iterable; yields device batches `depth` ahead."""
+
+    _DONE = object()
+
+    def __init__(
+        self,
+        loader: Iterable,
+        to_device: Callable,
+        depth: int = 2,
+    ):
+        self.loader = loader
+        self.to_device = to_device
+        self.depth = max(1, depth)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def producer():
+            try:
+                for hb in self.loader:
+                    q.put(self.to_device(hb))
+            except BaseException as e:  # surface worker errors to the consumer
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+class PipelinedTrainer:
+    """progress()-style stepping (TrainPipelineSparseDist.progress analog):
+    construct with the step fn and state, call progress(iterator) per step."""
+
+    def __init__(self, train_step, params, opt_state, lr_fn):
+        self.train_step = train_step
+        self.params = params
+        self.opt_state = opt_state
+        self.lr_fn = lr_fn
+        self.step_count = 0
+
+    def progress(self, it: Iterator[Batch]):
+        batch = next(it)  # raises StopIteration at epoch end, like torchrec
+        lr = self.lr_fn() if callable(self.lr_fn) else self.lr_fn
+        self.params, self.opt_state, loss, probs = self.train_step(
+            self.params, self.opt_state, batch, lr
+        )
+        self.step_count += 1
+        return loss, probs

@@ -1,0 +1,286 @@
+"""DLRM-v2 trainer: the torchrec_dlrm/dlrm_main.py equivalent.
+
+Flag surface follows the v2 trainer (dlrm_main.py:75-311, underscore style):
+multi-hot sparse features, DLRM / DLRM_DCN / DLRM_Projection variants
+(--interaction_type), Adagrad fused into the embedding backward (our
+fused-sparse step = apply_optimizer_in_backward + FBGEMM, dlrm_main.py:649-653),
+automatic table sharding over the device mesh (EmbeddingShardingPlanner + DMP
+-> ButterflyDLRM/planner), the 3-stage overlapped pipeline
+(TrainPipelineSparseDist -> DevicePrefetcher), AUROC evaluation
+(torchmetrics -> streaming/exact AUC), per-epoch train/val/test.
+
+Usage:
+  python -m dlrm_tpu.v2_main --embedding_dim 128 \
+      --num_embeddings_per_feature 40000000,39060,... \
+      --multi_hot_sizes 3,2,1,... --adagrad --learning_rate 0.004
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from dlrm_tpu.config import DCNConfig, DLRMConfig, TrainConfig
+from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS, MULTI_HOT_SIZES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU DLRM-v2 (torchrec-parity)")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--test_batch_size", type=int, default=None)
+    p.add_argument("--limit_train_batches", type=int, default=None)
+    p.add_argument("--limit_val_batches", type=int, default=None)
+    p.add_argument("--limit_test_batches", type=int, default=None)
+    p.add_argument("--embedding_dim", type=int, default=64)
+    p.add_argument("--num_embeddings", type=int, default=100_000)
+    p.add_argument("--num_embeddings_per_feature", type=str, default=None)
+    p.add_argument("--dense_arch_layer_sizes", type=str, default="512,256,64")
+    p.add_argument("--over_arch_layer_sizes", type=str, default="512,512,256,1")
+    p.add_argument(
+        "--interaction_type", type=str, default="original",
+        choices=["original", "dcn", "projection"],
+    )
+    p.add_argument("--dcn_num_layers", type=int, default=3)
+    p.add_argument("--dcn_low_rank_dim", type=int, default=512)
+    p.add_argument("--interaction_branch1_layer_sizes", type=str, default="2048,2048")
+    p.add_argument("--interaction_branch2_layer_sizes", type=str, default="2048,2048")
+    p.add_argument("--learning_rate", type=float, default=15.0)
+    p.add_argument("--adagrad", action="store_true", default=False)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--multi_hot_sizes", type=str, default=None)
+    p.add_argument(
+        "--multi_hot_distribution_type", type=str, default="uniform",
+        choices=["uniform", "pareto"],
+    )
+    p.add_argument("--synthetic_multi_hot_criteo_path", type=str, default=None)
+    p.add_argument("--in_memory_binary_criteo_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--validation_freq_within_epoch", type=int, default=None)
+    p.add_argument("--shuffle_batches", action="store_true", default=False)
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--lr_decay_start", type=int, default=0)
+    p.add_argument("--lr_decay_steps", type=int, default=0)
+    p.add_argument("--print_lr", action="store_true", default=False)
+    p.add_argument("--collect_multi_hot_freqs_stats", action="store_true")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=0)
+    p.add_argument("--sharded", action="store_true", default=False)
+    p.add_argument("--auroc_target", type=float, default=None)
+    return p
+
+
+def _evaluate(eval_step, params, loader, to_device, stage: str) -> float:
+    """AUROC over a stage (dlrm_main.py:314-366 analog)."""
+    from dlrm_tpu.ops.metrics import roc_auc_exact
+    from dlrm_tpu.train.pipeline import DevicePrefetcher
+
+    scores, labels = [], []
+    for batch in DevicePrefetcher(loader, to_device):
+        probs = eval_step(params, batch)
+        lbl = np.asarray(batch.labels).ravel()
+        keep = lbl >= 0
+        scores.append(np.asarray(probs).ravel()[keep])
+        labels.append(lbl[keep])
+    s, l = np.concatenate(scores), np.concatenate(labels)
+    auroc = roc_auc_exact(s, l)
+    print(f"AUROC over {stage} set: {auroc}")
+    print(f"Number of {stage} samples: {len(s)}")
+    return auroc
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from dlrm_tpu.data.multi_hot import Multihot, RestartableMap
+    from dlrm_tpu.data.random_data import RandomDataset
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.optim.lr_policy import LRPolicy
+    from dlrm_tpu.optim.optimizers import init_opt_state
+    from dlrm_tpu.train.pipeline import DevicePrefetcher
+
+    if args.num_embeddings_per_feature is not None:
+        table_sizes = tuple(
+            int(x) for x in args.num_embeddings_per_feature.split(",")
+        )
+    else:
+        table_sizes = tuple([args.num_embeddings] * 26)
+    hot_sizes = (
+        [int(x) for x in args.multi_hot_sizes.split(",")]
+        if args.multi_hot_sizes
+        else None
+    )
+    interaction = {"original": "dot", "dcn": "dcn", "projection": "projection"}[
+        args.interaction_type
+    ]
+    dense_arch = tuple(int(x) for x in args.dense_arch_layer_sizes.split(","))
+    over_arch = tuple(int(x) for x in args.over_arch_layer_sizes.split(","))
+    proj = None
+    if interaction == "projection":
+        b1 = tuple(int(x) for x in args.interaction_branch1_layer_sizes.split(","))
+        proj = (b1[-1] // dense_arch[-1],)
+    model_cfg = DLRMConfig(
+        embedding_dim=args.embedding_dim,
+        table_sizes=table_sizes,
+        mlp_bot=(13,) + dense_arch,
+        mlp_top=over_arch,
+        interaction=interaction,
+        dcn=DCNConfig(args.dcn_num_layers, args.dcn_low_rank_dim)
+        if interaction == "dcn"
+        else None,
+        proj_interaction_dims=proj,
+        loss="bce",
+        num_indices_per_lookup=max(hot_sizes) if hot_sizes else 1,
+        compute_dtype="bfloat16",
+    )
+    optimizer = "rwsadagrad" if args.adagrad else "sgd"
+    model = DLRMModel(model_cfg)
+
+    # ---------------- data (dlrm_main.py:577-579 + get_dataloader dispatch)
+    def make_loader(stage: str, limit: Optional[int]):
+        if args.synthetic_multi_hot_criteo_path:
+            from dlrm_tpu.data.multi_hot_criteo import MultiHotCriteoDataset
+
+            with open(
+                f"{args.synthetic_multi_hot_criteo_path}/meta.json"
+            ) as f:
+                import json
+
+                days = json.load(f)["days"]
+            day_sel = list(range(days - 1)) if stage == "train" else [days - 1]
+            ds = MultiHotCriteoDataset(
+                args.synthetic_multi_hot_criteo_path,
+                args.batch_size if stage == "train" else (
+                    args.test_batch_size or args.batch_size
+                ),
+                days=day_sel,
+            )
+            return ds if limit is None else list(itertools.islice(iter(ds), limit))
+        if args.in_memory_binary_criteo_path:
+            from dlrm_tpu.data.criteo import CriteoBinFile
+
+            split = {"train": "train", "val": "val", "test": "test"}[stage]
+            ds = CriteoBinFile(
+                f"{args.in_memory_binary_criteo_path}/{split}_data.bin",
+                f"{args.in_memory_binary_criteo_path}/day_fea_count.npz",
+                args.batch_size,
+            )
+            loader = ds
+        else:
+            tc = TrainConfig(
+                mini_batch_size=args.batch_size,
+                num_batches=limit or 10,
+                numpy_rand_seed=args.seed + {"train": 0, "val": 1, "test": 2}[stage],
+                num_indices_per_lookup_fixed=hot_sizes is None,
+                round_targets=True,
+            )
+            loader = RandomDataset(model_cfg, tc, pad_last_batch=True)
+        if hot_sizes and args.in_memory_binary_criteo_path:
+            mh = Multihot(
+                hot_sizes, table_sizes, args.batch_size,
+                collect_freqs_stats=args.collect_multi_hot_freqs_stats,
+                dist_type=args.multi_hot_distribution_type,
+            )
+            loader = mh.convert_dataloader(loader)
+        if limit is not None and not isinstance(loader, list):
+            return RestartableMap(lambda x: x, _Limited(loader, limit))
+        return loader
+
+    train_loader = make_loader("train", args.limit_train_batches)
+    val_loader = make_loader("val", args.limit_val_batches)
+    test_loader = make_loader("test", args.limit_test_batches)
+
+    # ---------------- model/optimizer/sharding (dlrm_main.py:581-693)
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+    opt_state = init_opt_state(optimizer, params)
+    to_device = lambda hb: hb.to_device()  # noqa: E731
+    if args.sharded and len(jax.devices()) > 1:
+        from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+        from dlrm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            data=args.mesh_data,
+            model=args.mesh_model if args.mesh_model > 0 else None,
+        )
+        bf = ButterflyDLRM(model, mesh)
+        params = bf.shard_params(params)
+        opt_state = init_opt_state(optimizer, params)
+        train_step = bf.make_train_step(
+            optimizer, args.batch_size, params, opt_state
+        )
+        eval_step = bf.make_eval_step(params)
+        to_device = lambda hb: bf.shard_batch(hb.to_device())  # noqa: E731
+        print(f"sharding plan: {bf.placement}")
+    else:
+        from dlrm_tpu.train.fused_step import make_fused_train_step, supports_fused
+        from dlrm_tpu.train.step import make_eval_step, make_train_step
+
+        train_step = (
+            make_fused_train_step(model, optimizer)
+            if supports_fused(model)
+            else make_train_step(model, optimizer)
+        )
+        eval_step = make_eval_step(model)
+
+    lr_policy = LRPolicy(
+        args.learning_rate, args.lr_warmup_steps, args.lr_decay_start,
+        args.lr_decay_steps,
+    )
+
+    # ---------------- train/val/test (dlrm_main.py:451-500)
+    best_auroc = 0.0
+    it = 0
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        n = 0
+        for batch in DevicePrefetcher(train_loader, to_device):
+            if args.print_lr:
+                print(f"lr: {it} {lr_policy.lr}")
+            params, opt_state, loss, _ = train_step(
+                params, opt_state, batch, lr_policy.lr
+            )
+            lr_policy.step()
+            it += 1
+            n += batch.dense.shape[0]
+            if (
+                args.validation_freq_within_epoch
+                and it % args.validation_freq_within_epoch == 0
+            ):
+                auroc = _evaluate(eval_step, params, val_loader, to_device, "val")
+                best_auroc = max(best_auroc, auroc)
+                if args.auroc_target and best_auroc >= args.auroc_target:
+                    print(f"AUROC target {args.auroc_target} reached, stop early")
+                    return 0
+        dt = time.perf_counter() - t0
+        print(
+            f"Epoch {epoch}: {n} samples in {dt:.1f}s "
+            f"({n / dt:,.0f} samples/s), final loss {float(loss):.6f}"
+        )
+        auroc = _evaluate(eval_step, params, val_loader, to_device, "val")
+        best_auroc = max(best_auroc, auroc)
+        if args.auroc_target and best_auroc >= args.auroc_target:
+            print(f"AUROC target {args.auroc_target} reached, stop early")
+            break
+    _evaluate(eval_step, params, test_loader, to_device, "test")
+    return 0
+
+
+class _Limited:
+    def __init__(self, src, limit):
+        self.src, self.limit = src, limit
+
+    def __len__(self):
+        return min(len(self.src), self.limit)
+
+    def __iter__(self):
+        return itertools.islice(iter(self.src), self.limit)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

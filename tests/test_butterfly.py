@@ -64,7 +64,7 @@ def test_butterfly_matches_single_device(dsize, msize, optimizer):
     step2 = bf.make_train_step(optimizer, tc.mini_batch_size, p2, s2)
     for hb in batches:
         b = bf.shard_batch(hb.to_device())
-        p2, s2, loss2 = step2(p2, s2, b, 0.05)
+        p2, s2, loss2, _ = step2(p2, s2, b, 0.05)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
     p2u = bf.unshard_params(p2)

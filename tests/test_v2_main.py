@@ -1,0 +1,121 @@
+"""DLRM-v2 trainer integration tests (torchrec_dlrm/tests/test_dlrm_main.py
+analog: launch the REAL main() on tiny configs; the reference runs 2-process
+gloo, we run the sharded path on the virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from dlrm_tpu import v2_main
+from dlrm_tpu.data import criteo
+from dlrm_tpu.data.multi_hot_criteo import (
+    MultiHotCriteoDataset,
+    materialize_multihot_dataset,
+)
+
+
+def test_main_random_data():
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "6",
+            "--limit_val_batches", "3",
+            "--limit_test_batches", "3",
+            "--batch_size", "16",
+            "--embedding_dim", "8",
+            "--num_embeddings", "64",
+            "--dense_arch_layer_sizes", "16,8",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--adagrad",
+            "--learning_rate", "0.05",
+        ]
+    )
+    assert rc == 0
+
+
+def test_main_dcn_sharded():
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "4",
+            "--limit_val_batches", "2",
+            "--limit_test_batches", "2",
+            "--batch_size", "16",
+            "--embedding_dim", "8",
+            "--num_embeddings_per_feature",
+            ",".join(["48"] * 26),
+            "--dense_arch_layer_sizes", "16,8",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--interaction_type", "dcn",
+            "--dcn_num_layers", "2",
+            "--dcn_low_rank_dim", "8",
+            "--sharded",
+            "--mesh_data", "2",
+            "--adagrad",
+        ]
+    )
+    assert rc == 0
+
+
+@pytest.fixture
+def multihot_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    raws = []
+    for d in range(2):
+        p = str(tmp_path / f"day_{d}")
+        with open(p, "wb") as f:
+            for _ in range(60):
+                label = rng.integers(0, 2)
+                dense = [str(rng.integers(0, 100)).encode() for _ in range(13)]
+                cats = [format(rng.integers(0, 500), "x").encode() for _ in range(26)]
+                f.write(str(label).encode() + b"\t" + b"\t".join(dense + cats) + b"\n")
+        raws.append(p)
+    art = criteo.preprocess_raw(raws, str(tmp_path / "proc"), randomize="none")
+    out = str(tmp_path / "mh")
+    materialize_multihot_dataset(
+        art.day_files, out, [int(c) for c in art.counts],
+        hot_sizes=[2, 3] + [1] * 24,
+    )
+    return out
+
+
+def test_materialized_multihot_loader(multihot_dir):
+    ds = MultiHotCriteoDataset(multihot_dir, batch_size=16)
+    batches = list(ds)
+    assert len(ds) == len(batches) == int(np.ceil(120 / 16))
+    hb = batches[0]
+    assert hb.idx.shape == (26, 16, 3)
+    assert (hb.wt[0].sum(axis=1) == 2).all()  # table 0: 2-hot
+    assert (hb.wt[1].sum(axis=1) == 3).all()  # table 1: 3-hot
+    # day stitching: total real rows across batches == 120
+    real = sum(int((b.labels >= 0).sum()) for b in batches)
+    assert real == 120
+    # rank striding partitions the batches
+    r0 = MultiHotCriteoDataset(multihot_dir, 16, rank=0, world_size=2)
+    r1 = MultiHotCriteoDataset(multihot_dir, 16, rank=1, world_size=2)
+    assert len(r0) + len(r1) == len(ds)
+
+
+def test_main_on_materialized_multihot(multihot_dir):
+    rc = v2_main.main(
+        [
+            "--synthetic_multi_hot_criteo_path", multihot_dir,
+            "--batch_size", "16",
+            "--embedding_dim", "8",
+            "--num_embeddings_per_feature",
+            # must match the materialized counts: read from meta
+            ",".join(
+                str(s)
+                for s in __import__("json").load(
+                    open(multihot_dir + "/meta.json")
+                )["table_sizes"]
+            ),
+            "--multi_hot_sizes", ",".join(
+                str(h)
+                for h in __import__("json").load(
+                    open(multihot_dir + "/meta.json")
+                )["hot_sizes"]
+            ),
+            "--dense_arch_layer_sizes", "16,8",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--adagrad",
+        ]
+    )
+    assert rc == 0

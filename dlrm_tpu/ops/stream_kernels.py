@@ -1,0 +1,511 @@
+"""Pallas TPU kernels over the U-layout (see ops/stream_plan.py).
+
+Replaces the issue-rate-bound gather/sort/scatter path of the fused sparse
+optimizer (and optionally the embedding forward) with bandwidth-bound
+streaming + MXU one-hot matmuls:
+
+  K1 window_grads    dly [T,B,d] -> per-hit grads G_u [U,d] in U-order.
+                     One one-hot matmul per 128 hits: G = onehot(bag,wt)^T @
+                     dly. Exact: sentinel slots have weight 0.
+  K2 stream_update_* stream the stacked table (and optimizer state) through
+                     VMEM block by block; per 256-hit work item accumulate
+                     the block's summed per-row gradient Gsum with a one-hot
+                     matmul; at the block's last item apply the optimizer
+                     update densely and emit the new block. Exact duplicate
+                     coalescing falls out of the matmul accumulation (the
+                     nonlinear Adagrad update sees the fully-summed row
+                     gradient — semantics of optim/rwsadagrad.py:117-143 and
+                     torch.optim.Adagrad sparse).
+  K3 stream_rows     stream the table; per work item emit the (unweighted)
+                     rows of its hits into R_u [U,d] (forward phase 1).
+  K4 window_pool     R_u -> pooled [T,B,d]: one one-hot matmul per 128 hits,
+                     weights folded into the one-hot (forward phase 2).
+
+All four are grid-sequential, fully static, and every random access has been
+converted into either a sequential stream (pipelined BlockSpec) or a matmul.
+
+Design notes (measured on v5e, bench_scripts/PERF_NOTES.md):
+  * jnp.take / dynamic_gather inside kernels is unsupported (hangs Mosaic);
+    one-hot matmuls are built WITHOUT transposes: lane vectors broadcast
+    against a sublane iota, and dot_general contracts dim 0 so the MXU does
+    the transposition.
+  * int32 window data is over-fetched in 8-tile-aligned (16,128) slabs and
+    sliced at a dynamic sublane offset (HBM slices must be tile-aligned).
+  * input_output_aliases on blocked specs is catastrophically slow on this
+    toolchain — the kernels are functional (fresh output buffers).
+
+Reference parity: together K1+K2 implement FBGEMM's
+EXACT_ROWWISE_ADAGRAD/EXACT_ADAGRAD/EXACT_SGD in-backward updates invoked by
+torchrec's apply_optimizer_in_backward (torchrec_dlrm/dlrm_main.py:649-653);
+K3+K4 implement nn.EmbeddingBag(mode="sum") pooling (dlrm_s_pytorch.py:407).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dlrm_tpu.ops.stream_plan import CHUNK, WINDOW, StreamPlan
+
+ADAGRAD_EPS = 1e-10  # matches optim/optimizers.py ADAGRAD_EPS
+
+
+def _onehot(iota, keys, vals=None, dtype=jnp.float32):
+    """[rows, 128] one-hot: iota [rows,128] sublane-iota, keys [128] lane
+    vector; entry (r, k) = (iota[r,k]==keys[k]) * (vals[k] or 1)."""
+    cond = iota == keys
+    if vals is None:
+        return cond.astype(dtype)
+    return jnp.where(cond, vals, jnp.zeros_like(vals)).astype(dtype)
+
+
+# ----------------------------------------------------------------- K1
+def _window_grads_kernel(w2t_ref, vals_ref, wts_ref, dly_ref, out_ref,
+                         *, mm_dtype):
+    b = dly_ref.shape[1]
+    dly = dly_ref[0].astype(mm_dtype)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 0)
+    for s in range(WINDOW // 128):
+        oh = _onehot(iota_b, vals_ref[0, s, :], wts_ref[0, s, :], mm_dtype)
+        g = jax.lax.dot_general(
+            oh, dly,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[s * 128 : (s + 1) * 128, :] = g.astype(out_ref.dtype)
+
+
+def window_grads(
+    dly: jax.Array,  # [T, B, d] pooled-embedding cotangent (pre-cast ok)
+    vals_u: jax.Array,  # [Uw, 8, 128] int32
+    wts_u: jax.Array,  # [Uw, 8, 128] f32
+    w2t: jax.Array,  # [Uw] int32
+    *,
+    out_dtype=jnp.float32,
+    mm_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:  # G_u [Uw*1024, d]
+    uw = vals_u.shape[0]
+    t, b, d = dly.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(uw,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda w, w2t: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda w, w2t: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, d), lambda w, w2t: (w2t[w], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((WINDOW, d), lambda w, w2t: (w, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_window_grads_kernel, mm_dtype=mm_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((uw * WINDOW, d), out_dtype),
+        interpret=interpret,
+    )(w2t, vals_u, wts_u, dly)
+
+
+# ----------------------------------------------------------------- K2
+def _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
+                     sem_r, sem_g, *, first, br, mm_dtype, g_idx):
+    """Shared by the update kernels: DMA the item's rows+grads, one-hot
+    accumulate into gsum [br, d]."""
+    u = iu_ref[g_idx]
+    row0 = ir_ref[g_idx]
+    rtile = (u // WINDOW) * 8
+    dma_r = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(rtile, 16), :], rows_scr, sem_r
+    )
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[pl.ds(u, CHUNK), :], gscr, sem_g
+    )
+    dma_r.start()
+    dma_g.start()
+
+    @pl.when(first)
+    def _():
+        gsum[:] = jnp.zeros_like(gsum)
+
+    dma_r.wait()
+    dma_g.wait()
+    off = u // 128 - rtile
+    local = rows_scr[pl.ds(off, CHUNK // 128), :] - row0  # [2, 128]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
+    for s in range(CHUNK // 128):
+        oh = _onehot(iota_r, local[s, :], None, mm_dtype)
+        gs = gscr[s * 128 : (s + 1) * 128, :].astype(mm_dtype)
+        gsum[:] += jax.lax.dot_general(
+            oh, gs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _flags(ib_ref, g):
+    m = pl.num_programs(0)
+    blk = ib_ref[g]
+    prev = ib_ref[jnp.maximum(g - 1, 0)]
+    nxt = ib_ref[jnp.minimum(g + 1, m - 1)]
+    first = jnp.logical_or(g == 0, blk != prev)
+    last = jnp.logical_or(g == m - 1, blk != nxt)
+    return first, last
+
+
+def _identity128(dtype=jnp.float32):
+    a = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return (a == b).astype(dtype)
+
+
+def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
+                out_ref, gsum, rows_scr, gscr, sem_r, sem_g,
+                *, br, mm_dtype):
+    g = pl.program_id(0)
+    first, last = _flags(ib_ref, g)
+    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
+                     sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
+                     g_idx=g)
+
+    @pl.when(last)
+    def _():
+        out_ref[:] = (
+            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gsum[:]
+        ).astype(out_ref.dtype)
+
+
+def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
+                            table_ref, acc_ref, lr_ref, out_ref, acc_out,
+                            gsum, rows_scr, gscr, sem_r, sem_g,
+                            *, br, d, mm_dtype, eps):
+    g = pl.program_id(0)
+    first, last = _flags(ib_ref, g)
+    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
+                     sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
+                     g_idx=g)
+
+    @pl.when(last)
+    def _():
+        gs = gsum[:]
+        m = jnp.sum(gs * gs, axis=1, keepdims=True) / d  # [br, 1]
+        ident = _identity128()
+        acc16 = acc_ref[:]  # [br/128, 128] packed row-wise accumulator
+        cols = [
+            jax.lax.dot_general(
+                ident, acc16[i : i + 1, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [128, 1]: col[a] = acc16[i, a]
+            for i in range(br // 128)
+        ]
+        acc_col = jnp.concatenate(cols, axis=0)  # [br, 1]
+        new_acc = acc_col + m
+        denom = jnp.sqrt(new_acc) + eps
+        out_ref[:] = (
+            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom
+        ).astype(out_ref.dtype)
+        rows_back = [
+            jax.lax.dot_general(
+                new_acc[i * 128 : (i + 1) * 128, :], ident,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, 128]: row[b] = new_acc[i*128 + b]
+            for i in range(br // 128)
+        ]
+        acc_out[:] = jnp.concatenate(rows_back, axis=0)
+
+
+def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
+                    acc_ref, lr_ref, out_ref, acc_out, gsum, rows_scr, gscr,
+                    sem_r, sem_g, *, br, mm_dtype, eps):
+    g = pl.program_id(0)
+    first, last = _flags(ib_ref, g)
+    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
+                     sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
+                     g_idx=g)
+
+    @pl.when(last)
+    def _():
+        gs = gsum[:]
+        new_acc = acc_ref[:].astype(jnp.float32) + gs * gs
+        denom = jnp.sqrt(new_acc) + eps
+        out_ref[:] = (
+            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom
+        ).astype(out_ref.dtype)
+        acc_out[:] = new_acc.astype(acc_out.dtype)
+
+
+def _rows2d_padded(rows_u: jax.Array) -> jax.Array:
+    """[Uw,8,128] -> [(Uw*8)+16, 128] with a 16-row tail pad so the
+    (16,128) over-fetch slab never reads out of bounds."""
+    r2 = rows_u.reshape(-1, 128)
+    pad = jnp.zeros((16, 128), jnp.int32)
+    return jnp.concatenate([r2, pad], axis=0)
+
+
+def stream_update(
+    optimizer: str,  # sgd | rwsadagrad | adagrad
+    plan: StreamPlan,
+    table: jax.Array,  # [padded_rows, d]
+    acc: Optional[jax.Array],  # packed [padded_rows/128,128] (rwsadagrad),
+    #                            [padded_rows, d] (adagrad), None (sgd)
+    g_u: jax.Array,  # [U, d] from window_grads
+    rows_u: jax.Array,  # [Uw, 8, 128] int32
+    item_block: jax.Array,  # [M] int32
+    item_row0: jax.Array,  # [M] int32
+    item_u: jax.Array,  # [M] int32
+    lr,
+    *,
+    mm_dtype=jnp.float32,
+    eps: float = ADAGRAD_EPS,
+    interpret: bool = False,
+):
+    """Returns (new_table,) for sgd or (new_table, new_acc) otherwise."""
+    br = plan.block_rows
+    d = table.shape[1]
+    m = item_block.shape[0]
+    rows2d = _rows2d_padded(rows_u)
+    lr_arr = jnp.full((1, 1), lr, jnp.float32)
+
+    table_spec = pl.BlockSpec((br, d), lambda g, ib, ir, iu: (ib[g], 0),
+                              memory_space=pltpu.VMEM)
+    acc16_spec = pl.BlockSpec(
+        (br // 128, 128), lambda g, ib, ir, iu: (ib[g], 0),
+        memory_space=pltpu.VMEM,
+    )
+    scratch = [
+        pltpu.VMEM((br, d), jnp.float32),
+        pltpu.VMEM((16, 128), jnp.int32),
+        pltpu.VMEM((CHUNK, d), g_u.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if optimizer == "sgd":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(m,),
+            in_specs=[any_spec, any_spec, table_spec, smem_spec],
+            out_specs=table_spec,
+            scratch_shapes=scratch,
+        )
+        new_table = pl.pallas_call(
+            functools.partial(_sgd_kernel, br=br, mm_dtype=mm_dtype),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+            interpret=interpret,
+        )(item_block, item_row0, item_u, g_u, rows2d, table, lr_arr)
+        return (new_table,)
+
+    if optimizer == "rwsadagrad":
+        if acc is None or acc.shape != (plan.acc_rows, 128):
+            raise ValueError("rwsadagrad needs the packed [rows/128,128] acc")
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(m,),
+            in_specs=[any_spec, any_spec, table_spec, acc16_spec, smem_spec],
+            out_specs=(table_spec, acc16_spec),
+            scratch_shapes=scratch,
+        )
+        new_table, new_acc = pl.pallas_call(
+            functools.partial(
+                _rowwise_adagrad_kernel, br=br, d=d, mm_dtype=mm_dtype,
+                eps=eps,
+            ),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(table.shape, table.dtype),
+                jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+            ),
+            interpret=interpret,
+        )(item_block, item_row0, item_u, g_u, rows2d, table, acc, lr_arr)
+        return new_table, new_acc
+
+    if optimizer == "adagrad":
+        if acc is None or acc.shape != table.shape:
+            raise ValueError("adagrad needs a [padded_rows, d] accumulator")
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(m,),
+            in_specs=[any_spec, any_spec, table_spec, table_spec, smem_spec],
+            out_specs=(table_spec, table_spec),
+            scratch_shapes=scratch,
+        )
+        new_table, new_acc = pl.pallas_call(
+            functools.partial(
+                _adagrad_kernel, br=br, mm_dtype=mm_dtype, eps=eps
+            ),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(table.shape, table.dtype),
+                jax.ShapeDtypeStruct(table.shape, jnp.float32),
+            ),
+            interpret=interpret,
+        )(item_block, item_row0, item_u, g_u, rows2d, table, acc, lr_arr)
+        return new_table, new_acc
+
+    raise ValueError(f"optimizer {optimizer!r} not supported")
+
+
+# ----------------------------------------------------------------- K3
+def _stream_rows_kernel(ib_ref, ir_ref, iu_ref, rows_hbm, table_ref,
+                        r_out_hbm, rows_scr, rchunk, sem_r, sem_w,
+                        *, br, mm_dtype):
+    g = pl.program_id(0)
+    u = iu_ref[g]
+    row0 = ir_ref[g]
+    rtile = (u // WINDOW) * 8
+    dma_r = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(rtile, 16), :], rows_scr, sem_r
+    )
+    dma_r.start()
+    dma_r.wait()
+    off = u // 128 - rtile
+    local = rows_scr[pl.ds(off, CHUNK // 128), :] - row0
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
+    tbl = table_ref[:].astype(mm_dtype)
+    for s in range(CHUNK // 128):
+        oh = _onehot(iota_r, local[s, :], None, mm_dtype)
+        rw = jax.lax.dot_general(
+            oh, tbl,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [128, d] rows of this chunk's hits (0 where no match)
+        rchunk[s * 128 : (s + 1) * 128, :] = rw.astype(rchunk.dtype)
+    dma_w = pltpu.make_async_copy(
+        rchunk, r_out_hbm.at[pl.ds(u, CHUNK), :], sem_w
+    )
+    dma_w.start()
+    dma_w.wait()
+
+
+def stream_rows(
+    plan: StreamPlan,
+    table: jax.Array,  # [padded_rows, d]
+    rows_u: jax.Array,
+    item_block: jax.Array,
+    item_row0: jax.Array,
+    item_u: jax.Array,
+    *,
+    out_dtype=jnp.float32,
+    mm_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:  # R_u [U, d]
+    br = plan.block_rows
+    d = table.shape[1]
+    m = item_block.shape[0]
+    rows2d = _rows2d_padded(rows_u)
+    u_total = rows_u.shape[0] * WINDOW
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((br, d), lambda g, ib, ir, iu: (ib[g], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.int32),
+            pltpu.VMEM((CHUNK, d), out_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_stream_rows_kernel, br=br, mm_dtype=mm_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((u_total, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(item_block, item_row0, item_u, rows2d, table)
+
+
+# ----------------------------------------------------------------- K4
+def _window_pool_kernel(w2t_ref, vals_ref, wts_ref, r_ref, out_ref,
+                        *, mm_dtype):
+    w = pl.program_id(0)
+    b = out_ref.shape[1]
+    prev_t = w2t_ref[jnp.maximum(w - 1, 0)]
+    table_first = jnp.logical_or(w == 0, w2t_ref[w] != prev_t)
+
+    @pl.when(table_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 0)
+    for s in range(WINDOW // 128):
+        oh = _onehot(iota_b, vals_ref[0, s, :], wts_ref[0, s, :], mm_dtype)
+        rs = r_ref[s * 128 : (s + 1) * 128, :].astype(mm_dtype)
+        out_ref[0] += jax.lax.dot_general(
+            oh, rs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def window_pool(
+    plan: StreamPlan,
+    r_u: jax.Array,  # [U, d] from stream_rows
+    vals_u: jax.Array,
+    wts_u: jax.Array,
+    w2t: jax.Array,
+    *,
+    mm_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:  # pooled [T, B, d] float32
+    uw = vals_u.shape[0]
+    t = len(plan.table_sizes)
+    b = plan.batch
+    d = r_u.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(uw,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda w, w2t: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda w, w2t: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WINDOW, d), lambda w, w2t: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, d), lambda w, w2t: (w2t[w], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_window_pool_kernel, mm_dtype=mm_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, b, d), jnp.float32),
+        interpret=interpret,
+    )(w2t, vals_u, wts_u, r_u)
+
+
+def stream_embedding_fwd(
+    plan: StreamPlan,
+    table: jax.Array,
+    rows_u, vals_u, wts_u, w2t, item_block, item_row0, item_u,
+    *,
+    mm_dtype=jnp.float32,
+    r_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:  # pooled [T, B, d] f32
+    """Forward = K3 (stream rows) + K4 (window pool)."""
+    r_u = stream_rows(
+        plan, table, rows_u, item_block, item_row0, item_u,
+        out_dtype=r_dtype, mm_dtype=mm_dtype, interpret=interpret,
+    )
+    return window_pool(
+        plan, r_u, vals_u, wts_u, w2t, mm_dtype=mm_dtype,
+        interpret=interpret,
+    )

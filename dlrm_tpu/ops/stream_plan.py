@@ -1,0 +1,257 @@
+"""Host-side work plan for the streamed embedding kernels (the U-layout).
+
+WHY. The v5e probes (bench_scripts/PERF_NOTES.md) showed random row access is
+issue-rate bound (~20ns/row gather, ~36ns/row scatter, ~5ms for a 425k sort)
+while sequential streaming runs at memory bandwidth. The streamed kernels in
+ops/stream_kernels.py therefore pass the whole stacked table through VMEM
+block by block and express each block's gather/scatter as one-hot matmuls on
+the MXU — exact, vectorized, independent of where hits land. They replace
+the device-side sort + coalesce + scatter of the reference's fused sparse
+optimizer (FBGEMM EXACT_ROWWISE_ADAGRAD via torchrec's
+apply_optimizer_in_backward, torchrec_dlrm/dlrm_main.py:649-653).
+
+This module builds the per-batch plan on the HOST (numpy; the C++ native
+module can take over later). It depends only on the batch's sparse indices —
+never on device values — so it runs in the input pipeline overlapped with
+device compute and costs zero device time.
+
+THE U-LAYOUT. All hits of a batch live in one canonical "U-space":
+  * per table, hits (row, bag, weight) are sorted by table-local row;
+  * the run of hits belonging to each table BLOCK (block_rows rows) is
+    padded to a multiple of 128 slots with sentinels (row=-1, wt=0), so
+    every block's run starts 128-aligned and runs never overlap;
+  * each table's segment is padded to a multiple of 1024 (the window size)
+    so windows never straddle tables;
+  * one trailing all-sentinel window serves as the target of padding items.
+Static size: U_t = B*H*2 + 1024 bounds any distribution of hits (each
+non-empty block adds <=127 pad slots and there are <= B*H non-empty blocks).
+
+Arrays (shipped to the device with the batch):
+  rows_u/vals_u [Uw, 8, 128] int32, wts_u [Uw, 8, 128] f32 — slot row (table
+      local), bag index, weight; window w covers slots [w*1024, (w+1)*1024).
+  w2t [Uw] int32 — window -> table (sentinel window -> T-1 so the forward
+      kernel's revolving output stays on the final table).
+  item_* [M] int32 — work items, ordered by (table, block), one per
+      (block x 256-slot chunk of its run), plus one sentinel-chunk item per
+      hit-free block (the streamed kernels must rewrite EVERY block), plus
+      cover items for table tail padding, padded to the static M with items
+      aimed at the trailing pad block:
+        item_block  global block id (the trailing pad block for padding)
+        item_row0   table-local first row of the block
+        item_u      first U-slot of the chunk (multiple of 128)
+Work items are consumed by the streamed-update and streamed-forward kernels;
+windows by the grad and pooling kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+WINDOW = 1024  # U-slots per window (8 sublanes x 128 lanes)
+CHUNK = 256  # U-slots per work item
+SENTINEL_ROW = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPlan:
+    """Static geometry shared by every batch of a given config."""
+
+    table_sizes: Tuple[int, ...]
+    dim: int
+    batch: int
+    hot: int
+    block_rows: int
+
+    padded_offsets: Tuple[int, ...]  # block-aligned start row per table
+    block_base: Tuple[int, ...]  # first global block id per table
+    blocks_per_table: Tuple[int, ...]
+    padded_rows: int  # includes the trailing pad block
+    num_blocks: int  # real blocks (excluding the trailing pad block)
+    u_base: Tuple[int, ...]  # first U-slot per table
+    u_size: int  # real U-slots (excl. trailing sentinel window)
+    max_items: int
+
+    @property
+    def pad_block(self) -> int:
+        return self.num_blocks
+
+    @property
+    def num_windows(self) -> int:  # including the trailing sentinel window
+        return self.u_size // WINDOW + 1
+
+    @property
+    def u_total(self) -> int:
+        return self.u_size + WINDOW
+
+    @property
+    def acc_rows(self) -> int:
+        """Rows of the packed row-wise accumulator [padded_rows/128, 128]."""
+        return self.padded_rows // 128
+
+
+def make_stream_plan(
+    table_sizes: Sequence[int],
+    dim: int,
+    batch: int,
+    hot: int,
+    block_rows: int = 512,
+) -> StreamPlan:
+    if block_rows % 128 != 0:
+        raise ValueError("block_rows must be a multiple of 128")
+    if (batch * hot) % 128 != 0:
+        raise ValueError("batch*hot must be a multiple of 128")
+    offs, bases, nblks = [], [], []
+    acc = 0
+    for n in table_sizes:
+        offs.append(acc)
+        bases.append(acc // block_rows)
+        nb = max(1, -(-n // block_rows))
+        nblks.append(nb)
+        acc += nb * block_rows
+    num_blocks = acc // block_rows
+    padded_rows = acc + block_rows
+    bh = batch * hot
+    u_base, u_acc = [], 0
+    for nb in nblks:
+        u_base.append(u_acc)
+        bound = bh + 127 * min(nb, bh)  # every non-empty block pads <128
+        u_acc += -(-bound // WINDOW) * WINDOW
+    u_base = tuple(u_base)
+    u_size = u_acc
+    # items: one per CHUNK of U plus one per block (empty or boundary slack)
+    max_items = u_size // CHUNK + num_blocks + len(table_sizes) + 8
+    return StreamPlan(
+        table_sizes=tuple(int(n) for n in table_sizes),
+        dim=dim,
+        batch=batch,
+        hot=hot,
+        block_rows=block_rows,
+        padded_offsets=tuple(offs),
+        block_base=tuple(bases),
+        blocks_per_table=tuple(nblks),
+        padded_rows=padded_rows,
+        num_blocks=num_blocks,
+        u_base=u_base,
+        u_size=u_size,
+        max_items=int(max_items),
+    )
+
+
+@dataclasses.dataclass
+class StreamWork:
+    """Per-batch arrays consumed by the streamed kernels."""
+
+    rows_u: np.ndarray  # [Uw, 8, 128] int32, table-LOCAL rows, -1 sentinel
+    vals_u: np.ndarray  # [Uw, 8, 128] int32, bag index
+    wts_u: np.ndarray  # [Uw, 8, 128] float32, weight (0 = sentinel)
+    w2t: np.ndarray  # [Uw] int32, window -> table
+    item_block: np.ndarray  # [M] int32
+    item_row0: np.ndarray  # [M] int32
+    item_u: np.ndarray  # [M] int32, multiple of 128 (CHUNK-aligned)
+    num_real_items: int
+
+
+def build_stream_work(
+    plan: StreamPlan,
+    idx: np.ndarray,  # [T, B, H] table-local indices
+    wt: Optional[np.ndarray] = None,  # [T, B, H] weights (None -> all 1.0)
+) -> StreamWork:
+    t_, b_, h_ = idx.shape
+    if (t_, b_, h_) != (len(plan.table_sizes), plan.batch, plan.hot):
+        raise ValueError(
+            f"batch shape {idx.shape} != plan "
+            f"({len(plan.table_sizes)}, {plan.batch}, {plan.hot})"
+        )
+    br = plan.block_rows
+    u_total = plan.u_total
+    rows_u = np.full(u_total, SENTINEL_ROW, dtype=np.int32)
+    vals_u = np.zeros(u_total, dtype=np.int32)
+    wts_u = np.zeros(u_total, dtype=np.float32)
+    w2t = np.full(plan.num_windows, t_ - 1, dtype=np.int32)
+
+    items = []  # (block, row0, u)
+    bh = b_ * h_
+    bag_of_pos = (np.arange(bh, dtype=np.int32) // h_).astype(np.int32)
+    sent_u = plan.u_size  # first slot of the trailing sentinel window
+    for t in range(t_):
+        rows = idx[t].reshape(bh).astype(np.int32)
+        w = (
+            np.ones(bh, dtype=np.float32)
+            if wt is None
+            else wt[t].reshape(bh).astype(np.float32)
+        )
+        order = np.argsort(rows, kind="stable")
+        rs, vs, ws = rows[order], bag_of_pos[order], w[order]
+        ub = plan.u_base[t]
+        nb = plan.blocks_per_table[t]
+        gb = plan.block_base[t]
+        bounds = np.searchsorted(rs, np.arange(nb + 1) * br)
+        u = ub
+        for j in range(nb):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            cnt = hi - lo
+            if cnt == 0:
+                items.append((gb + j, j * br, sent_u))
+                continue
+            rows_u[u : u + cnt] = rs[lo:hi]
+            vals_u[u : u + cnt] = vs[lo:hi]
+            wts_u[u : u + cnt] = ws[lo:hi]
+            run = -(-cnt // 128) * 128  # pad the block's run to x128
+            for c in range(0, run, CHUNK):
+                items.append((gb + j, j * br, u + c))
+            u += run
+        useg_end = (
+            plan.u_base[t + 1] if t + 1 < t_ else plan.u_size
+        )
+        assert u <= useg_end, "U-segment overflow (static bound violated)"
+        # cover items for the table's tail padding (K3 must write all of R)
+        for c in range(u, useg_end, CHUNK):
+            items.append((plan.pad_block, 0, c))
+        w2t[ub // WINDOW : useg_end // WINDOW] = t
+
+    # cover items for the trailing sentinel window
+    for c in range(plan.u_size, u_total, CHUNK):
+        items.append((plan.pad_block, 0, c))
+
+    m = plan.max_items
+    if len(items) > m:
+        raise AssertionError(f"{len(items)} items > static bound {m}")
+    arr = np.zeros((m, 3), dtype=np.int32)
+    arr[: len(items)] = np.asarray(items, dtype=np.int32)
+    arr[len(items) :] = (plan.pad_block, 0, sent_u)
+    return StreamWork(
+        rows_u=rows_u.reshape(-1, 8, 128),
+        vals_u=vals_u.reshape(-1, 8, 128),
+        wts_u=wts_u.reshape(-1, 8, 128),
+        w2t=w2t,
+        item_block=arr[:, 0].copy(),
+        item_row0=arr[:, 1].copy(),
+        item_u=arr[:, 2].copy(),
+        num_real_items=len(items),
+    )
+
+
+def stack_tables_padded(
+    tables: Sequence[np.ndarray], plan: StreamPlan
+) -> np.ndarray:
+    """Stack tables into the block-aligned padded layout [padded_rows, d]."""
+    d = tables[0].shape[1]
+    out = np.zeros((plan.padded_rows, d), dtype=tables[0].dtype)
+    for t, tab in enumerate(tables):
+        off = plan.padded_offsets[t]
+        out[off : off + tab.shape[0]] = tab
+    return out
+
+
+def pack_rowwise_accum(acc: np.ndarray, plan: StreamPlan) -> np.ndarray:
+    """[rows] row-wise accumulator -> packed [padded_rows/128, 128]."""
+    out = np.zeros(plan.padded_rows, dtype=np.float32)
+    out[: acc.shape[0]] = acc
+    return out.reshape(plan.acc_rows, 128)
+
+
+def unpack_rowwise_accum(packed: np.ndarray, rows: int) -> np.ndarray:
+    return np.asarray(packed).reshape(-1)[:rows]

@@ -1,0 +1,212 @@
+"""Numerical validation of the streamed U-layout kernels (interpret mode).
+
+Oracles: the existing XLA ops (ops/embedding.py fused_embedding_bag) and the
+exact sparse-update appliers (ops/sparse_update.py), which are themselves
+tested against torch references.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlrm_tpu.ops.embedding import fused_embedding_bag
+from dlrm_tpu.ops.sparse_update import (
+    coalesce,
+    rowwise_adagrad_from_coalesced,
+    adagrad_from_coalesced,
+    sgd_from_coalesced,
+)
+from dlrm_tpu.ops.stream_plan import (
+    StreamPlan,
+    build_stream_work,
+    make_stream_plan,
+    pack_rowwise_accum,
+    stack_tables_padded,
+    unpack_rowwise_accum,
+)
+from dlrm_tpu.ops.stream_kernels import (
+    stream_embedding_fwd,
+    stream_update,
+    window_grads,
+)
+
+TABLES = (300, 50, 700)
+D = 128
+B = 64
+H = 2
+BR = 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    plan = make_stream_plan(TABLES, D, B, H, block_rows=BR)
+    idx = np.stack(
+        [rng.integers(0, n, (B, H)) for n in TABLES]
+    ).astype(np.int32)
+    wt = rng.uniform(0.5, 1.5, size=(len(TABLES), B, H)).astype(np.float32)
+    tables = [rng.normal(size=(n, D)).astype(np.float32) for n in TABLES]
+    dly = rng.normal(size=(len(TABLES), B, D)).astype(np.float32)
+    work = build_stream_work(plan, idx, wt)
+    stacked = stack_tables_padded(tables, plan)
+    return plan, idx, wt, tables, dly, work, stacked
+
+
+def _g_u_reference(plan, work, dly):
+    """G_u[u] = wt_u[u] * dly[table(u), val(u)]"""
+    rows = work.rows_u.reshape(-1)
+    vals = work.vals_u.reshape(-1)
+    wts = work.wts_u.reshape(-1)
+    g = np.zeros((plan.u_total, D), np.float32)
+    t_ = len(plan.table_sizes)
+    for t in range(t_):
+        lo = plan.u_base[t]
+        hi = plan.u_base[t + 1] if t + 1 < t_ else plan.u_size
+        for u in range(lo, hi):
+            if wts[u] != 0.0:
+                g[u] = wts[u] * dly[t, vals[u]]
+    return g, rows, wts
+
+
+def test_window_grads(setup):
+    plan, idx, wt, tables, dly, work, stacked = setup
+    g_u = window_grads(
+        jnp.asarray(dly),
+        jnp.asarray(work.vals_u),
+        jnp.asarray(work.wts_u),
+        jnp.asarray(work.w2t),
+        interpret=True,
+    )
+    ref, _, _ = _g_u_reference(plan, work, dly)
+    np.testing.assert_allclose(np.asarray(g_u), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_stream_fwd_matches_fused_embedding_bag(setup):
+    plan, idx, wt, tables, dly, work, stacked = setup
+    pooled = stream_embedding_fwd(
+        plan,
+        jnp.asarray(stacked),
+        jnp.asarray(work.rows_u),
+        jnp.asarray(work.vals_u),
+        jnp.asarray(work.wts_u),
+        jnp.asarray(work.w2t),
+        jnp.asarray(work.item_block),
+        jnp.asarray(work.item_row0),
+        jnp.asarray(work.item_u),
+        interpret=True,
+    )  # [T, B, d]
+    # oracle: the XLA fused path over the UNPADDED stacked layout
+    from dlrm_tpu.ops.embedding import stack_tables
+
+    st, offs = stack_tables(tables)
+    ref = fused_embedding_bag(
+        jnp.asarray(st), jnp.asarray(offs), jnp.asarray(idx), jnp.asarray(wt)
+    )  # [B, T, d]
+    np.testing.assert_allclose(
+        np.asarray(pooled).transpose(1, 0, 2), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def _sparse_oracle(optimizer, tables, idx, wt, dly, lr):
+    """Exact coalesced sparse update on the UNPADDED stacked layout."""
+    from dlrm_tpu.ops.embedding import stack_tables
+    from dlrm_tpu.ops.sparse_update import coalesce_hits
+
+    st, offs = stack_tables(tables)
+    st = jnp.asarray(st)
+    dpooled = jnp.asarray(dly).transpose(1, 0, 2)  # [B, T, d]
+    urows, G, valid = coalesce_hits(
+        dpooled, jnp.asarray(idx), jnp.asarray(wt), jnp.asarray(offs),
+        st.shape[0],
+    )
+    if optimizer == "sgd":
+        return sgd_from_coalesced(st, urows, G, valid, lr), None
+    rows_total = st.shape[0]
+    if optimizer == "rwsadagrad":
+        acc = jnp.full((rows_total,), 0.03, jnp.float32)
+        t2, a2 = rowwise_adagrad_from_coalesced(st, acc, urows, G, valid, lr)
+        return t2, a2
+    acc = jnp.full((rows_total, D), 0.03, jnp.float32)
+    t2, a2 = adagrad_from_coalesced(st, acc, urows, G, valid, lr)
+    return t2, a2
+
+
+def _compare_tables(plan, tables, new_stacked, ref_stacked_unpadded):
+    from dlrm_tpu.ops.embedding import stack_tables
+
+    _, offs = stack_tables(tables)
+    new_stacked = np.asarray(new_stacked)
+    ref = np.asarray(ref_stacked_unpadded)
+    for t, tab in enumerate(tables):
+        n = tab.shape[0]
+        got = new_stacked[plan.padded_offsets[t] : plan.padded_offsets[t] + n]
+        want = ref[offs[t] : offs[t] + n]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"table {t}")
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad", "adagrad"])
+def test_stream_update(setup, optimizer):
+    plan, idx, wt, tables, dly, work, stacked = setup
+    lr = 0.05
+    g_u = window_grads(
+        jnp.asarray(dly),
+        jnp.asarray(work.vals_u),
+        jnp.asarray(work.wts_u),
+        jnp.asarray(work.w2t),
+        interpret=True,
+    )
+    if optimizer == "sgd":
+        acc = None
+    elif optimizer == "rwsadagrad":
+        total = sum(TABLES)
+        acc_flat = np.full(total, 0.03, np.float32)
+        # pack into padded layout: place each table's acc at its padded rows
+        accp = np.zeros(plan.padded_rows, np.float32)
+        pos = 0
+        for t, n in enumerate(TABLES):
+            accp[plan.padded_offsets[t] : plan.padded_offsets[t] + n] = (
+                acc_flat[pos : pos + n]
+            )
+            pos += n
+        acc = jnp.asarray(accp.reshape(plan.acc_rows, 128))
+    else:
+        accp = np.zeros((plan.padded_rows, D), np.float32)
+        for t, n in enumerate(TABLES):
+            accp[plan.padded_offsets[t] : plan.padded_offsets[t] + n] = 0.03
+        acc = jnp.asarray(accp)
+
+    out = stream_update(
+        optimizer, plan, jnp.asarray(stacked), acc, g_u,
+        jnp.asarray(work.rows_u), jnp.asarray(work.item_block),
+        jnp.asarray(work.item_row0), jnp.asarray(work.item_u), lr,
+        interpret=True,
+    )
+    new_table = out[0]
+    ref_table, ref_acc = _sparse_oracle(optimizer, tables, idx, wt, dly, lr)
+    _compare_tables(plan, tables, new_table, ref_table)
+
+    if optimizer == "rwsadagrad":
+        new_acc = np.asarray(out[1]).reshape(-1)
+        ref_acc = np.asarray(ref_acc)
+        from dlrm_tpu.ops.embedding import stack_tables
+
+        _, offs = stack_tables(tables)
+        for t, n in enumerate(TABLES):
+            got = new_acc[plan.padded_offsets[t] : plan.padded_offsets[t] + n]
+            want = ref_acc[offs[t] : offs[t] + n]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"acc table {t}")
+    elif optimizer == "adagrad":
+        new_acc = np.asarray(out[1])
+        ref_acc = np.asarray(ref_acc)
+        from dlrm_tpu.ops.embedding import stack_tables
+
+        _, offs = stack_tables(tables)
+        for t, n in enumerate(TABLES):
+            got = new_acc[plan.padded_offsets[t] : plan.padded_offsets[t] + n]
+            want = ref_acc[offs[t] : offs[t] + n]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"acc table {t}")

@@ -19,11 +19,25 @@ from typing import NamedTuple, Optional
 import jax
 
 
+class StreamArrays(NamedTuple):
+    """Device copies of the host-built U-layout work plan
+    (dlrm_tpu/ops/stream_plan.py) consumed by the streamed kernels."""
+
+    rows_u: jax.Array  # [Uw, 8, 128] int32
+    vals_u: jax.Array  # [Uw, 8, 128] int32
+    wts_u: jax.Array  # [Uw, 8, 128] float32
+    w2t: jax.Array  # [Uw] int32
+    item_block: jax.Array  # [M] int32
+    item_row0: jax.Array  # [M] int32
+    item_u: jax.Array  # [M] int32
+
+
 class Batch(NamedTuple):
     dense: jax.Array
     idx: jax.Array
     wt: Optional[jax.Array]
     labels: Optional[jax.Array]
+    stream: Optional[StreamArrays] = None
 
     @property
     def batch_size(self) -> int:

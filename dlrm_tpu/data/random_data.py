@@ -14,6 +14,7 @@ The ragged bags are converted to the padded [T, B, H] device layout.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -31,15 +32,40 @@ class HostBatch:
     idx: np.ndarray  # [T, B, H] int32
     wt: np.ndarray  # [T, B, H] float32
     labels: np.ndarray  # [B, 1] float32
+    stream: "object" = None  # Optional[dlrm_tpu.ops.stream_plan.StreamWork]
+
+    def with_stream_work(self, plan) -> "HostBatch":
+        """Attach the U-layout work plan (host-side numpy; zero device
+        cost — see ops/stream_plan.py)."""
+        from dlrm_tpu.ops.stream_plan import build_stream_work
+
+        return dataclasses.replace(
+            self, stream=build_stream_work(plan, self.idx, self.wt)
+        )
 
     def to_device(self) -> Batch:
         import jax.numpy as jnp
 
+        from dlrm_tpu.data.batch import StreamArrays
+
+        stream = None
+        if self.stream is not None:
+            w = self.stream
+            stream = StreamArrays(
+                rows_u=jnp.asarray(w.rows_u),
+                vals_u=jnp.asarray(w.vals_u),
+                wts_u=jnp.asarray(w.wts_u),
+                w2t=jnp.asarray(w.w2t),
+                item_block=jnp.asarray(w.item_block),
+                item_row0=jnp.asarray(w.item_row0),
+                item_u=jnp.asarray(w.item_u),
+            )
         return Batch(
             dense=jnp.asarray(self.dense),
             idx=jnp.asarray(self.idx),
             wt=jnp.asarray(self.wt),
             labels=jnp.asarray(self.labels),
+            stream=stream,
         )
 
 

@@ -310,6 +310,11 @@ def stream_update(
     if optimizer == "rwsadagrad":
         if acc is None or acc.shape != (plan.acc_rows, 128):
             raise ValueError("rwsadagrad needs the packed [rows/128,128] acc")
+        if (br // 128) % 8 != 0:
+            raise ValueError(
+                "rwsadagrad stream update needs block_rows >= 1024 (the "
+                "packed accumulator block must have >= 8 sublanes)"
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(m,),

@@ -1,0 +1,82 @@
+"""stream_step == fused_step numerically (CPU, kernels in interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.data.random_data import fixed_multihot_batch
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.train.fused_step import make_fused_train_step
+from dlrm_tpu.train.stream_step import (
+    init_stream_opt_state,
+    make_stream_train_step,
+    pad_params,
+    plan_for_model,
+    unpad_params,
+)
+
+CFG = DLRMConfig(
+    embedding_dim=128,
+    table_sizes=(1500, 300, 2200),
+    mlp_bot=(8, 16, 128),
+    mlp_top=(64, 8, 1),
+    interaction="dot",
+    loss="bce",
+    num_indices_per_lookup=4,
+)
+B = 32  # B*H = 128
+
+
+def _setup(optimizer):
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    plan = plan_for_model(model, B, block_rows=1024)
+    hb = fixed_multihot_batch(
+        rng, CFG.num_dense, CFG.table_sizes, B, CFG.num_indices_per_lookup
+    ).with_stream_work(plan)
+    batch = hb.to_device()
+    return model, params, plan, batch
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad", "adagrad"])
+@pytest.mark.parametrize("fwd_impl", ["gather", "stream"])
+def test_stream_step_matches_fused_step(optimizer, fwd_impl):
+    model, params, plan, batch = _setup(optimizer)
+
+    # reference: the coalesce-based fused step on the plain layout
+    # (deep-copy leaves: both steps donate their inputs)
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, optimizer)
+    ref_params, ref_state, ref_loss, _ = ref_step(
+        copy(params), init_opt_state(optimizer, params), batch, 0.05
+    )
+
+    sp = pad_params(copy(params), model, plan)
+    sstate = init_stream_opt_state(optimizer, sp, plan)
+    step = make_stream_train_step(
+        model, optimizer, plan, fwd_impl=fwd_impl, interpret=True
+    )
+    new_params, new_state, loss, _ = step(sp, sstate, batch, 0.05)
+
+    np.testing.assert_allclose(
+        float(loss), float(ref_loss), rtol=1e-5, atol=1e-6
+    )
+    got = unpad_params(new_params, model, plan)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in new_params:
+        if k == "emb":
+            continue
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            new_params[k], ref_params[k],
+        )

@@ -33,9 +33,9 @@ from dlrm_tpu.ops.stream_kernels import (
 
 TABLES = (300, 50, 700)
 D = 128
-B = 64
+B = 256  # B*H = 512: exercises multi-chunk block runs
 H = 2
-BR = 128
+BR = 1024  # rwsadagrad packed accumulator needs block_rows >= 1024
 
 
 @pytest.fixture(scope="module")

@@ -100,17 +100,17 @@ def run_variant(name, kernel, plan, table, g_u, rows2d, ib, ir, iu, iters=3):
     )
 
     @jax.jit
-    def many(t):
+    def many(t, ib, ir, iu, g_u, rows2d, lr_arr):
         def step(t, _):
             return call(ib, ir, iu, g_u, rows2d, t, lr_arr), ()
 
         t, _ = jax.lax.scan(step, t, None, length=iters)
         return t
 
-    out = many(table)
+    out = many(table, ib, ir, iu, g_u, rows2d, lr_arr)
     fetch(out)
     t0 = time.perf_counter()
-    fetch(many(out))
+    fetch(many(out, ib, ir, iu, g_u, rows2d, lr_arr))
     print(f"{name:44s} {(time.perf_counter()-t0)/iters*1e3:10.2f} ms",
           flush=True)
 

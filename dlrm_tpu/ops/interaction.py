@@ -44,8 +44,10 @@ def dot_interaction(
         "bfd,bgd->bfg", feats, feats, preferred_element_type=jnp.float32
     )  # [B, F, F] batched T·Tᵀ
     flat = _tril_flat_indices(num_f, itself)
+    # cast the pairwise dots back to the compute dtype: fp32 accumulation on
+    # the MXU, but downstream layers keep running in the caller's dtype
     z_flat = jnp.take(z.reshape(batch, num_f * num_f), flat, axis=1)
-    return jnp.concatenate([x.astype(z_flat.dtype), z_flat], axis=1)
+    return jnp.concatenate([x, z_flat.astype(x.dtype)], axis=1)
 
 
 def cat_interaction(x: jax.Array, ly: jax.Array) -> jax.Array:
@@ -61,12 +63,14 @@ def low_rank_cross_net(
     xl = x0
     for layer in params:
         low = jnp.einsum(
-            "bn,rn->br", xl, layer["v"], preferred_element_type=jnp.float32
-        )
+            "bn,rn->br", xl, layer["v"].astype(xl.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(xl.dtype)
         up = jnp.einsum(
-            "br,nr->bn", low, layer["w"], preferred_element_type=jnp.float32
-        )
-        xl = x0 * (up + layer["b"]) + xl
+            "br,nr->bn", low, layer["w"].astype(xl.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(xl.dtype)
+        xl = x0 * (up + layer["b"].astype(xl.dtype)) + xl
     return xl
 
 
@@ -82,9 +86,15 @@ def projection_interaction(
     products (p1 x p2) are concatenated after the dense vector."""
     batch, d = x.shape
     feats = jnp.concatenate([x[:, None, :], ly], axis=1).reshape(batch, -1)  # [B, F*d]
-    b1 = jnp.einsum("bf,fk->bk", feats, w1, preferred_element_type=jnp.float32)
-    b2 = jnp.einsum("bf,fk->bk", feats, w2, preferred_element_type=jnp.float32)
+    b1 = jnp.einsum(
+        "bf,fk->bk", feats, w1.astype(feats.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(feats.dtype)
+    b2 = jnp.einsum(
+        "bf,fk->bk", feats, w2.astype(feats.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(feats.dtype)
     p1 = b1.reshape(batch, -1, d)  # [B, p1, d]
     p2 = b2.reshape(batch, -1, d)  # [B, p2, d]
     z = jnp.einsum("bpd,bqd->bpq", p1, p2, preferred_element_type=jnp.float32)
-    return jnp.concatenate([x, z.reshape(batch, -1)], axis=1)
+    return jnp.concatenate([x, z.reshape(batch, -1).astype(x.dtype)], axis=1)

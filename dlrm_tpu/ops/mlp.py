@@ -45,11 +45,17 @@ def init_mlp(rng: jax.Array, ln: Sequence[int]) -> List[dict]:
 def apply_mlp(
     layers: List[dict], x: jax.Array, sigmoid_layer: int = -1
 ) -> jax.Array:
-    """x @ w + b per layer; ReLU everywhere except Sigmoid at `sigmoid_layer`."""
+    """x @ w + b per layer; ReLU everywhere except Sigmoid at `sigmoid_layer`.
+
+    Activations stay in the caller's compute dtype: matmuls accumulate in
+    fp32 on the MXU (preferred_element_type) but the result is cast back, so
+    a bfloat16 tower runs bfloat16 end to end instead of silently promoting
+    every layer after the first to fp32."""
+    dtype = x.dtype
     for i, layer in enumerate(layers):
         x = (
-            jnp.dot(x, layer["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+            jnp.dot(x, layer["w"].astype(dtype), preferred_element_type=jnp.float32)
             + layer["b"]
-        )
+        ).astype(dtype)
         x = jax.nn.sigmoid(x) if i == sigmoid_layer else jax.nn.relu(x)
     return x

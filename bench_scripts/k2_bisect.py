@@ -71,10 +71,115 @@ def make_sgd_kernel(cond_write, do_dma, do_matmul, br):
     return kernel
 
 
+def make_sgd_manual_out(do_dma, do_matmul, br):
+    """V5: table in via blocked spec (fast, K3-proven); OUT via pl.ANY +
+    manual per-block DMA at `last` (avoids the pathological blocked dynamic
+    output)."""
+
+    def kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
+               out_hbm, gsum, rows_scr, gscr, upd, sem_r, sem_g, sem_w):
+        g = pl.program_id(0)
+        first, last = _flags(ib_ref, g)
+        if do_dma:
+            u = iu_ref[g]
+            row0 = ir_ref[g]
+            rtile = (u // WINDOW) * 8
+            dma_r = pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(rtile, 16), :], rows_scr, sem_r)
+            dma_g = pltpu.make_async_copy(
+                g_hbm.at[pl.ds(u, CHUNK), :], gscr, sem_g)
+            dma_r.start()
+            dma_g.start()
+
+            @pl.when(first)
+            def _():
+                gsum[:] = jnp.zeros_like(gsum)
+
+            dma_r.wait()
+            dma_g.wait()
+            if do_matmul:
+                off = u // 128 - rtile
+                local = rows_scr[pl.ds(off, CHUNK // 128), :] - row0
+                iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
+                for s in range(CHUNK // 128):
+                    oh = _onehot(iota_r, local[s, :], None, jnp.float32)
+                    gs = gscr[s * 128:(s + 1) * 128, :]
+                    gsum[:] += jax.lax.dot_general(
+                        oh, gs, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+        @pl.when(last)
+        def _():
+            blk = ib_ref[g]
+            upd[:] = (
+                table_ref[:] - lr_ref[0, 0] * gsum[:]
+            ).astype(upd.dtype)
+            dma_w = pltpu.make_async_copy(
+                upd, out_hbm.at[pl.ds(blk * br, br), :], sem_w)
+            dma_w.start()
+            dma_w.wait()
+
+    return kernel
+
+
+def run_variant_manual(name, kernel, plan, table, g_u, rows2d, ib, ir, iu,
+                       iters=3):
+    br = plan.block_rows
+    d = table.shape[1]
+    m = ib.shape[0]
+    print(f"[{time.strftime('%H:%M:%S')}] {name}: building (m={m})",
+          flush=True)
+    lr_arr = jnp.full((1, 1), 0.01, jnp.float32)
+    table_spec = pl.BlockSpec((br, d), lambda g, ibb, irr, iuu: (ibb[g], 0),
+                              memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(m,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      table_spec,
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((br, d), jnp.float32),
+                pltpu.VMEM((16, 128), jnp.int32),
+                pltpu.VMEM((CHUNK, d), jnp.float32),
+                pltpu.VMEM((br, d), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    @jax.jit
+    def many(t, ib, ir, iu, g_u, rows2d, lr_arr):
+        def step(t, _):
+            return call(ib, ir, iu, g_u, rows2d, t, lr_arr), ()
+
+        t, _ = jax.lax.scan(step, t, None, length=iters)
+        return t
+
+    t0 = time.perf_counter()
+    out = many(table, ib, ir, iu, g_u, rows2d, lr_arr)
+    fetch(out)
+    print(f"[{time.strftime('%H:%M:%S')}] {name}: compile+first "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    fetch(many(out, ib, ir, iu, g_u, rows2d, lr_arr))
+    print(f"{name:44s} {(time.perf_counter()-t0)/iters*1e3:10.2f} ms",
+          flush=True)
+
+
 def run_variant(name, kernel, plan, table, g_u, rows2d, ib, ir, iu, iters=3):
     br = plan.block_rows
     d = table.shape[1]
     m = ib.shape[0]
+    print(f"[{time.strftime('%H:%M:%S')}] {name}: building (m={m})", flush=True)
     lr_arr = jnp.full((1, 1), 0.01, jnp.float32)
     table_spec = pl.BlockSpec((br, d), lambda g, ibb, irr, iuu: (ibb[g], 0),
                               memory_space=pltpu.VMEM)
@@ -107,8 +212,11 @@ def run_variant(name, kernel, plan, table, g_u, rows2d, ib, ir, iu, iters=3):
         t, _ = jax.lax.scan(step, t, None, length=iters)
         return t
 
+    t0 = time.perf_counter()
     out = many(table, ib, ir, iu, g_u, rows2d, lr_arr)
     fetch(out)
+    print(f"[{time.strftime('%H:%M:%S')}] {name}: compile+first "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     fetch(many(out, ib, ir, iu, g_u, rows2d, lr_arr))
     print(f"{name:44s} {(time.perf_counter()-t0)/iters*1e3:10.2f} ms",
@@ -131,18 +239,28 @@ def main():
     ir = jnp.asarray(work.item_row0)
     iu = jnp.asarray(work.item_u)
 
-    run_variant("V3 skeleton cond-write",
-                make_sgd_kernel(True, False, False, br),
-                plan, table, g_u, rows2d, ib, ir, iu)
-    run_variant("V4 skeleton uncond-write",
-                make_sgd_kernel(False, False, False, br),
-                plan, table, g_u, rows2d, ib, ir, iu)
-    run_variant("V2 sgd uncond-write",
-                make_sgd_kernel(False, True, True, br),
-                plan, table, g_u, rows2d, ib, ir, iu)
-    run_variant("V1 sgd baseline cond-write",
-                make_sgd_kernel(True, True, True, br),
-                plan, table, g_u, rows2d, ib, ir, iu)
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "V4"
+    variants = {
+        "V3": ("V3 skeleton cond-write", (True, False, False)),
+        "V4": ("V4 skeleton uncond-write", (False, False, False)),
+        "V2": ("V2 sgd uncond-write", (False, True, True)),
+        "V1": ("V1 sgd baseline cond-write", (True, True, True)),
+    }
+    manual = {
+        "V5": ("V5 manual-out skeleton", (False, False)),
+        "V6": ("V6 manual-out full sgd", (True, True)),
+    }
+    for v in which.split(","):
+        if v in manual:
+            name, flags = manual[v]
+            run_variant_manual(name, make_sgd_manual_out(*flags, br),
+                               plan, table, g_u, rows2d, ib, ir, iu)
+        else:
+            name, flags = variants[v]
+            run_variant(name, make_sgd_kernel(*flags, br),
+                        plan, table, g_u, rows2d, ib, ir, iu)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""Isolate the blocked-pipeline pathology (k2_bisect V4: 8.9ms/grid-step).
+
+Toy kernel: out[blk] = table[blk] + 1 over a grid with ONE item per block.
+Variants:
+  S  static identity map (g, 0)            — baseline Mosaic pipeline
+  D  dynamic map ib[g] (scalar prefetch), ib = iota (same access pattern)
+  M  dynamic IN + manual DMA OUT (pl.ANY)
+  N  static IN + manual DMA OUT (pl.ANY)
+If S is fast and D is slow, data-dependent index maps kill pipelining.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BR, D_, NBLK = 2048, 128, 1024  # 1GB table
+
+
+def fetch(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0]).reshape(-1)[0]
+
+
+def build(variant):
+    blocked_dyn = pl.BlockSpec((BR, D_), lambda g, ib: (ib[g], 0),
+                               memory_space=pltpu.VMEM)
+    blocked_static = pl.BlockSpec((BR, D_), lambda g, ib: (g, 0),
+                                  memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    if variant in ("S", "D"):
+        def kernel(ib_ref, t_ref, o_ref):
+            o_ref[:] = t_ref[:] + 1.0
+
+        in_spec = blocked_static if variant == "S" else blocked_dyn
+        out_spec = in_spec
+        scratch = []
+    else:
+        def kernel(ib_ref, t_ref, o_hbm, upd, sem):
+            g = pl.program_id(0)
+            blk = ib_ref[g]
+            upd[:] = t_ref[:] + 1.0
+            dma = pltpu.make_async_copy(
+                upd, o_hbm.at[pl.ds(blk * BR, BR)], sem)
+            dma.start()
+            dma.wait()
+
+        in_spec = blocked_dyn if variant == "M" else blocked_static
+        out_spec = any_spec
+        scratch = [pltpu.VMEM((BR, D_), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NBLK,),
+            in_specs=[in_spec],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((NBLK * BR, D_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    table = jnp.ones((NBLK * BR, D_), jnp.float32)
+    ib = jnp.arange(NBLK, dtype=jnp.int32)
+    for variant in sys.argv[1].split(","):
+        call = build(variant)
+        fn = jax.jit(lambda ib, t: call(ib, t))
+        t0 = time.perf_counter()
+        out = fn(ib, table)
+        fetch(out)
+        print(f"[{time.strftime('%H:%M:%S')}] {variant}: compile+first "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        fetch(fn(ib, out))
+        dt = time.perf_counter() - t0
+        print(f"{variant}: {dt*1e3:9.2f} ms  ({dt/NBLK*1e6:7.1f} us/blk, "
+              f"{2*NBLK*BR*D_*4/dt/1e9:6.1f} GB/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,28 @@ def window_grads(
     )(w2t, vals_u, wts_u, dly)
 
 
+def gather_grads(
+    dly: jax.Array,  # [T, B, d] pooled-embedding cotangent
+    vals_u: jax.Array,  # [Uw, 8, 128] int32 bag index (0 at sentinels)
+    wts_u: jax.Array,  # [Uw, 8, 128] f32 weight (0 at sentinels)
+    w2t: jax.Array,  # [Uw] int32 window -> table
+    *,
+    out_dtype=jnp.float32,
+) -> jax.Array:  # G_u [Uw*1024, d]
+    """K1 alternative: per-hit grads via one fused XLA gather.
+
+    window_grads' one-hot matmul costs B*d*2 FLOPs per hit (quadratic in
+    batch x hits); this costs one issue-rate-bound row gather per hit
+    (~18.5ns measured) independent of B — the right choice for large batch.
+    Sentinel slots gather bag 0 of the window's table and are zeroed by the
+    weight."""
+    t, b, d = dly.shape
+    dly2 = dly.reshape(t * b, d)
+    idx = w2t[:, None, None] * b + vals_u  # [Uw, 8, 128]
+    g = jnp.take(dly2, idx.reshape(-1), axis=0)
+    return (g * wts_u.reshape(-1, 1)).astype(out_dtype)
+
+
 # ----------------------------------------------------------------- K2
 def _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, *, first, br, mm_dtype, g_idx):
@@ -166,36 +188,80 @@ def _identity128(dtype=jnp.float32):
     return (a == b).astype(dtype)
 
 
+def _write_block(when_ok, blk, buf, out_hbm, sem, rows_per_blk):
+    """Manual per-block DMA-out (pl.ANY output).
+
+    A BLOCKED output spec with a data-dependent index map serializes the
+    Mosaic pipeline catastrophically (~8.9ms per grid step measured on v5e,
+    bench_scripts/k2_bisect.py V4); K3's blocked-INPUT + manual-output shape
+    runs the same grid at full bandwidth. Protocol: wait for the previous
+    block's write (buffer reuse guard) only when one exists, then start this
+    block's; the write drains while the next block accumulates."""
+    dma = pltpu.make_async_copy(
+        buf, out_hbm.at[pl.ds(blk * rows_per_blk, rows_per_blk)], sem
+    )
+
+    @pl.when(when_ok)
+    def _():
+        dma.wait()
+
+    dma.start()
+
+
+def _finalize_writes(g, m, blk, out_hbm, buf, sem, acc_pack):
+    """At the final grid step, drain the in-flight write(s)."""
+
+    @pl.when(g == m - 1)
+    def _():
+        rows_per_blk = buf.shape[0]
+        pltpu.make_async_copy(
+            buf, out_hbm.at[pl.ds(blk * rows_per_blk, rows_per_blk)], sem
+        ).wait()
+        for b2, o2, s2 in acc_pack:
+            rp = b2.shape[0]
+            pltpu.make_async_copy(
+                b2, o2.at[pl.ds(blk * rp, rp)], s2
+            ).wait()
+
+
 def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
-                out_ref, gsum, rows_scr, gscr, sem_r, sem_g,
+                out_hbm, gsum, rows_scr, gscr, upd, sem_r, sem_g, sem_w,
                 *, br, mm_dtype):
     g = pl.program_id(0)
+    m = pl.num_programs(0)
     first, last = _flags(ib_ref, g)
     _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
                      g_idx=g)
+    blk = ib_ref[g]
 
     @pl.when(last)
     def _():
-        out_ref[:] = (
+        upd[:] = (
             table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gsum[:]
-        ).astype(out_ref.dtype)
+        ).astype(upd.dtype)
+        _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
+
+    _finalize_writes(g, m, blk, out_hbm, upd, sem_w, ())
 
 
 def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
-                            table_ref, acc_ref, lr_ref, out_ref, acc_out,
-                            gsum, rows_scr, gscr, sem_r, sem_g,
+                            table_ref, acc_ref, lr_ref, out_hbm, acc_hbm,
+                            gsum, rows_scr, gscr, upd, acc_upd,
+                            sem_r, sem_g, sem_w, sem_wa,
                             *, br, d, mm_dtype, eps):
     g = pl.program_id(0)
+    m = pl.num_programs(0)
     first, last = _flags(ib_ref, g)
     _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
                      g_idx=g)
+    blk = ib_ref[g]
 
     @pl.when(last)
     def _():
         gs = gsum[:]
-        m = jnp.sum(gs * gs, axis=1, keepdims=True) / d  # [br, 1]
+        mrow = jnp.sum(gs * gs, axis=1, keepdims=True) / d  # [br, 1]
         ident = _identity128()
         acc16 = acc_ref[:]  # [br/128, 128] packed row-wise accumulator
         cols = [
@@ -207,11 +273,11 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
             for i in range(br // 128)
         ]
         acc_col = jnp.concatenate(cols, axis=0)  # [br, 1]
-        new_acc = acc_col + m
+        new_acc = acc_col + mrow
         denom = jnp.sqrt(new_acc) + eps
-        out_ref[:] = (
+        upd[:] = (
             table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom
-        ).astype(out_ref.dtype)
+        ).astype(upd.dtype)
         rows_back = [
             jax.lax.dot_general(
                 new_acc[i * 128 : (i + 1) * 128, :], ident,
@@ -220,27 +286,40 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
             )  # [1, 128]: row[b] = new_acc[i*128 + b]
             for i in range(br // 128)
         ]
-        acc_out[:] = jnp.concatenate(rows_back, axis=0)
+        acc_upd[:] = jnp.concatenate(rows_back, axis=0)
+        _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
+        _write_block(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br // 128)
+
+    _finalize_writes(g, m, blk, out_hbm, upd, sem_w,
+                     ((acc_upd, acc_hbm, sem_wa),))
 
 
 def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
-                    acc_ref, lr_ref, out_ref, acc_out, gsum, rows_scr, gscr,
-                    sem_r, sem_g, *, br, mm_dtype, eps):
+                    acc_ref, lr_ref, out_hbm, acc_hbm, gsum, rows_scr, gscr,
+                    upd, acc_upd, sem_r, sem_g, sem_w, sem_wa,
+                    *, br, mm_dtype, eps):
     g = pl.program_id(0)
+    m = pl.num_programs(0)
     first, last = _flags(ib_ref, g)
     _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
                      g_idx=g)
+    blk = ib_ref[g]
 
     @pl.when(last)
     def _():
         gs = gsum[:]
         new_acc = acc_ref[:].astype(jnp.float32) + gs * gs
         denom = jnp.sqrt(new_acc) + eps
-        out_ref[:] = (
+        upd[:] = (
             table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom
-        ).astype(out_ref.dtype)
-        acc_out[:] = new_acc.astype(acc_out.dtype)
+        ).astype(upd.dtype)
+        acc_upd[:] = new_acc.astype(acc_upd.dtype)
+        _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
+        _write_block(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br)
+
+    _finalize_writes(g, m, blk, out_hbm, upd, sem_w,
+                     ((acc_upd, acc_hbm, sem_wa),))
 
 
 def _rows2d_padded(rows_u: jax.Array) -> jax.Array:
@@ -281,28 +360,39 @@ def stream_update(
         (br // 128, 128), lambda g, ib, ir, iu: (ib[g], 0),
         memory_space=pltpu.VMEM,
     )
-    scratch = [
-        pltpu.VMEM((br, d), jnp.float32),
-        pltpu.VMEM((16, 128), jnp.int32),
-        pltpu.VMEM((CHUNK, d), g_u.dtype),
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
-    ]
+    def make_scratch(acc_upd_shape=None):
+        """Scratch in kernel-signature order: gsum, rows, gscr, upd,
+        [acc_upd], then the DMA semaphores."""
+        vmem = [
+            pltpu.VMEM((br, d), jnp.float32),
+            pltpu.VMEM((16, 128), jnp.int32),
+            pltpu.VMEM((CHUNK, d), g_u.dtype),
+            pltpu.VMEM((br, d), table.dtype),  # upd (manual write buffer)
+        ]
+        sems = [pltpu.SemaphoreType.DMA] * 3  # sem_r, sem_g, sem_w
+        if acc_upd_shape is not None:
+            vmem.append(pltpu.VMEM(acc_upd_shape, jnp.float32))
+            sems.append(pltpu.SemaphoreType.DMA)  # sem_wa
+        return vmem + sems
+
+    scratch = make_scratch()
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    side = pltpu.CompilerParams(has_side_effects=True)
 
     if optimizer == "sgd":
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(m,),
             in_specs=[any_spec, any_spec, table_spec, smem_spec],
-            out_specs=table_spec,
+            out_specs=any_spec,
             scratch_shapes=scratch,
         )
         new_table = pl.pallas_call(
             functools.partial(_sgd_kernel, br=br, mm_dtype=mm_dtype),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+            compiler_params=side,
             interpret=interpret,
         )(item_block, item_row0, item_u, g_u, rows2d, table, lr_arr)
         return (new_table,)
@@ -319,8 +409,8 @@ def stream_update(
             num_scalar_prefetch=3,
             grid=(m,),
             in_specs=[any_spec, any_spec, table_spec, acc16_spec, smem_spec],
-            out_specs=(table_spec, acc16_spec),
-            scratch_shapes=scratch,
+            out_specs=(any_spec, any_spec),
+            scratch_shapes=make_scratch((br // 128, 128)),
         )
         new_table, new_acc = pl.pallas_call(
             functools.partial(
@@ -332,6 +422,7 @@ def stream_update(
                 jax.ShapeDtypeStruct(table.shape, table.dtype),
                 jax.ShapeDtypeStruct(acc.shape, jnp.float32),
             ),
+            compiler_params=side,
             interpret=interpret,
         )(item_block, item_row0, item_u, g_u, rows2d, table, acc, lr_arr)
         return new_table, new_acc
@@ -343,8 +434,8 @@ def stream_update(
             num_scalar_prefetch=3,
             grid=(m,),
             in_specs=[any_spec, any_spec, table_spec, table_spec, smem_spec],
-            out_specs=(table_spec, table_spec),
-            scratch_shapes=scratch,
+            out_specs=(any_spec, any_spec),
+            scratch_shapes=make_scratch((br, d)),
         )
         new_table, new_acc = pl.pallas_call(
             functools.partial(
@@ -355,6 +446,7 @@ def stream_update(
                 jax.ShapeDtypeStruct(table.shape, table.dtype),
                 jax.ShapeDtypeStruct(table.shape, jnp.float32),
             ),
+            compiler_params=side,
             interpret=interpret,
         )(item_block, item_row0, item_u, g_u, rows2d, table, acc, lr_arr)
         return new_table, new_acc

@@ -25,7 +25,12 @@ import numpy as np
 from dlrm_tpu.data.batch import Batch
 from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
 from dlrm_tpu.ops.embedding import fused_embedding_bag
-from dlrm_tpu.ops.stream_kernels import stream_embedding_fwd, stream_update, window_grads
+from dlrm_tpu.ops.stream_kernels import (
+    gather_grads,
+    stream_embedding_fwd,
+    stream_update,
+    window_grads,
+)
 from dlrm_tpu.ops.stream_plan import StreamPlan, make_stream_plan
 from dlrm_tpu.optim.optimizers import apply_updates
 
@@ -110,6 +115,7 @@ def make_stream_train_step(
     plan: StreamPlan,
     *,
     fwd_impl: str = "gather",  # gather (XLA take) | stream (K3+K4)
+    grad_impl: str = "onehot",  # onehot (K1, small batch) | gather (large)
     mm_dtype=jnp.float32,  # one-hot matmul dtype (bfloat16 = fast path)
     g_dtype=jnp.float32,  # dtype of the G_u / R_u intermediates
     interpret: bool = False,  # run kernels in interpret mode (CPU tests)
@@ -163,10 +169,15 @@ def make_stream_train_step(
 
         # table: K1 (grads in U-order) + K2 (streamed block update)
         dly_t = jnp.transpose(dly, (1, 0, 2))  # [T, B, d]
-        g_u = window_grads(
-            dly_t, sw.vals_u, sw.wts_u, sw.w2t,
-            out_dtype=g_dtype, mm_dtype=mm_dtype, interpret=interpret,
-        )
+        if grad_impl == "gather":
+            g_u = gather_grads(
+                dly_t, sw.vals_u, sw.wts_u, sw.w2t, out_dtype=g_dtype,
+            )
+        else:
+            g_u = window_grads(
+                dly_t, sw.vals_u, sw.wts_u, sw.w2t,
+                out_dtype=g_dtype, mm_dtype=mm_dtype, interpret=interpret,
+            )
         acc = (
             None
             if optimizer == "sgd"

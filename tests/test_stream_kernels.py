@@ -26,6 +26,7 @@ from dlrm_tpu.ops.stream_plan import (
     unpack_rowwise_accum,
 )
 from dlrm_tpu.ops.stream_kernels import (
+    gather_grads,
     stream_embedding_fwd,
     stream_update,
     window_grads,
@@ -77,6 +78,18 @@ def test_window_grads(setup):
         jnp.asarray(work.wts_u),
         jnp.asarray(work.w2t),
         interpret=True,
+    )
+    ref, _, _ = _g_u_reference(plan, work, dly)
+    np.testing.assert_allclose(np.asarray(g_u), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_gather_grads_matches_window_grads(setup):
+    plan, idx, wt, tables, dly, work, stacked = setup
+    g_u = gather_grads(
+        jnp.asarray(dly),
+        jnp.asarray(work.vals_u),
+        jnp.asarray(work.wts_u),
+        jnp.asarray(work.w2t),
     )
     ref, _, _ = _g_u_reference(plan, work, dly)
     np.testing.assert_allclose(np.asarray(g_u), ref, rtol=1e-6, atol=1e-6)

@@ -43,8 +43,11 @@ def _setup(optimizer):
 
 
 @pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad", "adagrad"])
-@pytest.mark.parametrize("fwd_impl", ["gather", "stream"])
-def test_stream_step_matches_fused_step(optimizer, fwd_impl):
+@pytest.mark.parametrize(
+    "fwd_impl,grad_impl",
+    [("gather", "onehot"), ("stream", "onehot"), ("gather", "gather")],
+)
+def test_stream_step_matches_fused_step(optimizer, fwd_impl, grad_impl):
     model, params, plan, batch = _setup(optimizer)
 
     # reference: the coalesce-based fused step on the plain layout
@@ -58,7 +61,8 @@ def test_stream_step_matches_fused_step(optimizer, fwd_impl):
     sp = pad_params(copy(params), model, plan)
     sstate = init_stream_opt_state(optimizer, sp, plan)
     step = make_stream_train_step(
-        model, optimizer, plan, fwd_impl=fwd_impl, interpret=True
+        model, optimizer, plan, fwd_impl=fwd_impl, grad_impl=grad_impl,
+        interpret=True,
     )
     new_params, new_state, loss, _ = step(sp, sstate, batch, 0.05)
 

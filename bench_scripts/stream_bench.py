@@ -162,8 +162,8 @@ def bench_scale_timing():
                                  ib, ir, iu, 0.01)
             return (t, a), ()
 
-        carry, _ = jax.lax.scan(step, (table, acc), None, length=iters)
-        return carry
+        (t, a), _ = jax.lax.scan(step, (table, acc), None, length=iters)
+        return t[0, 0] + a[0, 0]  # scalar: nothing big crosses the tunnel
 
     out = k2_many(stacked, accp, g_u, jw["rows_u"], jw["item_block"],
                   jw["item_row0"], jw["item_u"])

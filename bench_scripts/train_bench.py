@@ -1,0 +1,118 @@
+"""End-to-end train-step timing: fused (XLA) vs streamed kernels.
+
+Usage: train_bench.py [fused|stream|both] [batch_size ...]
+Measures K scan-chained steps per config; only scalar losses cross the
+tunnel (see PERF_NOTES.md measurement rules).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.data.random_data import fixed_multihot_batch
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.train.fused_step import make_fused_train_step
+from dlrm_tpu.train.stream_step import (
+    cast_emb,
+    init_stream_opt_state,
+    make_stream_train_step,
+    pad_params,
+    plan_for_model,
+)
+
+OPT = "rwsadagrad"
+ITERS = 20
+
+
+def cfg_for(batch_size):
+    return DLRMConfig(
+        embedding_dim=128,
+        table_sizes=tuple([200_000] * 26),
+        mlp_bot=(13, 512, 256, 128),
+        mlp_top=(1024, 1024, 512, 256, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=8,
+        compute_dtype="bfloat16",
+    )
+
+
+def time_many(raw_step, params, opt_state, batch, label, bs):
+    def one(carry, _):
+        p, s = carry
+        p, s, loss, _ = raw_step(p, s, batch, 0.01)
+        return (p, s), loss
+
+    @jax.jit
+    def many(p, s):
+        (p, s), losses = jax.lax.scan(one, (p, s), None, length=ITERS)
+        return losses  # [ITERS] scalars only
+
+    t0 = time.perf_counter()
+    losses = np.asarray(many(params, opt_state))
+    print(f"[{time.strftime('%H:%M:%S')}] {label}: compile+first "
+          f"{time.perf_counter() - t0:.1f}s loss[-1]={losses[-1]:.4f}",
+          flush=True)
+    assert np.isfinite(losses).all(), losses
+    t0 = time.perf_counter()
+    np.asarray(many(params, opt_state))
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{label:46s} {dt*1e3:9.2f} ms/step  "
+          f"{bs/dt:10.0f} examples/s", flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    batches = [int(x) for x in sys.argv[2:]] or [2048]
+    print("devices:", jax.devices(), flush=True)
+    for bs in batches:
+        cfg = cfg_for(bs)
+        model = DLRMModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        hb = fixed_multihot_batch(
+            rng, cfg.num_dense, cfg.table_sizes, bs,
+            cfg.num_indices_per_lookup,
+        )
+
+        if which in ("fused", "both"):
+            step = make_fused_train_step(model, OPT)
+            time_many(step.__wrapped__, params,
+                      init_opt_state(OPT, params), hb.to_device(),
+                      f"fused bs={bs}", bs)
+
+        if which in ("stream", "both"):
+            plan = plan_for_model(model, bs, block_rows=2048)
+            t0 = time.perf_counter()
+            hb2 = hb.with_stream_work(plan)
+            print(f"host stream work: {(time.perf_counter()-t0)*1e3:.0f} ms",
+                  flush=True)
+            sp = pad_params(params, model, plan)
+            sstate = init_stream_opt_state(OPT, sp, plan)
+            for tdt, mm, gi, gdt in (
+                (jnp.float32, jnp.float32, "onehot", jnp.float32),
+                (jnp.float32, jnp.bfloat16, "gather", jnp.float32),
+                (jnp.bfloat16, jnp.bfloat16, "gather", jnp.float32),
+                (jnp.bfloat16, jnp.bfloat16, "gather", jnp.bfloat16),
+            ):
+                step = make_stream_train_step(
+                    model, OPT, plan, fwd_impl="gather", grad_impl=gi,
+                    mm_dtype=mm, g_dtype=gdt,
+                    stochastic_round=(tdt == jnp.bfloat16),
+                )
+                time_many(
+                    step.__wrapped__, cast_emb(sp, tdt), sstate,
+                    hb2.to_device(),
+                    f"stream bs={bs} tbl={jnp.dtype(tdt).name} "
+                    f"mm={jnp.dtype(mm).name} g={jnp.dtype(gdt).name} "
+                    f"grad={gi}", bs,
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,11 @@ def embedding_bag(
     """Sum-pooled lookup on a single table (EmbeddingBag mode='sum' equivalent)."""
     rows = jnp.take(table, idx, axis=0)  # [B, H, d]
     if wt is None:
-        return jnp.sum(rows, axis=1)
-    return jnp.einsum("bhd,bh->bd", rows, wt.astype(rows.dtype))
+        return jnp.sum(rows, axis=1, dtype=jnp.float32).astype(rows.dtype)
+    return jnp.einsum(
+        "bhd,bh->bd", rows, wt.astype(rows.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(rows.dtype)
 
 
 def stack_tables(tables: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
@@ -65,9 +68,12 @@ def fused_embedding_bag(
     flat_idx = idx + row_offsets[:, None, None]  # [T, B, H]
     rows = jnp.take(stacked, flat_idx, axis=0)  # [T, B, H, d]
     if wt is None:
-        pooled = jnp.sum(rows, axis=2)  # [T, B, d]
+        pooled = jnp.sum(rows, axis=2, dtype=jnp.float32).astype(rows.dtype)
     else:
-        pooled = jnp.einsum("tbhd,tbh->tbd", rows, wt.astype(rows.dtype))
+        pooled = jnp.einsum(
+            "tbhd,tbh->tbd", rows, wt.astype(rows.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(rows.dtype)
     return jnp.transpose(pooled, (1, 0, 2))  # [B, T, d]
 
 

@@ -182,6 +182,22 @@ def _flags(ib_ref, g):
     return first, last
 
 
+def _cast_out(val_f32, out_dtype, sr):
+    """Cast the updated block to the table dtype; when sr is set and the
+    table is bfloat16, use stochastic rounding (add uniform bits below the
+    bf16 mantissa, then truncate) — FBGEMM does the same for its low-precision
+    split-TBE updates so that tiny Adagrad steps don't round to zero."""
+    if not sr or out_dtype != jnp.bfloat16:
+        return val_f32.astype(out_dtype)
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits(val_f32.shape), jnp.uint32
+    ) & jnp.uint32(0xFFFF)
+    u = pltpu.bitcast(val_f32, jnp.uint32) + bits
+    return pltpu.bitcast(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
 def _identity128(dtype=jnp.float32):
     a = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -226,9 +242,11 @@ def _finalize_writes(g, m, blk, out_hbm, buf, sem, acc_pack):
 
 def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
                 out_hbm, gsum, rows_scr, gscr, upd, sem_r, sem_g, sem_w,
-                *, br, mm_dtype):
+                *, br, mm_dtype, sr):
     g = pl.program_id(0)
     m = pl.num_programs(0)
+    if sr:
+        pltpu.prng_seed(lr_ref[0, 1].astype(jnp.int32), g)
     first, last = _flags(ib_ref, g)
     _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
@@ -237,9 +255,10 @@ def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
 
     @pl.when(last)
     def _():
-        upd[:] = (
-            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gsum[:]
-        ).astype(upd.dtype)
+        upd[:] = _cast_out(
+            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gsum[:],
+            upd.dtype, sr,
+        )
         _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
 
     _finalize_writes(g, m, blk, out_hbm, upd, sem_w, ())
@@ -249,9 +268,11 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
                             table_ref, acc_ref, lr_ref, out_hbm, acc_hbm,
                             gsum, rows_scr, gscr, upd, acc_upd,
                             sem_r, sem_g, sem_w, sem_wa,
-                            *, br, d, mm_dtype, eps):
+                            *, br, d, mm_dtype, eps, sr):
     g = pl.program_id(0)
     m = pl.num_programs(0)
+    if sr:
+        pltpu.prng_seed(lr_ref[0, 1].astype(jnp.int32), g)
     first, last = _flags(ib_ref, g)
     _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
@@ -275,9 +296,10 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
         acc_col = jnp.concatenate(cols, axis=0)  # [br, 1]
         new_acc = acc_col + mrow
         denom = jnp.sqrt(new_acc) + eps
-        upd[:] = (
-            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom
-        ).astype(upd.dtype)
+        upd[:] = _cast_out(
+            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom,
+            upd.dtype, sr,
+        )
         rows_back = [
             jax.lax.dot_general(
                 new_acc[i * 128 : (i + 1) * 128, :], ident,
@@ -297,9 +319,11 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
 def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
                     acc_ref, lr_ref, out_hbm, acc_hbm, gsum, rows_scr, gscr,
                     upd, acc_upd, sem_r, sem_g, sem_w, sem_wa,
-                    *, br, mm_dtype, eps):
+                    *, br, mm_dtype, eps, sr):
     g = pl.program_id(0)
     m = pl.num_programs(0)
+    if sr:
+        pltpu.prng_seed(lr_ref[0, 1].astype(jnp.int32), g)
     first, last = _flags(ib_ref, g)
     _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
                      sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
@@ -311,9 +335,10 @@ def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
         gs = gsum[:]
         new_acc = acc_ref[:].astype(jnp.float32) + gs * gs
         denom = jnp.sqrt(new_acc) + eps
-        upd[:] = (
-            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom
-        ).astype(upd.dtype)
+        upd[:] = _cast_out(
+            table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gs / denom,
+            upd.dtype, sr,
+        )
         acc_upd[:] = new_acc.astype(acc_upd.dtype)
         _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
         _write_block(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br)
@@ -345,14 +370,23 @@ def stream_update(
     *,
     mm_dtype=jnp.float32,
     eps: float = ADAGRAD_EPS,
+    stochastic_round: bool = False,
+    seed=0,  # SR stream seed; pass the step counter for train-time variation
     interpret: bool = False,
 ):
     """Returns (new_table,) for sgd or (new_table, new_acc) otherwise."""
     br = plan.block_rows
     d = table.shape[1]
     m = item_block.shape[0]
+    # pltpu.prng_* has no CPU lowering: interpret-mode tests silently use
+    # round-to-nearest; SR itself is validated on-chip (stream_bench phase 1)
+    sr = (bool(stochastic_round) and not interpret
+          and jnp.dtype(table.dtype).name == "bfloat16")
     rows2d = _rows2d_padded(rows_u)
-    lr_arr = jnp.full((1, 1), lr, jnp.float32)
+    lr_arr = jnp.stack(
+        [jnp.asarray(lr, jnp.float32),
+         jnp.asarray(seed, jnp.int32).astype(jnp.float32)]
+    ).reshape(1, 2)
 
     table_spec = pl.BlockSpec((br, d), lambda g, ib, ir, iu: (ib[g], 0),
                               memory_space=pltpu.VMEM)
@@ -389,7 +423,7 @@ def stream_update(
             scratch_shapes=scratch,
         )
         new_table = pl.pallas_call(
-            functools.partial(_sgd_kernel, br=br, mm_dtype=mm_dtype),
+            functools.partial(_sgd_kernel, br=br, mm_dtype=mm_dtype, sr=sr),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
             compiler_params=side,
@@ -415,7 +449,7 @@ def stream_update(
         new_table, new_acc = pl.pallas_call(
             functools.partial(
                 _rowwise_adagrad_kernel, br=br, d=d, mm_dtype=mm_dtype,
-                eps=eps,
+                eps=eps, sr=sr,
             ),
             grid_spec=grid_spec,
             out_shape=(
@@ -439,7 +473,7 @@ def stream_update(
         )
         new_table, new_acc = pl.pallas_call(
             functools.partial(
-                _adagrad_kernel, br=br, mm_dtype=mm_dtype, eps=eps
+                _adagrad_kernel, br=br, mm_dtype=mm_dtype, eps=eps, sr=sr,
             ),
             grid_spec=grid_spec,
             out_shape=(

@@ -84,6 +84,14 @@ def unpad_params(params, model: DLRMModel, plan: StreamPlan):
     return out
 
 
+def cast_emb(params, dtype):
+    """Cast the stacked embedding table (e.g. to bfloat16 for the
+    low-precision table path; pair with stochastic_round=True in the step)."""
+    out = dict(params)
+    out["emb"] = {"stacked": params["emb"]["stacked"].astype(dtype)}
+    return out
+
+
 def init_stream_opt_state(optimizer: str, params, plan: StreamPlan):
     """Optimizer state with stream-layout emb accumulators."""
     emb = params["emb"]["stacked"]
@@ -118,6 +126,7 @@ def make_stream_train_step(
     grad_impl: str = "onehot",  # onehot (K1, small batch) | gather (large)
     mm_dtype=jnp.float32,  # one-hot matmul dtype (bfloat16 = fast path)
     g_dtype=jnp.float32,  # dtype of the G_u / R_u intermediates
+    stochastic_round: bool = False,  # SR the bf16 table writes (FBGEMM-style)
     interpret: bool = False,  # run kernels in interpret mode (CPU tests)
 ):
     cfg = model.cfg
@@ -186,7 +195,8 @@ def make_stream_train_step(
         out = stream_update(
             optimizer, plan, emb, acc, g_u, sw.rows_u,
             sw.item_block, sw.item_row0, sw.item_u, lr,
-            mm_dtype=mm_dtype, interpret=interpret,
+            mm_dtype=mm_dtype, stochastic_round=stochastic_round,
+            seed=opt_state["step"], interpret=interpret,
         )
         new_params = dict(new_dense)
         new_params["emb"] = {"stacked": out[0]}

@@ -11,6 +11,7 @@ from dlrm_tpu.models.dlrm import DLRMModel
 from dlrm_tpu.optim.optimizers import init_opt_state
 from dlrm_tpu.train.fused_step import make_fused_train_step
 from dlrm_tpu.train.stream_step import (
+    cast_emb,
     init_stream_opt_state,
     make_stream_train_step,
     pad_params,
@@ -84,3 +85,35 @@ def test_stream_step_matches_fused_step(optimizer, fwd_impl, grad_impl):
             ),
             new_params[k], ref_params[k],
         )
+
+
+def test_stream_step_bf16_tables_tracks_fp32():
+    """bf16 tables + bf16 one-hot matmuls stay within bf16 tolerance of the
+    fp32 stream step after a few updates."""
+    model, params, plan, batch = _setup("rwsadagrad")
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+
+    sp32 = pad_params(copy(params), model, plan)
+    st32 = init_stream_opt_state("rwsadagrad", sp32, plan)
+    step32 = make_stream_train_step(
+        model, "rwsadagrad", plan, grad_impl="gather", interpret=True
+    )
+
+    sp16 = cast_emb(pad_params(copy(params), model, plan), jnp.bfloat16)
+    st16 = init_stream_opt_state("rwsadagrad", sp16, plan)
+    step16 = make_stream_train_step(
+        model, "rwsadagrad", plan, grad_impl="gather",
+        mm_dtype=jnp.bfloat16, stochastic_round=True, interpret=True,
+    )
+
+    for _ in range(3):
+        sp32, st32, loss32, _ = step32(sp32, st32, batch, 0.05)
+        sp16, st16, loss16, _ = step16(sp16, st16, batch, 0.05)
+
+    assert sp16["emb"]["stacked"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(float(loss16), float(loss32), rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(sp16["emb"]["stacked"], np.float32),
+        np.asarray(sp32["emb"]["stacked"]),
+        rtol=0.05, atol=0.05,
+    )

@@ -98,7 +98,8 @@ def main():
                 (jnp.float32, jnp.float32, "onehot", jnp.float32),
                 (jnp.float32, jnp.bfloat16, "gather", jnp.float32),
                 (jnp.bfloat16, jnp.bfloat16, "gather", jnp.float32),
-                (jnp.bfloat16, jnp.bfloat16, "gather", jnp.bfloat16),
+                # g_dtype=bf16 hits a Mosaic memref_slice bug (dynamic
+                # offset into packed bf16 HBM tiling) — not supported
             ):
                 step = make_stream_train_step(
                     model, OPT, plan, fwd_impl="gather", grad_impl=gi,

@@ -223,3 +223,37 @@ def test_stream_update(setup, optimizer):
             want = ref_acc[offs[t] : offs[t] + n]
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
                                        err_msg=f"acc table {t}")
+
+
+def test_native_stream_work_matches_numpy():
+    """The C++ builder (native/stream_work.cc) emits the same plan as the
+    numpy reference: identical item/window arrays, identical per-run slot
+    content up to intra-run order (which no kernel depends on)."""
+    from dlrm_tpu.native import stream_native
+    from dlrm_tpu.ops.stream_plan import build_stream_work
+
+    if not stream_native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    plan = make_stream_plan(TABLES, D, B, H, block_rows=BR)
+    idx = np.stack(
+        [rng.integers(0, n, (B, H)) for n in TABLES]
+    ).astype(np.int32)
+    wt = rng.uniform(0.5, 1.5, size=(len(TABLES), B, H)).astype(np.float32)
+    wn = build_stream_work(plan, idx, wt, prefer_native=True)
+    wp = build_stream_work(plan, idx, wt, prefer_native=False)
+    assert wn.num_real_items == wp.num_real_items
+    np.testing.assert_array_equal(wn.item_block, wp.item_block)
+    np.testing.assert_array_equal(wn.item_row0, wp.item_row0)
+    np.testing.assert_array_equal(wn.item_u, wp.item_u)
+    np.testing.assert_array_equal(wn.w2t, wp.w2t)
+
+    def canon(w_):
+        r = np.stack([
+            w_.rows_u.reshape(-1).astype(np.float64),
+            w_.vals_u.reshape(-1).astype(np.float64),
+            w_.wts_u.reshape(-1).astype(np.float64),
+        ])
+        return r[:, np.lexsort(r[::-1])]
+
+    np.testing.assert_allclose(canon(wn), canon(wp), rtol=0, atol=0)

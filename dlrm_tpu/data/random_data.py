@@ -30,7 +30,7 @@ class HostBatch:
 
     dense: np.ndarray  # [B, D] float32
     idx: np.ndarray  # [T, B, H] int32
-    wt: np.ndarray  # [T, B, H] float32
+    wt: Optional[np.ndarray]  # [T, B, H] float32; None = all bags full
     labels: np.ndarray  # [B, 1] float32
     stream: "object" = None  # Optional[dlrm_tpu.ops.stream_plan.StreamWork]
 
@@ -63,7 +63,7 @@ class HostBatch:
         return Batch(
             dense=jnp.asarray(self.dense),
             idx=jnp.asarray(self.idx),
-            wt=jnp.asarray(self.wt),
+            wt=None if self.wt is None else jnp.asarray(self.wt),
             labels=jnp.asarray(self.labels),
             stream=stream,
         )
@@ -244,9 +244,7 @@ def fixed_multihot_batch(
         ]
     )
     labels = (rng.random((batch_size, 1)) < 0.5).astype(np.float32)
-    return HostBatch(
-        dense=dense,
-        idx=idx,
-        wt=np.ones((num_t, batch_size, hot_size), np.float32),
-        labels=labels,
-    )
+    # wt=None (all bags exactly hot_size long): keeps the forward on the
+    # unweighted gather+sum path — the weighted einsum costs 3x for bf16
+    # tables (bench_scripts/pool_probe.py)
+    return HostBatch(dense=dense, idx=idx, wt=None, labels=labels)

@@ -34,9 +34,10 @@ def embedding_bag(
     rows = jnp.take(table, idx, axis=0)  # [B, H, d]
     if wt is None:
         return jnp.sum(rows, axis=1, dtype=jnp.float32).astype(rows.dtype)
-    return jnp.einsum(
-        "bhd,bh->bd", rows, wt.astype(rows.dtype),
-        preferred_element_type=jnp.float32,
+    # broadcast-multiply + reduce (NOT einsum: XLA lowers the H-contraction
+    # dot badly for low-precision inputs) with fp32 accumulation
+    return jnp.sum(
+        rows * wt[..., None].astype(rows.dtype), axis=1, dtype=jnp.float32
     ).astype(rows.dtype)
 
 
@@ -70,9 +71,9 @@ def fused_embedding_bag(
     if wt is None:
         pooled = jnp.sum(rows, axis=2, dtype=jnp.float32).astype(rows.dtype)
     else:
-        pooled = jnp.einsum(
-            "tbhd,tbh->tbd", rows, wt.astype(rows.dtype),
-            preferred_element_type=jnp.float32,
+        pooled = jnp.sum(
+            rows * wt[..., None].astype(rows.dtype), axis=2,
+            dtype=jnp.float32,
         ).astype(rows.dtype)
     return jnp.transpose(pooled, (1, 0, 2))  # [B, T, d]
 

@@ -137,39 +137,74 @@ def gather_grads(
 
 
 # ----------------------------------------------------------------- K2
-def _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
-                     sem_r, sem_g, *, first, br, mm_dtype, g_idx):
-    """Shared by the update kernels: DMA the item's rows+grads, one-hot
-    accumulate into gsum [br, d]."""
-    u = iu_ref[g_idx]
-    row0 = ir_ref[g_idx]
-    rtile = (u // WINDOW) * 8
-    dma_r = pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(rtile, 16), :], rows_scr, sem_r
-    )
-    dma_g = pltpu.make_async_copy(
-        g_hbm.at[pl.ds(u, CHUNK), :], gscr, sem_g
-    )
-    dma_r.start()
-    dma_g.start()
+def _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum,
+                     rows0, rows1, g0, g1, sr0, sr1, sg0, sg1,
+                     *, first, br, mm_dtype, g_idx):
+    """Shared by the update kernels: one-hot accumulate this item's grads
+    into gsum [br, d]. Per-item data is DOUBLE-BUFFERED across grid steps:
+    item g+1's rows+grads DMA is issued before item g's wait, so the copies
+    overlap the matmuls (a plain start/wait per item left the kernel
+    latency-bound at ~2.9us/item measured; see PERF_NOTES.md). Parity
+    branches are statically unrolled — dynamic scratch indexing hangs
+    Mosaic."""
+    g = g_idx
+    m = pl.num_programs(0)
+
+    def dmas(i, rbuf, gbuf, sr, sg):
+        u = iu_ref[i]
+        rtile = (u // WINDOW) * 8
+        return (
+            pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(rtile, 16), :], rbuf, sr
+            ),
+            pltpu.make_async_copy(g_hbm.at[pl.ds(u, CHUNK), :], gbuf, sg),
+        )
+
+    even = jax.lax.rem(g, 2) == 0
+
+    @pl.when(g == 0)
+    def _():
+        a, b = dmas(0, rows0, g0, sr0, sg0)
+        a.start()
+        b.start()
+
+    @pl.when(jnp.logical_and(g + 1 < m, even))
+    def _():
+        a, b = dmas(g + 1, rows1, g1, sr1, sg1)
+        a.start()
+        b.start()
+
+    @pl.when(jnp.logical_and(g + 1 < m, jnp.logical_not(even)))
+    def _():
+        a, b = dmas(g + 1, rows0, g0, sr0, sg0)
+        a.start()
+        b.start()
 
     @pl.when(first)
     def _():
         gsum[:] = jnp.zeros_like(gsum)
 
-    dma_r.wait()
-    dma_g.wait()
-    off = u // 128 - rtile
-    local = rows_scr[pl.ds(off, CHUNK // 128), :] - row0  # [2, 128]
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
-    for s in range(CHUNK // 128):
-        oh = _onehot(iota_r, local[s, :], None, mm_dtype)
-        gs = gscr[s * 128 : (s + 1) * 128, :].astype(mm_dtype)
-        gsum[:] += jax.lax.dot_general(
-            oh, gs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def compute(rbuf, gbuf, sr, sg):
+        a, b = dmas(g, rbuf, gbuf, sr, sg)
+        a.wait()
+        b.wait()
+        u = iu_ref[g]
+        row0 = ir_ref[g]
+        rtile = (u // WINDOW) * 8
+        off = u // 128 - rtile
+        local = rbuf[pl.ds(off, CHUNK // 128), :] - row0  # [2, 128]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 0)
+        for s_ in range(CHUNK // 128):
+            oh = _onehot(iota_r, local[s_, :], None, mm_dtype)
+            gs = gbuf[s_ * 128 : (s_ + 1) * 128, :].astype(mm_dtype)
+            gsum[:] += jax.lax.dot_general(
+                oh, gs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    pl.when(even)(lambda: compute(rows0, g0, sr0, sg0))
+    pl.when(jnp.logical_not(even))(lambda: compute(rows1, g1, sr1, sg1))
 
 
 def _flags(ib_ref, g):
@@ -241,16 +276,17 @@ def _finalize_writes(g, m, blk, out_hbm, buf, sem, acc_pack):
 
 
 def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
-                out_hbm, gsum, rows_scr, gscr, upd, sem_r, sem_g, sem_w,
+                out_hbm, gsum, rows0, rows1, g0, g1, upd,
+                sr0, sr1, sg0, sg1, sem_w,
                 *, br, mm_dtype, sr):
     g = pl.program_id(0)
     m = pl.num_programs(0)
     if sr:
         pltpu.prng_seed(lr_ref[0, 1].astype(jnp.int32), g)
     first, last = _flags(ib_ref, g)
-    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
-                     sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
-                     g_idx=g)
+    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum,
+                     rows0, rows1, g0, g1, sr0, sr1, sg0, sg1,
+                     first=first, br=br, mm_dtype=mm_dtype, g_idx=g)
     blk = ib_ref[g]
 
     @pl.when(last)
@@ -266,17 +302,17 @@ def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
 
 def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
                             table_ref, acc_ref, lr_ref, out_hbm, acc_hbm,
-                            gsum, rows_scr, gscr, upd, acc_upd,
-                            sem_r, sem_g, sem_w, sem_wa,
+                            gsum, rows0, rows1, g0, g1, upd, acc_upd,
+                            sr0, sr1, sg0, sg1, sem_w, sem_wa,
                             *, br, d, mm_dtype, eps, sr):
     g = pl.program_id(0)
     m = pl.num_programs(0)
     if sr:
         pltpu.prng_seed(lr_ref[0, 1].astype(jnp.int32), g)
     first, last = _flags(ib_ref, g)
-    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
-                     sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
-                     g_idx=g)
+    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum,
+                     rows0, rows1, g0, g1, sr0, sr1, sg0, sg1,
+                     first=first, br=br, mm_dtype=mm_dtype, g_idx=g)
     blk = ib_ref[g]
 
     @pl.when(last)
@@ -317,17 +353,18 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
 
 
 def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
-                    acc_ref, lr_ref, out_hbm, acc_hbm, gsum, rows_scr, gscr,
-                    upd, acc_upd, sem_r, sem_g, sem_w, sem_wa,
+                    acc_ref, lr_ref, out_hbm, acc_hbm,
+                    gsum, rows0, rows1, g0, g1, upd, acc_upd,
+                    sr0, sr1, sg0, sg1, sem_w, sem_wa,
                     *, br, mm_dtype, eps, sr):
     g = pl.program_id(0)
     m = pl.num_programs(0)
     if sr:
         pltpu.prng_seed(lr_ref[0, 1].astype(jnp.int32), g)
     first, last = _flags(ib_ref, g)
-    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum, rows_scr, gscr,
-                     sem_r, sem_g, first=first, br=br, mm_dtype=mm_dtype,
-                     g_idx=g)
+    _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum,
+                     rows0, rows1, g0, g1, sr0, sr1, sg0, sg1,
+                     first=first, br=br, mm_dtype=mm_dtype, g_idx=g)
     blk = ib_ref[g]
 
     @pl.when(last)
@@ -395,15 +432,18 @@ def stream_update(
         memory_space=pltpu.VMEM,
     )
     def make_scratch(acc_upd_shape=None):
-        """Scratch in kernel-signature order: gsum, rows, gscr, upd,
-        [acc_upd], then the DMA semaphores."""
+        """Scratch in kernel-signature order: gsum, rows0/1, g0/1 (the
+        double-buffered per-item slabs), upd, [acc_upd], then the DMA
+        semaphores sr0/1, sg0/1, sem_w[, sem_wa]."""
         vmem = [
             pltpu.VMEM((br, d), jnp.float32),
             pltpu.VMEM((16, 128), jnp.int32),
+            pltpu.VMEM((16, 128), jnp.int32),
+            pltpu.VMEM((CHUNK, d), g_u.dtype),
             pltpu.VMEM((CHUNK, d), g_u.dtype),
             pltpu.VMEM((br, d), table.dtype),  # upd (manual write buffer)
         ]
-        sems = [pltpu.SemaphoreType.DMA] * 3  # sem_r, sem_g, sem_w
+        sems = [pltpu.SemaphoreType.DMA] * 5  # sr0, sr1, sg0, sg1, sem_w
         if acc_upd_shape is not None:
             vmem.append(pltpu.VMEM(acc_upd_shape, jnp.float32))
             sems.append(pltpu.SemaphoreType.DMA)  # sem_wa

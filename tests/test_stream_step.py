@@ -106,14 +106,20 @@ def test_stream_step_bf16_tables_tracks_fp32():
         mm_dtype=jnp.bfloat16, stochastic_round=True, interpret=True,
     )
 
-    for _ in range(3):
-        sp32, st32, loss32, _ = step32(sp32, st32, batch, 0.05)
-        sp16, st16, loss16, _ = step16(sp16, st16, batch, 0.05)
-
+    # one step: the bf16 update must track fp32 within rounding noise
+    # (multi-step trajectories diverge chaotically through the dense net,
+    # so the multi-step check below only asserts training progresses)
+    sp32, st32, loss32, _ = step32(sp32, st32, batch, 0.05)
+    sp16, st16, loss16, _ = step16(sp16, st16, batch, 0.05)
     assert sp16["emb"]["stacked"].dtype == jnp.bfloat16
-    np.testing.assert_allclose(float(loss16), float(loss32), rtol=0.05)
+    np.testing.assert_allclose(float(loss16), float(loss32), rtol=0.02)
     np.testing.assert_allclose(
         np.asarray(sp16["emb"]["stacked"], np.float32),
         np.asarray(sp32["emb"]["stacked"]),
-        rtol=0.05, atol=0.05,
+        rtol=0.05, atol=0.02,
     )
+
+    first = float(loss16)
+    for _ in range(4):
+        sp16, st16, loss16, _ = step16(sp16, st16, batch, 0.05)
+    assert float(loss16) < first, (float(loss16), first)

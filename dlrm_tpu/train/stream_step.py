@@ -213,3 +213,21 @@ def make_stream_train_step(
         return new_params, new_state, loss, probs
 
     return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_stream_eval_step(model: DLRMModel, plan: StreamPlan):
+    """Eval forward over the stream-layout (padded) table: plain XLA
+    gather+pool, no stream work needed on eval batches."""
+    offsets = jnp.asarray(np.asarray(plan.padded_offsets, np.int32))
+
+    def eval_step(params, batch: Batch):
+        pooled = fused_embedding_bag(
+            params["emb"]["stacked"], offsets, batch.idx, batch.wt
+        )
+        dense_params = {k: v for k, v in params.items() if k != "emb"}
+        probs, _ = model.forward_from_pooled(
+            dense_params, batch.dense, pooled
+        )
+        return probs
+
+    return jax.jit(eval_step)

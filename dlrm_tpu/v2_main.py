@@ -67,6 +67,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decay_start", type=int, default=0)
     p.add_argument("--lr_decay_steps", type=int, default=0)
     p.add_argument("--print_lr", action="store_true", default=False)
+    p.add_argument(
+        "--embedding_impl", choices=["auto", "dense", "fused", "stream"],
+        default="auto",
+        help="table update path: fused = XLA coalesce+scatter in-backward; "
+        "stream = U-layout Pallas streamed kernels (single-chip, fastest at "
+        "large batch); auto picks fused (dense = plain autodiff)",
+    )
+    p.add_argument(
+        "--embedding_dtype", choices=["float32", "bfloat16"],
+        default="float32",
+        help="table storage dtype; bfloat16 halves table HBM and pairs with "
+        "stochastic-rounding updates on the stream path",
+    )
     p.add_argument("--collect_multi_hot_freqs_stats", action="store_true")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=0)
@@ -200,6 +213,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     params = model.init_params(jax.random.PRNGKey(args.seed))
     opt_state = init_opt_state(optimizer, params)
     to_device = lambda hb: hb.to_device()  # noqa: E731
+    eval_to_device = to_device
     if args.sharded and len(jax.devices()) > 1:
         from dlrm_tpu.parallel.butterfly import ButterflyDLRM
         from dlrm_tpu.parallel.mesh import make_mesh
@@ -216,14 +230,49 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         eval_step = bf.make_eval_step(params)
         to_device = lambda hb: bf.shard_batch(hb.to_device())  # noqa: E731
+        eval_to_device = to_device
         print(f"sharding plan: {bf.placement}")
+    elif args.embedding_impl == "stream":
+        import jax.numpy as jnp
+
+        from dlrm_tpu.train.fused_step import supports_fused
+        from dlrm_tpu.train.stream_step import (
+            cast_emb,
+            init_stream_opt_state,
+            make_stream_eval_step,
+            make_stream_train_step,
+            pad_params,
+            plan_for_model,
+        )
+
+        if not supports_fused(model):
+            raise SystemExit("--embedding_impl stream needs plain uniform "
+                             "tables (no qr/md/weighted pooling)")
+        plan = plan_for_model(model, args.batch_size)
+        params = pad_params(params, model, plan)
+        bf16 = args.embedding_dtype == "bfloat16"
+        if bf16:
+            params = cast_emb(params, jnp.bfloat16)
+        opt_state = init_stream_opt_state(optimizer, params, plan)
+        train_step = make_stream_train_step(
+            model, optimizer, plan, grad_impl="gather",
+            mm_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            stochastic_round=bf16,
+            # CPU backend only runs Pallas in interpret mode (CI/smoke path)
+            interpret=jax.default_backend() == "cpu",
+        )
+        eval_step = make_stream_eval_step(model, plan)
+        to_device = (  # the U-layout work rides each train batch
+            lambda hb: hb.with_stream_work(plan).to_device()  # noqa: E731
+        )
+        eval_to_device = lambda hb: hb.to_device()  # noqa: E731
     else:
         from dlrm_tpu.train.fused_step import make_fused_train_step, supports_fused
         from dlrm_tpu.train.step import make_eval_step, make_train_step
 
         train_step = (
             make_fused_train_step(model, optimizer)
-            if supports_fused(model)
+            if supports_fused(model) and args.embedding_impl != "dense"
             else make_train_step(model, optimizer)
         )
         eval_step = make_eval_step(model)
@@ -252,7 +301,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.validation_freq_within_epoch
                 and it % args.validation_freq_within_epoch == 0
             ):
-                auroc = _evaluate(eval_step, params, val_loader, to_device, "val")
+                auroc = _evaluate(eval_step, params, val_loader, eval_to_device, "val")
                 best_auroc = max(best_auroc, auroc)
                 if args.auroc_target and best_auroc >= args.auroc_target:
                     print(f"AUROC target {args.auroc_target} reached, stop early")
@@ -262,12 +311,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"Epoch {epoch}: {n} samples in {dt:.1f}s "
             f"({n / dt:,.0f} samples/s), final loss {float(loss):.6f}"
         )
-        auroc = _evaluate(eval_step, params, val_loader, to_device, "val")
+        auroc = _evaluate(eval_step, params, val_loader, eval_to_device, "val")
         best_auroc = max(best_auroc, auroc)
         if args.auroc_target and best_auroc >= args.auroc_target:
             print(f"AUROC target {args.auroc_target} reached, stop early")
             break
-    _evaluate(eval_step, params, test_loader, to_device, "test")
+    _evaluate(eval_step, params, test_loader, eval_to_device, "test")
     return 0
 
 

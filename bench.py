@@ -4,9 +4,14 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Config mirrors the reference's per-GPU benchmark shape scaled to one chip:
 torchrec DLRM-v2 dot-interaction trainer (torchrec_dlrm/dlrm_main.py), 26
-multi-hot sparse features, 128-dim embeddings, local batch 2048, Adagrad —
-the config of the best published A100 number (~148.8k examples/s/chip,
-torchrec_dlrm/README.MD:51-53, see BASELINE.md).
+multi-hot sparse features, 128-dim embeddings, rowwise Adagrad fused into
+the embedding backward — the config of the best published A100 number
+(~148.8k examples/s/chip, torchrec_dlrm/README.MD:51-53, see BASELINE.md).
+
+Path under test: the streamed U-layout kernels (ops/stream_kernels.py) with
+bfloat16 tables + stochastic-rounding updates, XLA gather forward/grads,
+local batch 8192 (the reference's best number also uses its largest local
+batch, 16384/GPU).
 """
 
 import json
@@ -19,17 +24,23 @@ BASELINE_EXAMPLES_PER_SEC_PER_CHIP = 148_800.0  # best 8xA100 v2 number / 8
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from dlrm_tpu.config import DLRMConfig
     from dlrm_tpu.data.random_data import fixed_multihot_batch
     from dlrm_tpu.models.dlrm import DLRMModel
-    from dlrm_tpu.optim.optimizers import init_opt_state
-    from dlrm_tpu.train.fused_step import make_fused_train_step
+    from dlrm_tpu.train.stream_step import (
+        cast_emb,
+        init_stream_opt_state,
+        make_stream_train_step,
+        pad_params,
+        plan_for_model,
+    )
 
-    batch_size = 2048
+    batch_size = 8192
     cfg = DLRMConfig(
         embedding_dim=128,
-        # 26 Criteo-like tables; sizes capped so fp32 tables + dense grads fit
+        # 26 Criteo-like tables; sizes capped so tables + optimizer state fit
         # single-chip HBM (scaling beyond HBM is the multi-chip path)
         table_sizes=tuple([200_000] * 26),
         mlp_bot=(13, 512, 256, 128),
@@ -40,20 +51,32 @@ def main():
         compute_dtype="bfloat16",
     )
     model = DLRMModel(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    plan = plan_for_model(model, batch_size, block_rows=2048)
+    params = cast_emb(
+        pad_params(model.init_params(jax.random.PRNGKey(0)), model, plan),
+        jnp.bfloat16,
+    )
     opt = "rwsadagrad"
-    opt_state = init_opt_state(opt, params)
-    step = make_fused_train_step(model, opt)
+    opt_state = init_stream_opt_state(opt, params, plan)
+    step = make_stream_train_step(
+        model, opt, plan, fwd_impl="gather", grad_impl="gather",
+        mm_dtype=jnp.bfloat16, stochastic_round=True,
+    )
 
     rng = np.random.default_rng(0)
-    batch = fixed_multihot_batch(
-        rng, cfg.num_dense, cfg.table_sizes, batch_size,
-        cfg.num_indices_per_lookup,
-    ).to_device()
+    batch = (
+        fixed_multihot_batch(
+            rng, cfg.num_dense, cfg.table_sizes, batch_size,
+            cfg.num_indices_per_lookup,
+        )
+        .with_stream_work(plan)
+        .to_device()
+    )
 
     # Measure K steps inside ONE lax.scan and force completion with a real
-    # device->host transfer: per-call dispatch timing is unreliable on
-    # remote/tunneled backends.
+    # device->host transfer of the per-step losses only: per-call dispatch
+    # timing (and any large-array fetch) is unreliable on remote/tunneled
+    # backends — see bench_scripts/PERF_NOTES.md.
     raw = step.__wrapped__
     iters = 30
 
@@ -79,7 +102,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_examples_per_sec_per_chip (DLRM-v2 dot, 26x200k tables, d=128, H=8, bs=2048, rowwise-adagrad)",
+                "metric": (
+                    "train_examples_per_sec_per_chip (DLRM-v2 dot, 26x200k "
+                    "tables, d=128, H=8, bs=8192, rowwise-adagrad, streamed "
+                    "bf16 tables)"
+                ),
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(

@@ -92,6 +92,12 @@ def window_grads(
 ) -> jax.Array:  # G_u [Uw*1024, d]
     uw = vals_u.shape[0]
     t, b, d = dly.shape
+    if b * d * 4 * 2 > 14 * 2**20:  # double-buffered dly block vs ~16M VMEM
+        raise ValueError(
+            f"window_grads holds one [batch={b}, d={d}] dly block (x2 "
+            "buffers) in VMEM — too large for this chip; use "
+            "grad_impl='gather' (gather_grads) at large batch"
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(uw,),

@@ -88,6 +88,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _pick_stream(args, model_cfg) -> bool:
+    """embedding_impl=auto cost model: the streamed update's cost is one
+    table stream (2 x table_bytes / ~200GB/s, batch-independent); the
+    XLA scatter path costs ~36.5ns per touched row (PERF_NOTES.md). Pick
+    stream when the stream is cheaper — i.e. medium tables / large batch.
+    Explicit 'stream' always opts in."""
+    if args.embedding_impl == "stream":
+        return True
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.train.fused_step import supports_fused
+
+    if not supports_fused(DLRMModel(model_cfg)):
+        return False
+    bytes_per_el = 2 if args.embedding_dtype == "bfloat16" else 4
+    table_bytes = sum(model_cfg.table_sizes) * model_cfg.embedding_dim * (
+        bytes_per_el
+    )
+    stream_s = 2 * table_bytes / 200e9
+    hits = args.batch_size * model_cfg.num_tables * (
+        model_cfg.num_indices_per_lookup
+    )
+    scatter_s = hits * 36.5e-9
+    return stream_s < scatter_s
+
+
 def _evaluate(eval_step, params, loader, to_device, stage: str) -> float:
     """AUROC over a stage (dlrm_main.py:314-366 analog)."""
     from dlrm_tpu.ops.metrics import roc_auc_exact
@@ -232,7 +257,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         to_device = lambda hb: bf.shard_batch(hb.to_device())  # noqa: E731
         eval_to_device = to_device
         print(f"sharding plan: {bf.placement}")
-    elif args.embedding_impl == "stream":
+    elif args.embedding_impl in ("stream", "auto") and _pick_stream(
+        args, model_cfg
+    ):
         import jax.numpy as jnp
 
         from dlrm_tpu.train.fused_step import supports_fused

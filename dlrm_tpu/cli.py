@@ -333,6 +333,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         state.params = model.quantize_embeddings(
             state.params, args.quantize_emb_with_bit
         )
+    if args.quantize_mlp_with_bit in (8, 16) and args.inference_only:
+        state.params = model.quantize_mlps(
+            state.params, args.quantize_mlp_with_bit
+        )
     if args.debug_mode:
         print("initial parameters (weights and bias):")
         dump_parameters(state.params, args.print_precision)

@@ -227,6 +227,19 @@ class DLRMModel:
 
     # --------------------------------------------------------- quantization
 
+    def quantize_mlps(self, params: Params, bits: int) -> Params:
+        """Dynamic-quantized inference MLPs (the reference's
+        torch.quantization.quantize_dynamic to qint8/float16 on every Linear,
+        dlrm_s_pytorch.py:1473-1480): bits=8 -> per-channel int8 weights with
+        per-batch activation quantization on the MXU's int8 path; bits=16 ->
+        bfloat16 weights (the TPU float16 analog)."""
+        from dlrm_tpu.ops.quantized import quantize_mlp
+
+        out = dict(params)
+        out["bot"] = quantize_mlp(params["bot"], bits)
+        out["top"] = quantize_mlp(params["top"], bits)
+        return out
+
     def quantize_embeddings(self, params: Params, bits: int) -> Params:
         """Post-training row-wise quantization for inference
         (quantize_embedding, dlrm_s_pytorch.py:465-481): replaces the fp32
@@ -343,22 +356,35 @@ class DLRMModel:
 
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        quantized = bool(params["bot"]) and "mode" in params["bot"][0]
+        if quantized:
+            from dlrm_tpu.ops.quantized import (
+                apply_mlp_quantized,
+                quantized_linear,
+            )
+
+            mlp = apply_mlp_quantized
+        else:
+            mlp = apply_mlp
         with prof.scope(prof.BOT_FWD):
-            x = apply_mlp(params["bot"], dense.astype(dtype), cfg.sigmoid_bot)
+            x = mlp(params["bot"], dense.astype(dtype), cfg.sigmoid_bot)
         with prof.scope(prof.INT_FWD):
             z = self.interact(params, x, ly.astype(x.dtype))
         # sigmoid sits on the last top layer (sigmoid_top = len-2,
         # dlrm_s_pytorch.py:1293) -> run all but the activation, keep logits
         with prof.scope(prof.TOP_FWD):
-            logits = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
+            logits = mlp(params["top"][:-1], z, sigmoid_layer=-1)
         last = params["top"][-1]
-        logits = (
-            jnp.dot(
-                logits, last["w"].astype(logits.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + last["b"]
-        ).astype(jnp.float32)
+        if quantized:
+            logits = quantized_linear(last, logits).astype(jnp.float32)
+        else:
+            logits = (
+                jnp.dot(
+                    logits, last["w"].astype(logits.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + last["b"]
+            ).astype(jnp.float32)
         p = jax.nn.sigmoid(logits)
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)

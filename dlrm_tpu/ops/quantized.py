@@ -92,3 +92,65 @@ def dequantize_table(qtable: Dict, bits: int) -> np.ndarray:
         q.astype(np.float32) * np.asarray(qtable["scale"])[:, None]
         + np.asarray(qtable["bias"])[:, None]
     )
+
+
+# ---------------------------------------------------------------- MLPs
+def quantize_mlp(layers, bits: int = 8):
+    """Post-training quantization of an MLP's weights for inference — the
+    counterpart of the reference's dynamic quantization of Linear modules
+    (torch.quantization.quantize_dynamic to qint8/float16,
+    dlrm_s_pytorch.py:1473-1480).
+
+    bits=8: symmetric per-output-channel int8 (the MXU multiplies int8
+    natively, accumulating int32); bits=16: bfloat16 weights (the TPU
+    analog of the reference's float16 mode)."""
+    out = []
+    for layer in layers:
+        w = np.asarray(layer["w"], np.float32)
+        b = np.asarray(layer["b"], np.float32)
+        if bits == 16:
+            out.append({
+                "qw": jnp.asarray(w, jnp.bfloat16),
+                "b": jnp.asarray(b),
+                "mode": "bf16",
+            })
+        elif bits == 8:
+            scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0  # [out]
+            q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+            out.append({
+                "qw": jnp.asarray(q),
+                "w_scale": jnp.asarray(scale, jnp.float32),
+                "b": jnp.asarray(b),
+                "mode": "int8",
+            })
+        else:
+            raise ValueError(f"quantize_mlp bits must be 8 or 16, got {bits}")
+    return out
+
+
+def quantized_linear(layer, x: jax.Array) -> jax.Array:
+    """One quantize_mlp() layer, no activation. int8 mode dynamically
+    quantizes the activations per batch (symmetric per-tensor, like torch's
+    dynamic qint8 Linear) and runs the matmul in int8 on the MXU."""
+    if layer["mode"] == "bf16":
+        return jnp.dot(
+            x.astype(jnp.bfloat16), layer["qw"],
+            preferred_element_type=jnp.float32,
+        ) + layer["b"]
+    x = x.astype(jnp.float32)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, layer["qw"],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * layer["w_scale"]) + layer["b"]
+
+
+def apply_mlp_quantized(layers, x: jax.Array, sigmoid_layer: int = -1):
+    """Inference forward through a quantize_mlp() tower."""
+    for i, layer in enumerate(layers):
+        y = quantized_linear(layer, x)
+        x = jax.nn.sigmoid(y) if i == sigmoid_layer else jax.nn.relu(y)
+    return x

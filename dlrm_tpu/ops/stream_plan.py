@@ -101,8 +101,8 @@ def make_stream_plan(
 ) -> StreamPlan:
     if block_rows % 128 != 0:
         raise ValueError("block_rows must be a multiple of 128")
-    if (batch * hot) % 128 != 0:
-        raise ValueError("batch*hot must be a multiple of 128")
+    # batch*hot needs no alignment: each block's run is padded to a multiple
+    # of 128 slots independently of the raw hit count
     offs, bases, nblks = [], [], []
     acc = 0
     for n in table_sizes:

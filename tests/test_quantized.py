@@ -56,3 +56,47 @@ def test_model_quantized_inference_close_to_fp32(bits):
     tol = 0.02 if bits == 8 else 0.12
     np.testing.assert_allclose(p_q, p_fp32, atol=tol)
     assert "stacked" not in qparams["emb"]  # fp32 table dropped
+
+
+def test_quantized_mlp_inference_close():
+    """Dynamic int8/bf16 MLP quantization (dlrm_s_pytorch.py:1473-1480
+    analog): quantized inference stays close to fp32 on random inputs."""
+    import jax
+
+    from dlrm_tpu.ops.mlp import apply_mlp, init_mlp
+    from dlrm_tpu.ops.quantized import apply_mlp_quantized, quantize_mlp
+
+    layers = init_mlp(jax.random.PRNGKey(0), (16, 64, 32, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 16), jnp.float32)
+    ref = np.asarray(apply_mlp(layers, x, sigmoid_layer=2))
+    got8 = np.asarray(
+        apply_mlp_quantized(quantize_mlp(layers, 8), x, sigmoid_layer=2)
+    )
+    got16 = np.asarray(
+        apply_mlp_quantized(quantize_mlp(layers, 16), x, sigmoid_layer=2)
+    )
+    assert np.abs(got8 - ref).max() < 0.05, np.abs(got8 - ref).max()
+    assert np.abs(got16 - ref).max() < 0.05, np.abs(got16 - ref).max()
+
+
+def test_quantized_mlp_through_model():
+    import jax
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.random_data import fixed_multihot_batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+
+    cfg = DLRMConfig(
+        embedding_dim=16, table_sizes=(50, 80), mlp_bot=(4, 8, 16),
+        mlp_top=(8, 4, 1), interaction="dot", loss="bce",
+        num_indices_per_lookup=2,
+    )
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = fixed_multihot_batch(
+        np.random.default_rng(0), 4, cfg.table_sizes, 8, 2
+    ).to_device()
+    ref = np.asarray(model.apply(params, batch))
+    qp = model.quantize_mlps(params, 8)
+    got = np.asarray(model.apply(qp, batch))
+    assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()

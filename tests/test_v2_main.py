@@ -31,6 +31,28 @@ def test_main_random_data():
     assert rc == 0
 
 
+def test_main_random_data_stream_bf16():
+    """The streamed embedding path (interpret-mode kernels on CPU) through
+    the full v2 trainer, bf16 tables."""
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "4",
+            "--limit_val_batches", "2",
+            "--limit_test_batches", "2",
+            "--batch_size", "16",
+            "--embedding_dim", "128",
+            "--num_embeddings", "640",
+            "--dense_arch_layer_sizes", "16,128",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--adagrad",
+            "--learning_rate", "0.05",
+            "--embedding_impl", "stream",
+            "--embedding_dtype", "bfloat16",
+        ]
+    )
+    assert rc == 0
+
+
 def test_main_dcn_sharded():
     rc = v2_main.main(
         [

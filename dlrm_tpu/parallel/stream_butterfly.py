@@ -1,0 +1,361 @@
+"""Streamed-kernel butterfly: the U-layout sparse update under a mesh.
+
+Combines the hybrid-parallel butterfly dataflow (parallel/butterfly.py —
+the reference's distributed_forward, dlrm_s_pytorch.py:528-585) with the
+streamed Pallas update kernels (ops/stream_kernels.py — the reference's
+FBGEMM optimizer-in-backward, torchrec_dlrm/dlrm_main.py:649-653):
+
+  * each model shard holds its tables in the shard-local STREAM layout
+    (block-aligned padded stack, ops/stream_plan.py), replicated over "data";
+  * forward is the ordinary butterfly: local gather+pool over the data
+    group's batch slice -> lax.all_to_all -> dense tail;
+  * backward all-gathers the pooled cotangent over "data" (each table
+    replica sees every data group's hits — same exchange as the fused
+    scatter path) and then runs K1-gather + K2 stream_update on the LOCAL
+    shard: per-chip cost = one stream of the local table shard,
+    batch-independent, so the update SCALES DOWN linearly with model
+    parallelism;
+  * the per-batch U-layout work is built on the host per model shard
+    (native/stream_work.cc) over the FULL batch and ships replicated over
+    "data" — the input-dist stage of the pipeline.
+
+Restriction (v1): every model shard must have identical stream geometry —
+true when all tables share one row count (the MLPerf v2 bench shape).
+Mixed-size configs use the fused butterfly or GSPMD paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dlrm_tpu.data.batch import Batch, StreamArrays
+from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.ops.stream_kernels import gather_grads, stream_update
+from dlrm_tpu.ops.stream_plan import build_stream_work, make_stream_plan
+from dlrm_tpu.optim.optimizers import apply_updates
+from dlrm_tpu.parallel.butterfly import ButterflyDLRM, _tree_specs
+
+
+class StreamButterfly(ButterflyDLRM):
+    """Butterfly-parallel DLRM whose table update runs the streamed kernels
+    on each model shard."""
+
+    def __init__(self, model: DLRMModel, mesh, *, block_rows: int = 2048,
+                 batch_size: int, table_dtype=jnp.float32,
+                 stochastic_round: Optional[bool] = None,
+                 mm_dtype=jnp.bfloat16, interpret: bool = False):
+        super().__init__(model, mesh)
+        cfg = model.cfg
+        sizes = set(cfg.table_sizes)
+        if len(sizes) != 1:
+            raise NotImplementedError(
+                "stream butterfly v1 needs identical table sizes per shard "
+                "(uniform tables); use the fused butterfly otherwise"
+            )
+        self.table_dtype = jnp.dtype(table_dtype)
+        self.sr = (
+            stochastic_round
+            if stochastic_round is not None
+            else self.table_dtype == jnp.dtype(jnp.bfloat16)
+        )
+        self.mm_dtype = mm_dtype
+        self.interpret = interpret
+        self.batch_size = batch_size
+        # dummy tables (t >= num_tables) share the uniform size so every
+        # shard's plan geometry is identical; their hits carry weight 0
+        self.local_sizes = tuple([cfg.table_sizes[0]] * self.t_local)
+        self.plan = make_stream_plan(
+            self.local_sizes, cfg.embedding_dim, batch_size,
+            cfg.num_indices_per_lookup, block_rows=block_rows,
+        )
+        # tables of shard s, in shard-major order (includes dummies)
+        self.shard_tables = [
+            [t for t in self.shard_major_order if t % self.msize == s]
+            for s in range(self.msize)
+        ]
+
+    # --------------------------------------------------------------- layout
+
+    def shard_params(self, params):
+        """Single-device params -> per-shard stream-padded layout
+        [msize * plan.padded_rows, d], P('model')."""
+        cfg = self.cfg
+        stacked = np.asarray(params["emb"]["stacked"])
+        d = stacked.shape[1]
+        shards = []
+        for s in range(self.msize):
+            buf = np.zeros((self.plan.padded_rows, d), stacked.dtype)
+            for j, t in enumerate(self.shard_tables[s]):
+                if t >= cfg.num_tables:
+                    continue
+                off = int(self.model.row_offsets[t])
+                n = cfg.table_sizes[t]
+                buf[
+                    self.plan.padded_offsets[j] : self.plan.padded_offsets[j]
+                    + n
+                ] = stacked[off : off + n]
+            shards.append(buf)
+        relaid = np.concatenate(shards, axis=0).astype(self.table_dtype)
+        out = dict(params)
+        out["emb"] = {"stacked": self._put(relaid, P("model"))}
+        rep = NamedSharding(self.mesh, P())
+        for k in ("bot", "top", "dcn", "proj_w1", "proj_w2"):
+            if k in out:
+                out[k] = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(jnp.asarray(a), rep), out[k]
+                )
+        return out
+
+    def unshard_params(self, params):
+        """Back to the single-device contiguous layout."""
+        cfg = self.cfg
+        stacked = np.asarray(
+            jax.device_get(params["emb"]["stacked"]), np.float32
+        )
+        d = stacked.shape[1]
+        out_tables = [None] * cfg.num_tables
+        for s in range(self.msize):
+            buf = stacked[
+                s * self.plan.padded_rows : (s + 1) * self.plan.padded_rows
+            ]
+            for j, t in enumerate(self.shard_tables[s]):
+                if t >= cfg.num_tables:
+                    continue
+                n = cfg.table_sizes[t]
+                off = self.plan.padded_offsets[j]
+                out_tables[t] = buf[off : off + n]
+        out = dict(params)
+        out["emb"] = {
+            "stacked": jnp.asarray(np.concatenate(out_tables, axis=0))
+        }
+        return out
+
+    def init_opt_state(self, optimizer: str, params):
+        state = {"step": jnp.zeros((), jnp.int32)}
+        if optimizer == "sgd":
+            return state
+        accum = {
+            k: jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), v
+            )
+            for k, v in params.items()
+            if k != "emb"
+        }
+        if optimizer == "rwsadagrad":
+            acc = jnp.zeros(
+                (self.msize * self.plan.acc_rows, 128), jnp.float32
+            )
+        elif optimizer == "adagrad":
+            acc = jnp.zeros_like(params["emb"]["stacked"], jnp.float32)
+        else:
+            raise ValueError(f"optimizer {optimizer!r} not supported")
+        accum["emb"] = {"stacked": self._put(acc, P("model"))}
+        state["accum"] = accum
+        return state
+
+    def shard_batch(self, batch_host) -> Batch:
+        """HostBatch -> device batch with per-model-shard stream work.
+
+        dense/labels: P(('data','model')); idx/wt: P('model','data') (the
+        forward's view); stream arrays: P('model') with a leading shard
+        axis, replicated over 'data' (the update's full-batch view)."""
+        cfg = self.cfg
+        hb = batch_host
+        num_t, b, h = hb.idx.shape
+        idx = np.asarray(hb.idx)
+        wt = (
+            np.asarray(hb.wt)
+            if hb.wt is not None
+            else np.ones((num_t, b, h), np.float32)
+        )
+        works = []
+        for s in range(self.msize):
+            idx_s = np.zeros((self.t_local, b, h), np.int32)
+            wt_s = np.zeros((self.t_local, b, h), np.float32)
+            for j, t in enumerate(self.shard_tables[s]):
+                if t >= num_t:
+                    continue
+                idx_s[j] = idx[t]
+                wt_s[j] = wt[t]
+            works.append(build_stream_work(self.plan, idx_s, wt_s))
+        stack = lambda name: np.stack(  # noqa: E731
+            [np.asarray(getattr(w, name)) for w in works]
+        )
+        spec_m = P("model")
+        stream = StreamArrays(
+            rows_u=self._put(stack("rows_u"), spec_m),
+            vals_u=self._put(stack("vals_u"), spec_m),
+            wts_u=self._put(stack("wts_u"), spec_m),
+            w2t=self._put(stack("w2t"), spec_m),
+            item_block=self._put(stack("item_block"), spec_m),
+            item_row0=self._put(stack("item_row0"), spec_m),
+            item_u=self._put(stack("item_u"), spec_m),
+        )
+        pad_t = self.t_pad - num_t
+        if pad_t:
+            idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
+            wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
+        idx = idx[self.shard_major_order]
+        wt = wt[self.shard_major_order]
+        return Batch(
+            dense=self._put(hb.dense, P(("data", "model"))),
+            idx=self._put(idx, P("model", "data")),
+            wt=self._put(wt, P("model", "data")),
+            labels=self._put(hb.labels, P(("data", "model"))),
+            stream=stream,
+        )
+
+    # ----------------------------------------------------------------- steps
+
+    def _local_offsets(self):
+        # table j of every shard starts at the same (uniform) plan offset
+        offs = np.asarray(self.plan.padded_offsets, np.int32)
+        return self._put(np.tile(offs, self.msize), P("model"))
+
+    def make_train_step(self, optimizer: str, global_batch: int, params,
+                        opt_state):
+        cfg = self.cfg
+        mesh = self.mesh
+        plan = self.plan
+        if optimizer not in ("sgd", "adagrad", "rwsadagrad"):
+            raise ValueError(f"optimizer {optimizer!r} not supported")
+
+        def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
+                      off_l, sw, lr):
+            emb_l = params["emb"]["stacked"]  # [padded_rows, d] local shard
+            flat_idx = idx_l + off_l[:, None, None]
+            rows_v = jnp.take(emb_l, flat_idx, axis=0)
+            pooled = jnp.sum(
+                rows_v * wt_l[..., None].astype(rows_v.dtype), axis=2,
+                dtype=jnp.float32,
+            ).astype(rows_v.dtype)  # [t_local, b_d, d]
+            dense_params = {k: v for k, v in params.items() if k != "emb"}
+
+            def rest(dp, pooled_in):
+                probs, logits = self._tail_from_pooled(
+                    {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
+                )
+                per = per_example_loss(cfg, probs, labels_l, logits)
+                return jnp.sum(per) / global_batch, probs
+
+            (loss_local, probs), (dgrads, dpooled) = jax.value_and_grad(
+                rest, argnums=(0, 1), has_aux=True
+            )(dense_params, pooled)
+            loss = jax.lax.psum(loss_local, ("data", "model"))
+            dgrads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ("data", "model")), dgrads
+            )
+            if optimizer == "sgd":
+                dense_state = {"step": opt_state["step"]}
+            else:
+                dense_state = {
+                    "step": opt_state["step"],
+                    "accum": {
+                        k: v
+                        for k, v in opt_state["accum"].items()
+                        if k != "emb"
+                    },
+                }
+            new_dense, new_dense_state = apply_updates(
+                optimizer, dense_params, dgrads, dense_state, lr
+            )
+
+            # every table replica sees every data group's hits (same
+            # exchange as the fused path), then streams its local shard
+            dp_all = jax.lax.all_gather(
+                dpooled, "data", axis=1, tiled=True
+            )  # [t_local, B, d]
+            g_u = gather_grads(
+                dp_all.astype(jnp.float32), sw.vals_u[0], sw.wts_u[0],
+                sw.w2t[0],
+            )
+            acc = (
+                None
+                if optimizer == "sgd"
+                else opt_state["accum"]["emb"]["stacked"]
+            )
+            out = stream_update(
+                optimizer, plan, emb_l, acc, g_u, sw.rows_u[0],
+                sw.item_block[0], sw.item_row0[0], sw.item_u[0], lr,
+                mm_dtype=self.mm_dtype, stochastic_round=self.sr,
+                seed=opt_state["step"], interpret=self.interpret,
+            )
+            new_params = dict(new_dense)
+            new_params["emb"] = {"stacked": out[0]}
+            if optimizer == "sgd":
+                new_state = {"step": new_dense_state["step"]}
+            else:
+                new_state = {
+                    "step": new_dense_state["step"],
+                    "accum": {
+                        **new_dense_state["accum"],
+                        "emb": {"stacked": out[1]},
+                    },
+                }
+            return new_params, new_state, loss, probs
+
+        pspec = _tree_specs(params)
+        ospec = _tree_specs(opt_state)
+        sspec = StreamArrays(*([P("model")] * len(StreamArrays._fields)))
+        step = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(
+                pspec,
+                ospec,
+                P(("data", "model")),
+                P("model", "data"),
+                P("model", "data"),
+                P(("data", "model")),
+                P("model"),
+                sspec,
+                P(),
+            ),
+            out_specs=(pspec, ospec, P(), P(("data", "model"))),
+            check_vma=False,
+        )
+        local_off = self._local_offsets()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch: Batch, lr):
+            return step(
+                params, opt_state, batch.dense, batch.idx, batch.wt,
+                batch.labels, local_off, batch.stream, jnp.float32(lr),
+            )
+
+        return train_step
+
+    def make_eval_step(self, params):
+        mesh = self.mesh
+
+        def device_fn(params, dense_l, idx_l, wt_l, off_l):
+            return self._forward_local(params, dense_l, idx_l, wt_l, off_l)[0]
+
+        pspec = _tree_specs(params)
+        step = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(
+                pspec,
+                P(("data", "model")),
+                P("model", "data"),
+                P("model", "data"),
+                P("model"),
+            ),
+            out_specs=P(("data", "model")),
+            check_vma=False,
+        )
+        local_off = self._local_offsets()
+
+        @jax.jit
+        def eval_step(params, batch: Batch):
+            return step(params, batch.dense, batch.idx, batch.wt, local_off)
+
+        return eval_step

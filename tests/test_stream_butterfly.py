@@ -1,0 +1,77 @@
+"""StreamButterfly (streamed update under the 2x4 mesh) == fused single-device
+step on the same global batch (CPU, kernels in interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.data.random_data import fixed_multihot_batch
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.parallel.mesh import make_mesh
+from dlrm_tpu.parallel.stream_butterfly import StreamButterfly
+from dlrm_tpu.train.fused_step import make_fused_train_step
+
+CFG = DLRMConfig(
+    embedding_dim=128,
+    table_sizes=(1280,) * 6,  # uniform (stream-butterfly v1 requirement)
+    mlp_bot=(8, 16, 128),
+    mlp_top=(64, 8, 1),
+    interaction="dot",
+    loss="bce",
+    num_indices_per_lookup=4,
+)
+B = 32
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_stream_butterfly_matches_fused(optimizer):
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    hb = fixed_multihot_batch(
+        rng, CFG.num_dense, CFG.table_sizes, B, CFG.num_indices_per_lookup
+    )
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, optimizer)
+    ref_params, _, ref_loss, _ = ref_step(
+        copy(params), init_opt_state(optimizer, params), hb.to_device(), 0.05
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32,
+    )
+    sp = sb.shard_params(copy(params))
+    sstate = sb.init_opt_state(optimizer, sp)
+    step = sb.make_train_step(optimizer, B, sp, sstate)
+    batch = sb.shard_batch(hb)
+    new_params, new_state, loss, probs = step(sp, sstate, batch, 0.05)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    got = sb.unshard_params(new_params)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in ref_params:
+        if k == "emb":
+            continue
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            got[k], ref_params[k],
+        )
+
+    # eval forward parity on the sharded layout
+    eval_step = sb.make_eval_step(new_params)
+    probs_eval = np.asarray(eval_step(new_params, batch)).reshape(-1)
+    ref_probs = np.asarray(model.apply(got, hb.to_device())).reshape(-1)
+    np.testing.assert_allclose(probs_eval, ref_probs, rtol=1e-4, atol=1e-5)

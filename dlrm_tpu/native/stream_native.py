@@ -45,7 +45,9 @@ def _load() -> Optional[ctypes.CDLL]:
     fn.restype = ctypes.c_int64
     fn.argtypes = [
         _I32P, _F32P,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _I32P,  # per-table hot sizes
+        ctypes.c_int32,
         _I32P, _I32P, _I32P,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
@@ -73,6 +75,7 @@ def build_stream_work_native(plan, idx: np.ndarray,
     wt_arr = (
         None if wt is None else np.ascontiguousarray(wt, dtype=np.float32)
     )
+    hot = np.asarray(plan.hot, dtype=np.int32)
     u_base = np.asarray(plan.u_base, dtype=np.int32)
     block_base = np.asarray(plan.block_base, dtype=np.int32)
     nblks = np.asarray(plan.blocks_per_table, dtype=np.int32)
@@ -88,7 +91,9 @@ def build_stream_work_native(plan, idx: np.ndarray,
     n = lib.build_stream_work_native(
         idx.ctypes.data_as(_I32P),
         None if wt_arr is None else wt_arr.ctypes.data_as(_F32P),
-        t_, b_, h_, plan.block_rows,
+        t_, b_, h_,
+        hot.ctypes.data_as(_I32P),
+        plan.block_rows,
         u_base.ctypes.data_as(_I32P),
         block_base.ctypes.data_as(_I32P),
         nblks.ctypes.data_as(_I32P),

@@ -36,9 +36,10 @@ extern "C" {
 //   rows_u/vals_u [u_total] i32, wts_u [u_total] f32, w2t [num_windows] i32,
 //   item_* [max_items] i32.
 int64_t build_stream_work_native(
-    const int32_t* idx,          // [T*B*H] table-local rows
+    const int32_t* idx,          // [T*B*H] table-local rows (H = max hot)
     const float* wt,             // [T*B*H] weights or nullptr (=> 1.0)
     int32_t t_, int32_t b_, int32_t h_,
+    const int32_t* hot,          // [T] per-table hot size (<= h_)
     int32_t block_rows,
     const int32_t* u_base,       // [T]
     const int32_t* block_base,   // [T]
@@ -76,11 +77,13 @@ int64_t build_stream_work_native(
       if (t >= t_) return;
       const int32_t nb = blocks_per_table[t];
       const int32_t gb = block_base[t];
+      const int32_t ht = hot[t];  // ragged multi-hot: real columns only
       const int32_t* rows = idx + int64_t(t) * bh;
       const float* w = wt ? wt + int64_t(t) * bh : nullptr;
       counts.assign(nb, 0);
-      for (int64_t i = 0; i < bh; ++i) counts[rows[i] / block_rows]++;
-      (void)0;
+      for (int64_t bag = 0; bag < b_; ++bag)
+        for (int32_t k = 0; k < ht; ++k)
+          counts[rows[bag * h_ + k] / block_rows]++;
 
       // per-block run starts (each run padded to a multiple of 128)
       cursor.assign(nb, 0);
@@ -107,11 +110,11 @@ int64_t build_stream_work_native(
         std::memset(vals_u + lo, 0, sizeof(int32_t) * (hi - lo));
         std::memset(wts_u + lo, 0, sizeof(float) * (hi - lo));
       }
-      // fill slots (scan order; intra-run order is free). Incremental bag
-      // index: i/h_ is an integer division per hit otherwise.
-      int64_t i = 0;
+      // fill slots (scan order; intra-run order is free)
       for (int32_t bag = 0; bag < b_; ++bag) {
-        for (int32_t k = 0; k < h_; ++k, ++i) {
+        const int64_t base = int64_t(bag) * h_;
+        for (int32_t k = 0; k < ht; ++k) {
+          const int64_t i = base + k;
           const int32_t j = rows[i] / block_rows;
           const int32_t slot = cursor[j]++;
           rows_u[slot] = rows[i];

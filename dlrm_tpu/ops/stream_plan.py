@@ -62,7 +62,7 @@ class StreamPlan:
     table_sizes: Tuple[int, ...]
     dim: int
     batch: int
-    hot: int
+    hot: Tuple[int, ...]  # per-table hot size (ragged multi-hot aware)
     block_rows: int
 
     padded_offsets: Tuple[int, ...]  # block-aligned start row per table
@@ -96,13 +96,22 @@ def make_stream_plan(
     table_sizes: Sequence[int],
     dim: int,
     batch: int,
-    hot: int,
+    hot,  # int (uniform) or per-table Sequence[int] (ragged multi-hot)
     block_rows: int = 512,
 ) -> StreamPlan:
     if block_rows % 128 != 0:
         raise ValueError("block_rows must be a multiple of 128")
     # batch*hot needs no alignment: each block's run is padded to a multiple
     # of 128 slots independently of the raw hit count
+    hot_t = (
+        tuple(int(h) for h in hot)
+        if isinstance(hot, (list, tuple, np.ndarray))
+        else tuple([int(hot)] * len(table_sizes))
+    )
+    if len(hot_t) != len(table_sizes):
+        raise ValueError(
+            f"{len(hot_t)} hot sizes for {len(table_sizes)} tables"
+        )
     offs, bases, nblks = [], [], []
     acc = 0
     for n in table_sizes:
@@ -113,10 +122,10 @@ def make_stream_plan(
         acc += nb * block_rows
     num_blocks = acc // block_rows
     padded_rows = acc + block_rows
-    bh = batch * hot
     u_base, u_acc = [], 0
-    for nb in nblks:
+    for nb, h in zip(nblks, hot_t):
         u_base.append(u_acc)
+        bh = batch * h  # this table's hit count — U sized TIGHTLY per table
         bound = bh + 127 * min(nb, bh)  # every non-empty block pads <128
         u_acc += -(-bound // WINDOW) * WINDOW
     u_base = tuple(u_base)
@@ -127,8 +136,8 @@ def make_stream_plan(
         table_sizes=tuple(int(n) for n in table_sizes),
         dim=dim,
         batch=batch,
-        hot=hot,
         block_rows=block_rows,
+        hot=hot_t,
         padded_offsets=tuple(offs),
         block_base=tuple(bases),
         blocks_per_table=tuple(nblks),
@@ -169,10 +178,14 @@ def build_stream_work(
         if stream_native.available():
             return stream_native.build_stream_work_native(plan, idx, wt)
     t_, b_, h_ = idx.shape
-    if (t_, b_, h_) != (len(plan.table_sizes), plan.batch, plan.hot):
+    if (
+        t_ != len(plan.table_sizes)
+        or b_ != plan.batch
+        or h_ < max(plan.hot)
+    ):
         raise ValueError(
-            f"batch shape {idx.shape} != plan "
-            f"({len(plan.table_sizes)}, {plan.batch}, {plan.hot})"
+            f"batch shape {idx.shape} incompatible with plan "
+            f"({len(plan.table_sizes)}, {plan.batch}, hot={plan.hot})"
         )
     br = plan.block_rows
     u_total = plan.u_total
@@ -182,15 +195,16 @@ def build_stream_work(
     w2t = np.full(plan.num_windows, t_ - 1, dtype=np.int32)
 
     items = []  # (block, row0, u)
-    bh = b_ * h_
-    bag_of_pos = (np.arange(bh, dtype=np.int32) // h_).astype(np.int32)
     sent_u = plan.u_size  # first slot of the trailing sentinel window
     for t in range(t_):
-        rows = idx[t].reshape(bh).astype(np.int32)
+        ht = plan.hot[t]  # ragged multi-hot: only this table's real columns
+        bh = b_ * ht
+        bag_of_pos = (np.arange(bh, dtype=np.int32) // ht).astype(np.int32)
+        rows = idx[t, :, :ht].reshape(bh).astype(np.int32)
         w = (
             np.ones(bh, dtype=np.float32)
             if wt is None
-            else wt[t].reshape(bh).astype(np.float32)
+            else wt[t, :, :ht].reshape(bh).astype(np.float32)
         )
         order = np.argsort(rows, kind="stable")
         rs, vs, ws = rows[order], bag_of_pos[order], w[order]

@@ -24,7 +24,7 @@ import numpy as np
 
 from dlrm_tpu.data.batch import Batch
 from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
-from dlrm_tpu.ops.embedding import fused_embedding_bag
+from dlrm_tpu.ops.embedding import fused_embedding_bag, grouped_embedding_bag
 from dlrm_tpu.ops.stream_kernels import (
     gather_grads,
     stream_embedding_fwd,
@@ -36,7 +36,12 @@ from dlrm_tpu.optim.optimizers import apply_updates
 
 
 def plan_for_model(model: DLRMModel, batch_size: int,
-                   block_rows: int = 2048) -> StreamPlan:
+                   block_rows: int = 2048,
+                   hot_sizes=None) -> StreamPlan:
+    """hot_sizes: per-table multi-hot sizes (the v2 ragged config); None
+    uses the uniform cfg.num_indices_per_lookup. The U-space is sized
+    per table, so ragged configs pay for their REAL hits, not the padded
+    [T, B, Hmax] layout."""
     cfg = model.cfg
     if not model.fused or cfg.weighted_pooling is not None:
         raise ValueError(
@@ -45,7 +50,8 @@ def plan_for_model(model: DLRMModel, batch_size: int,
         )
     return make_stream_plan(
         cfg.table_sizes, cfg.embedding_dim, batch_size,
-        cfg.num_indices_per_lookup, block_rows=block_rows,
+        cfg.num_indices_per_lookup if hot_sizes is None else hot_sizes,
+        block_rows=block_rows,
     )
 
 
@@ -148,7 +154,9 @@ def make_stream_train_step(
             )
             pooled = jnp.transpose(pooled_t, (1, 0, 2))
         else:
-            pooled = fused_embedding_bag(emb, offsets, batch.idx, batch.wt)
+            pooled = grouped_embedding_bag(
+                emb, offsets, batch.idx, batch.wt, plan.hot
+            )
 
         dense_params = {k: v for k, v in params.items() if k != "emb"}
 
@@ -221,8 +229,8 @@ def make_stream_eval_step(model: DLRMModel, plan: StreamPlan):
     offsets = jnp.asarray(np.asarray(plan.padded_offsets, np.int32))
 
     def eval_step(params, batch: Batch):
-        pooled = fused_embedding_bag(
-            params["emb"]["stacked"], offsets, batch.idx, batch.wt
+        pooled = grouped_embedding_bag(
+            params["emb"]["stacked"], offsets, batch.idx, batch.wt, plan.hot
         )
         dense_params = {k: v for k, v in params.items() if k != "emb"}
         probs, _ = model.forward_from_pooled(

@@ -275,7 +275,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not supports_fused(model):
             raise SystemExit("--embedding_impl stream needs plain uniform "
                              "tables (no qr/md/weighted pooling)")
-        plan = plan_for_model(model, args.batch_size)
+        plan = plan_for_model(
+            model, args.batch_size,
+            hot_sizes=hot_sizes if hot_sizes else None,
+        )
         params = pad_params(params, model, plan)
         bf16 = args.embedding_dtype == "bfloat16"
         if bf16:

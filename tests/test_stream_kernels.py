@@ -235,13 +235,20 @@ def test_native_stream_work_matches_numpy():
     if not stream_native.available():
         pytest.skip("native toolchain unavailable")
     rng = np.random.default_rng(11)
-    plan = make_stream_plan(TABLES, D, B, H, block_rows=BR)
-    idx = np.stack(
-        [rng.integers(0, n, (B, H)) for n in TABLES]
-    ).astype(np.int32)
-    wt = rng.uniform(0.5, 1.5, size=(len(TABLES), B, H)).astype(np.float32)
-    wn = build_stream_work(plan, idx, wt, prefer_native=True)
-    wp = build_stream_work(plan, idx, wt, prefer_native=False)
+    for hot in (H, (2, 1, 2)):  # uniform and ragged per-table hot sizes
+        plan = make_stream_plan(TABLES, D, B, hot, block_rows=BR)
+        idx = np.stack(
+            [rng.integers(0, n, (B, H)) for n in TABLES]
+        ).astype(np.int32)
+        wt = rng.uniform(0.5, 1.5, size=(len(TABLES), B, H)).astype(
+            np.float32
+        )
+        wn = build_stream_work(plan, idx, wt, prefer_native=True)
+        wp = build_stream_work(plan, idx, wt, prefer_native=False)
+        _check_work_equal(wn, wp)
+
+
+def _check_work_equal(wn, wp):
     assert wn.num_real_items == wp.num_real_items
     np.testing.assert_array_equal(wn.item_block, wp.item_block)
     np.testing.assert_array_equal(wn.item_row0, wp.item_row0)

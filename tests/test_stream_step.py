@@ -123,3 +123,68 @@ def test_stream_step_bf16_tables_tracks_fp32():
     for _ in range(4):
         sp16, st16, loss16, _ = step16(sp16, st16, batch, 0.05)
     assert float(loss16) < first, (float(loss16), first)
+
+
+def test_stream_step_ragged_hot_sizes():
+    """Per-table hot sizes (the real v2 config shape): the stream plan sizes
+    U per table and the grouped forward gathers only real hits — results
+    must equal the fused step consuming the same zero-weight-padded batch."""
+    from dlrm_tpu.ops.stream_plan import make_stream_plan
+
+    hot = (4, 1, 3)
+    hmax = max(hot)
+    model = DLRMModel(CFG)  # CFG.num_indices_per_lookup=4 == hmax
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    b = 32
+    idx = np.stack([
+        rng.integers(0, n, (b, hmax)).astype(np.int32)
+        for n in CFG.table_sizes
+    ])
+    wt = np.zeros((3, b, hmax), np.float32)
+    for t, h in enumerate(hot):
+        wt[t, :, :h] = 1.0
+    from dlrm_tpu.data.random_data import HostBatch
+
+    hb = HostBatch(
+        dense=rng.random((b, CFG.num_dense), dtype=np.float32),
+        idx=idx, wt=wt,
+        labels=(rng.random((b, 1)) < 0.5).astype(np.float32),
+    )
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, "rwsadagrad")
+    ref_params, _, ref_loss, _ = ref_step(
+        copy(params), init_opt_state("rwsadagrad", params),
+        hb.to_device(), 0.05,
+    )
+
+    plan = make_stream_plan(
+        CFG.table_sizes, CFG.embedding_dim, b, hot, block_rows=1024
+    )
+    hb2 = hb.with_stream_work(plan)
+    sp = pad_params(copy(params), model, plan)
+    sstate = init_stream_opt_state("rwsadagrad", sp, plan)
+    step = make_stream_train_step(
+        model, "rwsadagrad", plan, grad_impl="gather", interpret=True
+    )
+    new_params, _, loss, _ = step(sp, sstate, hb2.to_device(), 0.05)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    got = unpad_params(new_params, model, plan)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # the ragged plan really is tighter than the padded-uniform one (at a
+    # batch where the per-table savings exceed the 1024-slot window rounding)
+    big_r = make_stream_plan(
+        CFG.table_sizes, CFG.embedding_dim, 2048, hot, block_rows=1024
+    )
+    big_p = make_stream_plan(
+        CFG.table_sizes, CFG.embedding_dim, 2048, hmax, block_rows=1024
+    )
+    assert big_r.u_size < big_p.u_size

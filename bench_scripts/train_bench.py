@@ -1,8 +1,10 @@
 """End-to-end train-step timing: fused (XLA) vs streamed kernels.
 
-Usage: train_bench.py [fused|stream|both] [batch_size ...]
-Measures K scan-chained steps per config; only scalar losses cross the
-tunnel (see PERF_NOTES.md measurement rules).
+Usage: train_bench.py [fused|stream|both|ragged] [batch_size ...]
+`ragged` times the stream path on the REAL MLPerf v2 multi-hot distribution
+(hot sizes 1..100, torchrec_dlrm Criteo config) with both the padded-to-max
+layout and the per-table ragged plan. Measures K scan-chained steps per
+config; only scalar losses cross the tunnel (PERF_NOTES.md rules).
 """
 
 import sys
@@ -27,6 +29,10 @@ from dlrm_tpu.train.stream_step import (
 
 OPT = "rwsadagrad"
 ITERS = 20
+
+# the real MLPerf v2 Criteo multi-hot sizes (torchrec_dlrm README/config)
+V2_HOT_SIZES = (3, 2, 1, 2, 6, 1, 1, 1, 1, 7, 3, 8, 1, 6, 9, 5, 1, 1, 1,
+                12, 100, 27, 10, 3, 1, 1)
 
 
 def cfg_for(batch_size):
@@ -66,10 +72,55 @@ def time_many(raw_step, params, opt_state, batch, label, bs):
           f"{bs/dt:10.0f} examples/s", flush=True)
 
 
+def run_ragged(bs):
+    """Stream path on the ragged v2 config: padded-uniform plan vs the
+    per-table ragged plan (same padded [T,B,Hmax] batch layout)."""
+    import numpy as np
+
+    from dlrm_tpu.data.random_data import HostBatch
+    from dlrm_tpu.train.stream_step import plan_for_model
+
+    hmax = max(V2_HOT_SIZES)
+    cfg = cfg_for(bs)
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    idx = np.stack([
+        rng.integers(0, n, (bs, hmax)).astype(np.int32)
+        for n in cfg.table_sizes
+    ])
+    wt = np.zeros((len(cfg.table_sizes), bs, hmax), np.float32)
+    for t, h in enumerate(V2_HOT_SIZES):
+        wt[t, :, :h] = 1.0
+    hb = HostBatch(
+        dense=rng.random((bs, cfg.num_dense), dtype=np.float32),
+        idx=idx, wt=wt,
+        labels=(rng.random((bs, 1)) < 0.5).astype(np.float32),
+    )
+    for tag, hot in (("ragged", V2_HOT_SIZES), ("padded", hmax)):
+        plan = plan_for_model(model, bs, block_rows=2048, hot_sizes=hot)
+        t0 = time.perf_counter()
+        hb2 = hb.with_stream_work(plan)
+        print(f"host stream work ({tag}, u={plan.u_total}): "
+              f"{(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
+        sp = cast_emb(pad_params(params, model, plan), jnp.bfloat16)
+        sstate = init_stream_opt_state(OPT, sp, plan)
+        step = make_stream_train_step(
+            model, OPT, plan, fwd_impl="gather", grad_impl="gather",
+            mm_dtype=jnp.bfloat16, stochastic_round=True,
+        )
+        time_many(step.__wrapped__, sp, sstate, hb2.to_device(),
+                  f"stream v2-{tag} bs={bs}", bs)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     batches = [int(x) for x in sys.argv[2:]] or [2048]
     print("devices:", jax.devices(), flush=True)
+    if which == "ragged":
+        for bs in batches:
+            run_ragged(bs)
+        return
     for bs in batches:
         cfg = cfg_for(bs)
         model = DLRMModel(cfg)

@@ -247,16 +247,41 @@ def main(argv: Optional[List[str]] = None) -> int:
             data=args.mesh_data,
             model=args.mesh_model if args.mesh_model > 0 else None,
         )
-        bf = ButterflyDLRM(model, mesh)
-        params = bf.shard_params(params)
-        opt_state = init_opt_state(optimizer, params)
+        stream_ok = (
+            args.embedding_impl == "stream"
+            and len(set(model_cfg.table_sizes)) == 1
+        )
+        if stream_ok:
+            import jax.numpy as jnp
+
+            from dlrm_tpu.parallel.stream_butterfly import StreamButterfly
+
+            bf = StreamButterfly(
+                model, mesh, batch_size=args.batch_size,
+                table_dtype=(
+                    jnp.bfloat16
+                    if args.embedding_dtype == "bfloat16"
+                    else jnp.float32
+                ),
+                interpret=jax.default_backend() == "cpu",
+            )
+            params = bf.shard_params(params)
+            opt_state = bf.init_opt_state(optimizer, params)
+            to_device = lambda hb: bf.shard_batch(hb)  # noqa: E731
+            print("sharded stream-butterfly over", dict(mesh.shape))
+        else:
+            bf = ButterflyDLRM(model, mesh)
+            params = bf.shard_params(params)
+            opt_state = init_opt_state(optimizer, params)
+            to_device = (  # noqa: E731
+                lambda hb: bf.shard_batch(hb.to_device())
+            )
+            print(f"sharding plan: {bf.placement}")
         train_step = bf.make_train_step(
             optimizer, args.batch_size, params, opt_state
         )
         eval_step = bf.make_eval_step(params)
-        to_device = lambda hb: bf.shard_batch(hb.to_device())  # noqa: E731
         eval_to_device = to_device
-        print(f"sharding plan: {bf.placement}")
     elif args.embedding_impl in ("stream", "auto") and _pick_stream(
         args, model_cfg
     ):

@@ -68,3 +68,95 @@ def test_trainer_save_on_best_and_resume(tmp_path):
     trainer2 = Trainer(model, tc2, train_data, test_data)
     st2 = trainer2.init_state()
     assert st2.best_acc > 0.0
+
+
+def test_stream_checkpoint_interchange(tmp_path):
+    """Train with the streamed path, checkpoint, convert to the plain layout
+    and continue with the fused path — matches training fused throughout.
+    The layout conversion (unpad_params + unpack_rowwise_accum) is what lets
+    users switch embedding_impl mid-training."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.random_data import fixed_multihot_batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.ops.stream_plan import unpack_rowwise_accum
+    from dlrm_tpu.optim.optimizers import init_opt_state
+    from dlrm_tpu.train import checkpoint as ckpt
+    from dlrm_tpu.train.fused_step import make_fused_train_step
+    from dlrm_tpu.train.stream_step import (
+        init_stream_opt_state,
+        make_stream_train_step,
+        pad_params,
+        plan_for_model,
+        unpad_params,
+    )
+
+    cfg = DLRMConfig(
+        embedding_dim=128, table_sizes=(700, 1500),
+        mlp_bot=(4, 128), mlp_top=(16, 1),
+        interaction="dot", loss="bce", num_indices_per_lookup=4,
+    )
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    plan = plan_for_model(model, 32, block_rows=1024)
+    rng = np.random.default_rng(0)
+    batches = [
+        fixed_multihot_batch(rng, 4, cfg.table_sizes, 32, 4)
+        .with_stream_work(plan)
+        for _ in range(4)
+    ]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    # reference: 4 fused steps
+    fstep = make_fused_train_step(model, "rwsadagrad")
+    rp, rs = copy(params), init_opt_state("rwsadagrad", params)
+    for b in batches:
+        rp, rs, _, _ = fstep(rp, rs, b.to_device(), 0.05)
+
+    # 2 streamed steps -> checkpoint -> load -> convert -> 2 fused steps
+    sp = pad_params(copy(params), model, plan)
+    ss = init_stream_opt_state("rwsadagrad", sp, plan)
+    step = make_stream_train_step(
+        model, "rwsadagrad", plan, grad_impl="gather", interpret=True
+    )
+    for b in batches[:2]:
+        sp, ss, _, _ = step(sp, ss, b.to_device(), 0.05)
+    path = str(tmp_path / "stream.ckpt")
+    ckpt.save_checkpoint(path, sp, ss, meta={"iteration": 2})
+    lp, ls, extra = ckpt.load_checkpoint(path, sp, ss)
+    assert extra["iteration"] == 2
+
+    plain_p = unpad_params(lp, model, plan)
+    plain_s = {
+        "step": ls["step"],
+        "accum": {
+            **{k: v for k, v in ls["accum"].items() if k != "emb"},
+            "emb": {
+                "stacked": jnp.asarray(
+                    unpack_rowwise_accum(
+                        np.asarray(ls["accum"]["emb"]["stacked"]),
+                        model.total_rows,
+                    )
+                )
+            },
+        },
+    }
+    # rows are in plan order inside the packed accumulator: unpack per table
+    acc_full = np.zeros(model.total_rows, np.float32)
+    packed = np.asarray(ls["accum"]["emb"]["stacked"]).reshape(-1)
+    for t, n in enumerate(plan.table_sizes):
+        src = plan.padded_offsets[t]
+        dst = int(model.row_offsets[t])
+        acc_full[dst : dst + n] = packed[src : src + n]
+    plain_s["accum"]["emb"]["stacked"] = jnp.asarray(acc_full)
+
+    for b in batches[2:]:
+        plain_p, plain_s, _, _ = fstep(plain_p, plain_s, b.to_device(), 0.05)
+
+    np.testing.assert_allclose(
+        np.asarray(plain_p["emb"]["stacked"]),
+        np.asarray(rp["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -80,10 +80,17 @@ int64_t build_stream_work_native(
       const int32_t ht = hot[t];  // ragged multi-hot: real columns only
       const int32_t* rows = idx + int64_t(t) * bh;
       const float* w = wt ? wt + int64_t(t) * bh : nullptr;
+      // clamp malformed indices into the table's block range: an
+      // out-of-range row must not corrupt memory (it still produces a
+      // deterministic — if meaningless — plan, like the numpy path)
+      auto blk_of = [&](int32_t row) {
+        const int32_t j = (row < 0 ? 0 : row) / block_rows;
+        return j >= nb ? nb - 1 : j;
+      };
       counts.assign(nb, 0);
       for (int64_t bag = 0; bag < b_; ++bag)
         for (int32_t k = 0; k < ht; ++k)
-          counts[rows[bag * h_ + k] / block_rows]++;
+          counts[blk_of(rows[bag * h_ + k])]++;
 
       // per-block run starts (each run padded to a multiple of 128)
       cursor.assign(nb, 0);
@@ -115,7 +122,7 @@ int64_t build_stream_work_native(
         const int64_t base = int64_t(bag) * h_;
         for (int32_t k = 0; k < ht; ++k) {
           const int64_t i = base + k;
-          const int32_t j = rows[i] / block_rows;
+          const int32_t j = blk_of(rows[i]);
           const int32_t slot = cursor[j]++;
           rows_u[slot] = rows[i];
           vals_u[slot] = bag;

@@ -172,11 +172,6 @@ def build_stream_work(
     """Builds the per-batch U-layout arrays. Uses the threaded C++ builder
     (native/stream_work.cc, ~20x faster) when available; the numpy path
     below is the reference implementation and the no-toolchain fallback."""
-    if prefer_native:
-        from dlrm_tpu.native import stream_native
-
-        if stream_native.available():
-            return stream_native.build_stream_work_native(plan, idx, wt)
     t_, b_, h_ = idx.shape
     if (
         t_ != len(plan.table_sizes)
@@ -187,6 +182,11 @@ def build_stream_work(
             f"batch shape {idx.shape} incompatible with plan "
             f"({len(plan.table_sizes)}, {plan.batch}, hot={plan.hot})"
         )
+    if prefer_native:
+        from dlrm_tpu.native import stream_native
+
+        if stream_native.available():
+            return stream_native.build_stream_work_native(plan, idx, wt)
     br = plan.block_rows
     u_total = plan.u_total
     rows_u = np.full(u_total, SENTINEL_ROW, dtype=np.int32)

@@ -245,15 +245,12 @@ def _identity128(dtype=jnp.float32):
     return (a == b).astype(dtype)
 
 
-def _write_block(when_ok, blk, buf, out_hbm, sem, rows_per_blk):
-    """Manual per-block DMA-out (pl.ANY output).
-
-    A BLOCKED output spec with a data-dependent index map serializes the
-    Mosaic pipeline catastrophically (~8.9ms per grid step measured on v5e,
-    bench_scripts/k2_bisect.py V4); K3's blocked-INPUT + manual-output shape
-    runs the same grid at full bandwidth. Protocol: wait for the previous
-    block's write (buffer reuse guard) only when one exists, then start this
-    block's; the write drains while the next block accumulates."""
+def _wait_prev_write(when_ok, blk, buf, out_hbm, sem, rows_per_blk):
+    """Buffer-reuse guard: wait out the PREVIOUS block's in-flight write
+    before the caller overwrites `buf`. Must run BEFORE the `buf[:] = ...`
+    store (waiting after would race the DMA still reading the buffer).
+    The wait is semaphore-count based, so a descriptor of the same size
+    (aimed at this block's destination) stands in for the previous one."""
     dma = pltpu.make_async_copy(
         buf, out_hbm.at[pl.ds(blk * rows_per_blk, rows_per_blk)], sem
     )
@@ -262,7 +259,18 @@ def _write_block(when_ok, blk, buf, out_hbm, sem, rows_per_blk):
     def _():
         dma.wait()
 
-    dma.start()
+
+def _write_block(blk, buf, out_hbm, sem, rows_per_blk):
+    """Manual per-block DMA-out (pl.ANY output).
+
+    A BLOCKED output spec with a data-dependent index map serializes the
+    Mosaic pipeline catastrophically (~8.9ms per grid step measured on v5e,
+    bench_scripts/k2_bisect.py V4); K3's blocked-INPUT + manual-output shape
+    runs the same grid at full bandwidth. The write drains while the next
+    block accumulates; _wait_prev_write guards buffer reuse."""
+    pltpu.make_async_copy(
+        buf, out_hbm.at[pl.ds(blk * rows_per_blk, rows_per_blk)], sem
+    ).start()
 
 
 def _finalize_writes(g, m, blk, out_hbm, buf, sem, acc_pack):
@@ -297,11 +305,12 @@ def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
 
     @pl.when(last)
     def _():
+        _wait_prev_write(blk > 0, blk, upd, out_hbm, sem_w, br)
         upd[:] = _cast_out(
             table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gsum[:],
             upd.dtype, sr,
         )
-        _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
+        _write_block(blk, upd, out_hbm, sem_w, br)
 
     _finalize_writes(g, m, blk, out_hbm, upd, sem_w, ())
 
@@ -323,6 +332,8 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
 
     @pl.when(last)
     def _():
+        _wait_prev_write(blk > 0, blk, upd, out_hbm, sem_w, br)
+        _wait_prev_write(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br // 128)
         gs = gsum[:]
         mrow = jnp.sum(gs * gs, axis=1, keepdims=True) / d  # [br, 1]
         ident = _identity128()
@@ -351,8 +362,8 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
             for i in range(br // 128)
         ]
         acc_upd[:] = jnp.concatenate(rows_back, axis=0)
-        _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
-        _write_block(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br // 128)
+        _write_block(blk, upd, out_hbm, sem_w, br)
+        _write_block(blk, acc_upd, acc_hbm, sem_wa, br // 128)
 
     _finalize_writes(g, m, blk, out_hbm, upd, sem_w,
                      ((acc_upd, acc_hbm, sem_wa),))
@@ -375,6 +386,8 @@ def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
 
     @pl.when(last)
     def _():
+        _wait_prev_write(blk > 0, blk, upd, out_hbm, sem_w, br)
+        _wait_prev_write(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br)
         gs = gsum[:]
         new_acc = acc_ref[:].astype(jnp.float32) + gs * gs
         denom = jnp.sqrt(new_acc) + eps
@@ -383,8 +396,8 @@ def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
             upd.dtype, sr,
         )
         acc_upd[:] = new_acc.astype(acc_upd.dtype)
-        _write_block(blk > 0, blk, upd, out_hbm, sem_w, br)
-        _write_block(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br)
+        _write_block(blk, upd, out_hbm, sem_w, br)
+        _write_block(blk, acc_upd, acc_hbm, sem_wa, br)
 
     _finalize_writes(g, m, blk, out_hbm, upd, sem_w,
                      ((acc_upd, acc_hbm, sem_wa),))

@@ -112,6 +112,12 @@ def make_stream_plan(
         raise ValueError(
             f"{len(hot_t)} hot sizes for {len(table_sizes)} tables"
         )
+    if min(hot_t) < 1:
+        raise ValueError(
+            f"hot sizes must be >= 1, got {hot_t} (a 0-hot table would get "
+            "no windows and window_pool would leave its output block "
+            "uninitialized)"
+        )
     offs, bases, nblks = [], [], []
     acc = 0
     for n in table_sizes:

@@ -158,19 +158,14 @@ class ButterflyDLRM:
         """idx/wt: [T_pad, B, H] tables sharded over model, batch over data;
         dense/labels: batch sharded over (data, model)."""
         num_t, b, h = batch.idx.shape
-        pad_t = self.t_pad - num_t
         idx = np.asarray(batch.idx)
         wt = (
             np.asarray(batch.wt)
             if batch.wt is not None
             else np.ones((num_t, b, h), np.float32)
         )
-        if pad_t:
-            idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
-            wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
         # shard-major table order so P("model") slices line up with ownership
-        idx = idx[self.shard_major_order]
-        wt = wt[self.shard_major_order]
+        idx, wt = self._pad_reorder_sparse(idx, wt, num_t, b, h)
         return Batch(
             dense=self._put(batch.dense, P(("data", "model"))),
             idx=self._put(idx, P("model", "data")),
@@ -222,6 +217,51 @@ class ButterflyDLRM:
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
         return p, logits
+
+    def _dense_half(self, optimizer, global_batch, params, opt_state,
+                    emb_l, pooled, dense_l, labels_l, lr):
+        """The dense tail shared by the fused and streamed butterfly steps:
+        value_and_grad over (dense params, pooled), global-mean loss with
+        psum, dense optimizer update. Returns (loss, probs, dpooled,
+        new_dense, new_dense_state)."""
+        cfg = self.cfg
+        dense_params = {k: v for k, v in params.items() if k != "emb"}
+
+        def rest(dp, pooled_in):
+            probs, logits = self._tail_from_pooled(
+                {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
+            )
+            per = per_example_loss(cfg, probs, labels_l, logits)
+            return jnp.sum(per) / global_batch, probs
+
+        (loss_local, probs), (dgrads, dpooled) = jax.value_and_grad(
+            rest, argnums=(0, 1), has_aux=True
+        )(dense_params, pooled)
+        loss = jax.lax.psum(loss_local, ("data", "model"))
+        dgrads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, ("data", "model")), dgrads
+        )
+        if optimizer == "sgd":
+            dense_state = {"step": opt_state["step"]}
+        else:
+            dense_state = {
+                "step": opt_state["step"],
+                "accum": {
+                    k: v for k, v in opt_state["accum"].items() if k != "emb"
+                },
+            }
+        new_dense, new_dense_state = apply_updates(
+            optimizer, dense_params, dgrads, dense_state, lr
+        )
+        return loss, probs, dpooled, new_dense, new_dense_state
+
+    def _pad_reorder_sparse(self, idx, wt, num_t, b, h):
+        """Pad [T,B,H] idx/wt to t_pad tables and reorder shard-major."""
+        pad_t = self.t_pad - num_t
+        if pad_t:
+            idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
+            wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
+        return idx[self.shard_major_order], wt[self.shard_major_order]
 
     def make_train_step(
         self, optimizer: str, global_batch: int, params, opt_state
@@ -284,33 +324,11 @@ class ButterflyDLRM:
             pooled = jnp.einsum(
                 "tbhd,tbh->tbd", rows_v, wt_l.astype(rows_v.dtype)
             )
-            dense_params = {k: v for k, v in params.items() if k != "emb"}
-
-            def rest(dp, pooled_in):
-                probs, logits = self._tail_from_pooled(
-                    {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
+            loss, probs, dpooled, new_dense, new_dense_state = (
+                self._dense_half(
+                    optimizer, global_batch, params, opt_state, emb_l,
+                    pooled, dense_l, labels_l, lr,
                 )
-                per = per_example_loss(cfg, probs, labels_l, logits)
-                return jnp.sum(per) / global_batch, probs
-
-            (loss_local, probs), (dgrads, dpooled) = jax.value_and_grad(
-                rest, argnums=(0, 1), has_aux=True
-            )(dense_params, pooled)
-            loss = jax.lax.psum(loss_local, ("data", "model"))
-            dgrads = jax.tree_util.tree_map(
-                lambda g: jax.lax.psum(g, ("data", "model")), dgrads
-            )
-            if optimizer == "sgd":
-                dense_state = {"step": opt_state["step"]}
-            else:
-                dense_state = {
-                    "step": opt_state["step"],
-                    "accum": {
-                        k: v for k, v in opt_state["accum"].items() if k != "emb"
-                    },
-                }
-            new_dense, new_dense_state = apply_updates(
-                optimizer, dense_params, dgrads, dense_state, lr
             )
             # gather ALL data-groups' hits for my tables (replicas stay equal)
             dp_all = jax.lax.all_gather(

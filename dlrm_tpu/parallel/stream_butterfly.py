@@ -50,7 +50,8 @@ class StreamButterfly(ButterflyDLRM):
     def __init__(self, model: DLRMModel, mesh, *, block_rows: int = 2048,
                  batch_size: int, table_dtype=jnp.float32,
                  stochastic_round: Optional[bool] = None,
-                 mm_dtype=jnp.bfloat16, interpret: bool = False):
+                 mm_dtype=jnp.bfloat16, interpret: bool = False,
+                 hot_sizes=None):
         super().__init__(model, mesh)
         cfg = model.cfg
         sizes = set(cfg.table_sizes)
@@ -59,6 +60,22 @@ class StreamButterfly(ButterflyDLRM):
                 "stream butterfly v1 needs identical table sizes per shard "
                 "(uniform tables); use the fused butterfly otherwise"
             )
+        if cfg.weighted_pooling is not None:
+            raise NotImplementedError(
+                "stream butterfly does not support learned pooling weights "
+                "(v_w); use the fused butterfly"
+            )
+        if hot_sizes is not None and len(set(hot_sizes)) != 1:
+            # ragged hots shard-major-permuted must give every shard the
+            # SAME multiset for identical plan geometry; not guaranteed
+            raise NotImplementedError(
+                "stream butterfly v1 needs a uniform hot size across "
+                "tables; ragged configs use the single-chip stream step or "
+                "the fused butterfly"
+            )
+        self.hot = (
+            int(hot_sizes[0]) if hot_sizes else cfg.num_indices_per_lookup
+        )
         self.table_dtype = jnp.dtype(table_dtype)
         self.sr = (
             stochastic_round
@@ -73,7 +90,7 @@ class StreamButterfly(ButterflyDLRM):
         self.local_sizes = tuple([cfg.table_sizes[0]] * self.t_local)
         self.plan = make_stream_plan(
             self.local_sizes, cfg.embedding_dim, batch_size,
-            cfg.num_indices_per_lookup, block_rows=block_rows,
+            self.hot, block_rows=block_rows,
         )
         # tables of shard s, in shard-major order (includes dummies)
         self.shard_tables = [
@@ -160,13 +177,14 @@ class StreamButterfly(ButterflyDLRM):
         state["accum"] = accum
         return state
 
-    def shard_batch(self, batch_host) -> Batch:
+    def shard_batch(self, batch_host, with_stream: bool = True) -> Batch:
         """HostBatch -> device batch with per-model-shard stream work.
 
         dense/labels: P(('data','model')); idx/wt: P('model','data') (the
         forward's view); stream arrays: P('model') with a leading shard
-        axis, replicated over 'data' (the update's full-batch view)."""
-        cfg = self.cfg
+        axis, replicated over 'data' (the update's full-batch view).
+        with_stream=False skips the U-layout build + transfer — eval only
+        needs the forward's view."""
         hb = batch_host
         num_t, b, h = hb.idx.shape
         idx = np.asarray(hb.idx)
@@ -175,35 +193,32 @@ class StreamButterfly(ButterflyDLRM):
             if hb.wt is not None
             else np.ones((num_t, b, h), np.float32)
         )
-        works = []
-        for s in range(self.msize):
-            idx_s = np.zeros((self.t_local, b, h), np.int32)
-            wt_s = np.zeros((self.t_local, b, h), np.float32)
-            for j, t in enumerate(self.shard_tables[s]):
-                if t >= num_t:
-                    continue
-                idx_s[j] = idx[t]
-                wt_s[j] = wt[t]
-            works.append(build_stream_work(self.plan, idx_s, wt_s))
-        stack = lambda name: np.stack(  # noqa: E731
-            [np.asarray(getattr(w, name)) for w in works]
-        )
-        spec_m = P("model")
-        stream = StreamArrays(
-            rows_u=self._put(stack("rows_u"), spec_m),
-            vals_u=self._put(stack("vals_u"), spec_m),
-            wts_u=self._put(stack("wts_u"), spec_m),
-            w2t=self._put(stack("w2t"), spec_m),
-            item_block=self._put(stack("item_block"), spec_m),
-            item_row0=self._put(stack("item_row0"), spec_m),
-            item_u=self._put(stack("item_u"), spec_m),
-        )
-        pad_t = self.t_pad - num_t
-        if pad_t:
-            idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
-            wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
-        idx = idx[self.shard_major_order]
-        wt = wt[self.shard_major_order]
+        stream = None
+        if with_stream:
+            works = []
+            for s in range(self.msize):
+                idx_s = np.zeros((self.t_local, b, h), np.int32)
+                wt_s = np.zeros((self.t_local, b, h), np.float32)
+                for j, t in enumerate(self.shard_tables[s]):
+                    if t >= num_t:
+                        continue
+                    idx_s[j] = idx[t]
+                    wt_s[j] = wt[t]
+                works.append(build_stream_work(self.plan, idx_s, wt_s))
+            stack = lambda name: np.stack(  # noqa: E731
+                [np.asarray(getattr(w, name)) for w in works]
+            )
+            spec_m = P("model")
+            stream = StreamArrays(
+                rows_u=self._put(stack("rows_u"), spec_m),
+                vals_u=self._put(stack("vals_u"), spec_m),
+                wts_u=self._put(stack("wts_u"), spec_m),
+                w2t=self._put(stack("w2t"), spec_m),
+                item_block=self._put(stack("item_block"), spec_m),
+                item_row0=self._put(stack("item_row0"), spec_m),
+                item_u=self._put(stack("item_u"), spec_m),
+            )
+        idx, wt = self._pad_reorder_sparse(idx, wt, num_t, b, h)
         return Batch(
             dense=self._put(hb.dense, P(("data", "model"))),
             idx=self._put(idx, P("model", "data")),
@@ -236,35 +251,11 @@ class StreamButterfly(ButterflyDLRM):
                 rows_v * wt_l[..., None].astype(rows_v.dtype), axis=2,
                 dtype=jnp.float32,
             ).astype(rows_v.dtype)  # [t_local, b_d, d]
-            dense_params = {k: v for k, v in params.items() if k != "emb"}
-
-            def rest(dp, pooled_in):
-                probs, logits = self._tail_from_pooled(
-                    {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
+            loss, probs, dpooled, new_dense, new_dense_state = (
+                self._dense_half(
+                    optimizer, global_batch, params, opt_state, emb_l,
+                    pooled, dense_l, labels_l, lr,
                 )
-                per = per_example_loss(cfg, probs, labels_l, logits)
-                return jnp.sum(per) / global_batch, probs
-
-            (loss_local, probs), (dgrads, dpooled) = jax.value_and_grad(
-                rest, argnums=(0, 1), has_aux=True
-            )(dense_params, pooled)
-            loss = jax.lax.psum(loss_local, ("data", "model"))
-            dgrads = jax.tree_util.tree_map(
-                lambda g: jax.lax.psum(g, ("data", "model")), dgrads
-            )
-            if optimizer == "sgd":
-                dense_state = {"step": opt_state["step"]}
-            else:
-                dense_state = {
-                    "step": opt_state["step"],
-                    "accum": {
-                        k: v
-                        for k, v in opt_state["accum"].items()
-                        if k != "emb"
-                    },
-                }
-            new_dense, new_dense_state = apply_updates(
-                optimizer, dense_params, dgrads, dense_state, lr
             )
 
             # every table replica sees every data group's hits (same

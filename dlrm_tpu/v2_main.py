@@ -250,6 +250,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         stream_ok = (
             args.embedding_impl == "stream"
             and len(set(model_cfg.table_sizes)) == 1
+            and (not hot_sizes or len(set(hot_sizes)) == 1)
         )
         if stream_ok:
             import jax.numpy as jnp
@@ -264,10 +265,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                     else jnp.float32
                 ),
                 interpret=jax.default_backend() == "cpu",
+                hot_sizes=hot_sizes if hot_sizes else None,
             )
             params = bf.shard_params(params)
             opt_state = bf.init_opt_state(optimizer, params)
             to_device = lambda hb: bf.shard_batch(hb)  # noqa: E731
+            # eval only needs the forward's view of the batch
+            stream_eval_to_device = (  # noqa: E731
+                lambda hb: bf.shard_batch(hb, with_stream=False)
+            )
             print("sharded stream-butterfly over", dict(mesh.shape))
         else:
             bf = ButterflyDLRM(model, mesh)
@@ -281,7 +287,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             optimizer, args.batch_size, params, opt_state
         )
         eval_step = bf.make_eval_step(params)
-        eval_to_device = to_device
+        eval_to_device = (
+            stream_eval_to_device if stream_ok else to_device
+        )
     elif args.embedding_impl in ("stream", "auto") and _pick_stream(
         args, model_cfg
     ):

@@ -35,10 +35,15 @@ V2_HOT_SIZES = (3, 2, 1, 2, 6, 1, 1, 1, 1, 7, 3, 8, 1, 6, 9, 5, 1, 1, 1,
                 12, 100, 27, 10, 3, 1, 1)
 
 
+import os
+
+TABLE_ROWS = int(os.environ.get("TABLE_ROWS", 200_000))
+
+
 def cfg_for(batch_size):
     return DLRMConfig(
         embedding_dim=128,
-        table_sizes=tuple([200_000] * 26),
+        table_sizes=tuple([TABLE_ROWS] * 26),
         mlp_bot=(13, 512, 256, 128),
         mlp_top=(1024, 1024, 512, 256, 1),
         interaction="dot",

@@ -71,6 +71,7 @@ def apply_updates(
     grads,
     state: OptState,
     lr: jax.Array,
+    eps: float = ADAGRAD_EPS,
 ) -> Tuple[Any, OptState]:
     step = state["step"] + 1
     if name == "sgd":
@@ -82,7 +83,7 @@ def apply_updates(
             lambda a, g: a + jnp.square(g.astype(jnp.float32)), state["accum"], grads
         )
         new_params = jax.tree_util.tree_map(
-            lambda p, g, a: p - lr * g / (jnp.sqrt(a) + ADAGRAD_EPS),
+            lambda p, g, a: p - lr * g / (jnp.sqrt(a) + eps),
             params,
             grads,
             new_accum,
@@ -95,10 +96,10 @@ def apply_updates(
             g32 = g.astype(jnp.float32)
             if _is_table_path(path) and p.ndim == 2:
                 a_new = a + jnp.mean(jnp.square(g32), axis=1)  # [rows]
-                p_new = p - lr * g32 / (jnp.sqrt(a_new) + ADAGRAD_EPS)[:, None]
+                p_new = p - lr * g32 / (jnp.sqrt(a_new) + eps)[:, None]
             else:
                 a_new = a + jnp.square(g32)
-                p_new = p - lr * g32 / (jnp.sqrt(a_new) + ADAGRAD_EPS)
+                p_new = p - lr * g32 / (jnp.sqrt(a_new) + eps)
             return p_new, a_new
 
         flat = jax.tree_util.tree_map_with_path(upd, params, grads, state["accum"])

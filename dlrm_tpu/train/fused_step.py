@@ -15,8 +15,6 @@ pooling configs use the plain step.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -35,13 +33,19 @@ def supports_fused(model: DLRMModel) -> bool:
     return model.fused and model.cfg.weighted_pooling is None
 
 
-def make_fused_train_step(model: DLRMModel, optimizer: str):
+def make_fused_train_step(model: DLRMModel, optimizer: str,
+                          eps: float = None):
+    """eps: Adagrad denominator epsilon (None -> torch default 1e-10; v2's
+    --eps flag passes 1e-8 for torchrec parity)."""
     if not supports_fused(model):
         raise ValueError(
             "fused sparse step requires plain uniform-width tables without "
             "learned pooling; use dlrm_tpu.train.step.make_train_step"
         )
     cfg = model.cfg
+    from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
+    eps = ADAGRAD_EPS if eps is None else float(eps)
     offsets = jnp.asarray(model.row_offsets)
 
     def train_step(params, opt_state, batch: Batch, lr):
@@ -73,7 +77,7 @@ def make_fused_train_step(model: DLRMModel, optimizer: str):
                 },
             }
         new_dense, new_dense_state = apply_updates(
-            optimizer, dense_params, dgrads, dense_state, lr
+            optimizer, dense_params, dgrads, dense_state, lr, eps=eps
         )
 
         # ---- table: fused sparse update from the pooled cotangent
@@ -90,7 +94,8 @@ def make_fused_train_step(model: DLRMModel, optimizer: str):
                 else adagrad_from_coalesced
             )
             new_emb, new_acc = fn(
-                emb, opt_state["accum"]["emb"]["stacked"], urows, G, valid, lr
+                emb, opt_state["accum"]["emb"]["stacked"], urows, G, valid,
+                lr, eps=eps,
             )
             new_state = {
                 "step": new_dense_state["step"],

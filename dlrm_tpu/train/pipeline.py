@@ -44,32 +44,59 @@ class DevicePrefetcher:
 
     def __iter__(self) -> Iterator[Batch]:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         err = []
+
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer has gone away
+            (early break / exception) instead of blocking forever with
+            device batches pinned in the queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for hb in self.loader:
-                    q.put(self.to_device(hb))
-            except BaseException as e:  # surface worker errors to the consumer
+                    if not put(self.to_device(hb)):
+                        return
+            except BaseException as e:  # surface worker errors
                 err.append(e)
             finally:
-                q.put(self._DONE)
+                put(self._DONE)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                break
-            yield item
-        t.join()
-        if err:
+        done = False
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    done = True
+                    break
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock the producer and release queued device batches
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
+        if done and err:
             raise err[0]
 
 
 class PipelinedTrainer:
     """progress()-style stepping (TrainPipelineSparseDist.progress analog):
-    construct with the step fn and state, call progress(iterator) per step."""
+    construct with the step fn and state, call progress(iterator) per step.
+
+    lr may be a constant, a zero-arg callable, or an LRPolicy-like object
+    with .lr/.step() — the policy is STEPPED here so schedules advance."""
 
     def __init__(self, train_step, params, opt_state, lr_fn):
         self.train_step = train_step
@@ -78,9 +105,16 @@ class PipelinedTrainer:
         self.lr_fn = lr_fn
         self.step_count = 0
 
+    def _next_lr(self):
+        if hasattr(self.lr_fn, "lr") and hasattr(self.lr_fn, "step"):
+            lr = self.lr_fn.lr
+            self.lr_fn.step()
+            return lr
+        return self.lr_fn() if callable(self.lr_fn) else self.lr_fn
+
     def progress(self, it: Iterator[Batch]):
         batch = next(it)  # raises StopIteration at epoch end, like torchrec
-        lr = self.lr_fn() if callable(self.lr_fn) else self.lr_fn
+        lr = self._next_lr()
         self.params, self.opt_state, loss, probs = self.train_step(
             self.params, self.opt_state, batch, lr
         )

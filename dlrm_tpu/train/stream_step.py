@@ -15,16 +15,13 @@ Use pad_params / init_stream_opt_state to create them.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dlrm_tpu.data.batch import Batch
 from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
-from dlrm_tpu.ops.embedding import fused_embedding_bag, grouped_embedding_bag
+from dlrm_tpu.ops.embedding import grouped_embedding_bag
 from dlrm_tpu.ops.stream_kernels import (
     gather_grads,
     stream_embedding_fwd,
@@ -133,8 +130,18 @@ def make_stream_train_step(
     mm_dtype=jnp.float32,  # one-hot matmul dtype (bfloat16 = fast path)
     g_dtype=jnp.float32,  # dtype of the G_u / R_u intermediates
     stochastic_round: bool = False,  # SR the bf16 table writes (FBGEMM-style)
+    eps: float = None,  # Adagrad epsilon (None -> torch default 1e-10)
     interpret: bool = False,  # run kernels in interpret mode (CPU tests)
 ):
+    if fwd_impl not in ("gather", "stream"):
+        raise ValueError(f"fwd_impl must be gather|stream, got {fwd_impl!r}")
+    if grad_impl not in ("onehot", "gather"):
+        raise ValueError(
+            f"grad_impl must be onehot|gather, got {grad_impl!r}"
+        )
+    from dlrm_tpu.ops.stream_kernels import ADAGRAD_EPS
+
+    eps = ADAGRAD_EPS if eps is None else float(eps)
     cfg = model.cfg
     offsets = jnp.asarray(np.asarray(plan.padded_offsets, np.int32))
 
@@ -181,7 +188,7 @@ def make_stream_train_step(
                 },
             }
         new_dense, new_dense_state = apply_updates(
-            optimizer, dense_params, dgrads, dense_state, lr
+            optimizer, dense_params, dgrads, dense_state, lr, eps=eps
         )
 
         # table: K1 (grads in U-order) + K2 (streamed block update)
@@ -203,7 +210,8 @@ def make_stream_train_step(
         out = stream_update(
             optimizer, plan, emb, acc, g_u, sw.rows_u,
             sw.item_block, sw.item_row0, sw.item_u, lr,
-            mm_dtype=mm_dtype, stochastic_round=stochastic_round,
+            mm_dtype=mm_dtype, eps=eps,
+            stochastic_round=stochastic_round,
             seed=opt_state["step"], interpret=interpret,
         )
         new_params = dict(new_dense)

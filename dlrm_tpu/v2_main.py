@@ -321,6 +321,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             model, optimizer, plan, grad_impl="gather",
             mm_dtype=jnp.bfloat16 if bf16 else jnp.float32,
             stochastic_round=bf16,
+            eps=args.eps,
             # CPU backend only runs Pallas in interpret mode (CI/smoke path)
             interpret=jax.default_backend() == "cpu",
         )
@@ -334,7 +335,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from dlrm_tpu.train.step import make_eval_step, make_train_step
 
         train_step = (
-            make_fused_train_step(model, optimizer)
+            make_fused_train_step(model, optimizer, eps=args.eps)
             if supports_fused(model) and args.embedding_impl != "dense"
             else make_train_step(model, optimizer)
         )

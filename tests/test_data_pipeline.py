@@ -196,3 +196,67 @@ def test_multihot_conversion():
     wrapped = mh.convert_dataloader([one_hot, one_hot])
     assert len(list(wrapped)) == 2
     assert len(list(wrapped)) == 2
+
+
+def test_prefetcher_early_exit_no_deadlock():
+    """Breaking out of the prefetched iterator must not leave the producer
+    blocked on a full queue (it used to pin device batches forever)."""
+    import threading
+    import time as _time
+
+    from dlrm_tpu.train.pipeline import DevicePrefetcher
+
+    produced = []
+
+    def loader():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    pf = DevicePrefetcher(loader(), to_device=lambda x: x, depth=2)
+    for i, item in enumerate(pf):
+        if i == 3:
+            break  # early exit with the producer still active
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert len(produced) < 100  # it stopped early instead of draining
+
+
+def test_prefetcher_propagates_producer_error():
+    from dlrm_tpu.train.pipeline import DevicePrefetcher
+
+    def loader():
+        yield 1
+        raise RuntimeError("boom")
+
+    pf = DevicePrefetcher(loader(), to_device=lambda x: x, depth=2)
+    got = []
+    try:
+        for item in pf:
+            got.append(item)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised and got == [1]
+
+
+def test_pipelined_trainer_steps_lr_policy():
+    from dlrm_tpu.optim.lr_policy import LRPolicy
+    from dlrm_tpu.train.pipeline import PipelinedTrainer
+
+    lrs = []
+
+    def step(params, opt_state, batch, lr):
+        lrs.append(float(lr))
+        return params, opt_state, 0.0, None
+
+    policy = LRPolicy(1.0, num_warmup_steps=4, decay_start_step=4,
+                      num_decay_steps=0)
+    tr = PipelinedTrainer(step, {}, {}, policy)
+    it = iter(range(4))
+    for _ in range(4):
+        tr.progress(it)
+    assert lrs == sorted(lrs) and lrs[0] < lrs[-1], lrs  # warmup advanced

@@ -303,7 +303,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     if args.sharded:
-        from dlrm_tpu.optim.optimizers import init_opt_state
         from dlrm_tpu.parallel.butterfly import ButterflyDLRM
         from dlrm_tpu.parallel.mesh import make_mesh
 
@@ -316,7 +315,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         bf = ButterflyDLRM(model, mesh)
         state = trainer.init_state()
         state.params = bf.shard_params(state.params)
-        state.opt_state = init_opt_state(train_cfg.optimizer, state.params)
+        # reshard the EXISTING optimizer state: init_state may have loaded
+        # accumulators from a checkpoint (re-initializing here silently
+        # restarted Adagrad with empty accumulators on resume)
+        state.opt_state = bf.shard_opt_state(state.opt_state)
         trainer.train_step = bf.make_train_step(
             train_cfg.optimizer, train_cfg.mini_batch_size, state.params,
             state.opt_state,

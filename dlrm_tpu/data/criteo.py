@@ -68,9 +68,11 @@ def parse_raw_day(
     cat_rows: List[List[int]] = []
     with open(path, "rb") as f:
         for line in f:
-            cols = line.rstrip(b"\n").split(b"\t")
-            if len(cols) != TOT_FEA:
+            cols = line.rstrip(b"\r\n").split(b"\t")
+            if len(cols) < TOT_FEA:  # pad short rows with missing fields
                 cols = cols + [b""] * (TOT_FEA - len(cols))
+            elif len(cols) > TOT_FEA:  # clamp malformed long rows (the
+                cols = cols[:TOT_FEA]  # native parser does the same)
             y = int(cols[0]) if cols[0] else 0
             if sub_sample_rate > 0.0 and y == 0:
                 if rng.uniform() < sub_sample_rate:
@@ -94,18 +96,27 @@ def parse_raw_day(
 
 
 def split_kaggle_train(path: str, out_dir: str, days: int = 7) -> List[str]:
-    """Split Kaggle train.txt into `days` chunk files (data_utils.py:930-946)."""
+    """Split Kaggle train.txt into `days` chunk files (data_utils.py:930-946).
+
+    Two streaming passes (count, then copy) — train.txt is ~11GB and
+    readlines() would hold 2-3x that in RAM."""
+    n = 0
     with open(path, "rb") as f:
-        lines = f.readlines()
-    n = len(lines)
+        for _ in f:
+            n += 1
     per = math.ceil(n / days)
     out = []
     os.makedirs(out_dir, exist_ok=True)
-    for d in range(days):
-        p = os.path.join(out_dir, f"day_{d}")
-        with open(p, "wb") as f:
-            f.writelines(lines[d * per : (d + 1) * per])
-        out.append(p)
+    with open(path, "rb") as src:
+        for d in range(days):
+            p = os.path.join(out_dir, f"day_{d}")
+            with open(p, "wb") as dst:
+                for _ in range(per if d < days - 1 else n - per * (days - 1)):
+                    line = src.readline()
+                    if not line:
+                        break
+                    dst.write(line)
+            out.append(p)
     return out
 
 

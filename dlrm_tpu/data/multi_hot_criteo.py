@@ -111,7 +111,11 @@ class MultiHotCriteoDataset:
         rank: int = 0,
         world_size: int = 1,
         drop_last: bool = False,
+        split: Optional[str] = None,  # None | first_half | second_half
     ):
+        """split halves the selected days' row range — the reference divides
+        the final day into DISJOINT val ("first_half") and test
+        ("second_half") sets (torchrec_dlrm data_loader day-23 split)."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         self.hot_sizes = meta["hot_sizes"]
@@ -130,7 +134,16 @@ class MultiHotCriteoDataset:
             for d in day_ids
         ]
         self.day_rows = [a.shape[0] for a in self.dense]
-        self.total = int(np.sum(self.day_rows))
+        total_rows = int(np.sum(self.day_rows))
+        if split is None:
+            self.base, self.total = 0, total_rows
+        elif split == "first_half":
+            self.base, self.total = 0, total_rows // 2
+        elif split == "second_half":
+            self.base = total_rows // 2
+            self.total = total_rows - self.base
+        else:
+            raise ValueError(f"split {split!r} not supported")
         self.batch_size = batch_size
         self.rank = rank
         self.world_size = world_size
@@ -155,8 +168,8 @@ class MultiHotCriteoDataset:
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def read_batch(self, idx: int) -> HostBatch:
-        lo = idx * self.batch_size
-        hi = min(self.total, lo + self.batch_size)
+        lo = self.base + idx * self.batch_size
+        hi = min(self.base + self.total, lo + self.batch_size)
         dense = self._rows(lo, hi, self.dense)
         labels = self._rows(lo, hi, self.labels)
         sparse = self._rows(lo, hi, self.sparse)

@@ -130,6 +130,40 @@ class ButterflyDLRM:
                 )
         return out
 
+    def shard_opt_state(self, opt_state):
+        """Re-lay a single-device optimizer state into the sharded layout
+        (the checkpoint-resume path: cli --sharded --load-model). The emb
+        accumulator rides the same placement relay as the table; dense
+        accumulators replicate."""
+        from dlrm_tpu.parallel.planner import build_stacked
+
+        cfg = self.cfg
+        out = {"step": jnp.asarray(opt_state["step"])}
+        if "accum" not in opt_state:
+            return out
+        rep = NamedSharding(self.mesh, P())
+        accum = {
+            k: jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), rep), v
+            )
+            for k, v in opt_state["accum"].items()
+            if k != "emb"
+        }
+        emb_acc = opt_state["accum"].get("emb", {}).get("stacked")
+        if emb_acc is not None:
+            a = np.asarray(emb_acc)
+            tabs = []
+            for t, n in enumerate(cfg.table_sizes):
+                off = int(self.model.row_offsets[t])
+                sl = a[off : off + n]
+                tabs.append(sl[:, None] if sl.ndim == 1 else sl)
+            relaid = build_stacked(self.placement, tabs)
+            if a.ndim == 1:
+                relaid = relaid[:, 0]
+            accum["emb"] = {"stacked": self._put(relaid, P("model"))}
+        out["accum"] = accum
+        return out
+
     def unshard_params(self, params):
         """Back to the single-device contiguous layout (checkpoint export)."""
         from dlrm_tpu.parallel.planner import extract_table

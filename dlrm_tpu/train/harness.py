@@ -33,6 +33,38 @@ from dlrm_tpu.train.step import make_eval_step, make_train_step
 from dlrm_tpu.utils import logging as obs
 
 
+class _group_batches:
+    """Stack groups of `k` consecutive HostBatches on a new leading axis
+    (short trailing groups are dropped, like the reference's incomplete
+    accumulation window)."""
+
+    def __init__(self, loader, k: int):
+        self.loader = loader
+        self.k = k
+
+    def __len__(self):
+        return len(self.loader) // self.k
+
+    def __iter__(self):
+        from dlrm_tpu.data.random_data import HostBatch
+
+        group: List[Any] = []
+        for hb in self.loader:
+            group.append(hb)
+            if len(group) == self.k:
+                yield HostBatch(
+                    dense=np.stack([b.dense for b in group]),
+                    idx=np.stack([b.idx for b in group]),
+                    wt=(
+                        None
+                        if group[0].wt is None
+                        else np.stack([b.wt for b in group])
+                    ),
+                    labels=np.stack([b.labels for b in group]),
+                )
+                group = []
+
+
 @dataclass
 class TrainState:
     params: Any
@@ -75,7 +107,13 @@ class Trainer:
 
             # fused sparse in-backward update when the config allows it
             # (O(touched rows) table traffic); plain AD otherwise
-            if supports_fused(model) and train_cfg.optimizer in (
+            if train_cfg.grad_accum_iter > 1:
+                from dlrm_tpu.train.step import make_grad_accum_train_step
+
+                train_step = make_grad_accum_train_step(
+                    model, train_cfg.optimizer, train_cfg.grad_accum_iter
+                )
+            elif supports_fused(model) and train_cfg.optimizer in (
                 "sgd", "adagrad", "rwsadagrad",
             ):
                 train_step = make_fused_train_step(model, train_cfg.optimizer)
@@ -141,12 +179,22 @@ class Trainer:
         stop = False
         for epoch in range(state.epoch, tc.nepochs):
             self.mlperf.start(obs.EPOCH_START, metadata={"epoch_num": epoch})
-            accum_loss, accum_time, accum_count = 0.0, 0.0, 0
+            accum_losses, accum_time, accum_count = [], 0.0, 0
             # host-prep + H2D overlapped with the device step
             # (TrainPipelineSparseDist equivalent, dlrm_tpu/train/pipeline.py)
             from dlrm_tpu.train.pipeline import DevicePrefetcher
 
-            prefetched = DevicePrefetcher(self.train_data, self.to_device)
+            train_src = self.train_data
+            if tc.grad_accum_iter > 1:
+                # stack groups of accum_iter host batches on a leading axis
+                # (dlrm_s_pytorch.py:1604-1621 skips zero_grad/step except
+                # every Nth batch; here the scan inside the accum step
+                # consumes the whole group at once)
+                train_src = _group_batches(
+                    self.train_data, tc.grad_accum_iter
+                )
+                nbatches = len(train_src)
+            prefetched = DevicePrefetcher(train_src, self.to_device)
             for it, batch in enumerate(prefetched):
                 # checkpoint fast-forward (dlrm_s_pytorch.py:1535-1546)
                 if epoch == skip_epoch and it < skip_iter:
@@ -159,28 +207,28 @@ class Trainer:
                 self.lr_policy.step()
                 state.iteration = it + 1
                 state.total_iter += 1
-                # sync only when we need the number
+                # keep the DEVICE loss array; float() would force a
+                # host-device sync every step and serialize dispatch with
+                # execution — convert only at print boundaries
+                accum_losses.append(loss)
+                accum_count += 1
+                accum_time += (time.perf_counter() - t0) * 1000
                 should_print = (
                     (it + 1) % tc.print_freq == 0 or it + 1 == nbatches
                 )
                 if should_print:
-                    loss_v = float(loss)
-                    accum_loss += loss_v
-                    accum_count += 1
-                    accum_time += (time.perf_counter() - t0) * 1000
-                    gl = accum_loss / accum_count
+                    gl = float(sum(float(x) for x in accum_losses)) / (
+                        accum_count
+                    )
                     gt = accum_time / accum_count if tc.print_time else -1.0
                     print(
                         f"Finished training it {it + 1}/{nbatches} of epoch "
                         f"{epoch}, {gt:.2f} ms/it, loss {gl:.6f}"
                     )
                     self.scalar_log.add_scalar("Train/Loss", gl, state.total_iter)
-                    accum_loss = accum_time = 0.0
+                    accum_losses = []
+                    accum_time = 0.0
                     accum_count = 0
-                else:
-                    accum_loss += float(loss)
-                    accum_count += 1
-                    accum_time += (time.perf_counter() - t0) * 1000
 
                 # periodic eval (dlrm_s_pytorch.py:1686-1715)
                 if (
@@ -188,7 +236,7 @@ class Trainer:
                     and self.test_data is not None
                     and (it + 1) % tc.test_freq == 0
                 ):
-                    stop = self._eval_and_maybe_stop(state, epoch, it + 1)
+                    stop = self._eval_and_maybe_stop(state, epoch, it + 1, nbatches)
                     if stop:
                         break
             state.epoch = epoch + 1
@@ -197,7 +245,7 @@ class Trainer:
             if stop:
                 break
         if tc.test_freq <= 0 and self.test_data is not None:
-            self._eval_and_maybe_stop(state, state.epoch, state.total_iter)
+            self._eval_and_maybe_stop(state, state.epoch, state.total_iter, state.total_iter)
         self.mlperf.end(
             obs.RUN_STOP, metadata={"status": "success" if not stop else "aborted"}
         )
@@ -231,7 +279,8 @@ class Trainer:
         self.mlperf.event(obs.EVAL_ACCURACY, value=results.get("accuracy"))
         return results
 
-    def _eval_and_maybe_stop(self, state: TrainState, epoch: int, it: int) -> bool:
+    def _eval_and_maybe_stop(self, state: TrainState, epoch: int, it: int,
+                             nbatches: int = 0) -> bool:
         tc = self.tc
         results = self.evaluate(state)
         acc = results.get("accuracy", 0.0)
@@ -241,8 +290,9 @@ class Trainer:
             state.best_acc = acc
         if not np.isnan(auc) and auc > state.best_auc:
             state.best_auc = auc
+        # "Testing at - j+1/nbatches of epoch k" (dlrm_s_pytorch.py:873-898)
         line = (
-            f"Testing at - {it}/{epoch} of epoch {epoch}, "
+            f"Testing at - {it}/{nbatches} of epoch {epoch}, "
             f"accuracy {acc * 100:.3f} %, best {state.best_acc * 100:.3f} %"
         )
         if tc.mlperf_logging:

@@ -62,6 +62,8 @@ def make_grad_accum_train_step(model: DLRMModel, optimizer: str, accum_iters: in
         new_params, new_state = apply_updates(
             optimizer, params, grads, opt_state, lr
         )
-        return new_params, new_state, jnp.mean(losses)
+        # 4-tuple like the other steps (probs not tracked across
+        # micro-batches; the harness only consumes the loss)
+        return new_params, new_state, jnp.mean(losses), None
 
     return jax.jit(train_step, donate_argnums=(0, 1))

@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _pick_stream(args, model_cfg) -> bool:
+def _pick_stream(args, model_cfg, hot_sizes=None) -> bool:
     """embedding_impl=auto cost model: the streamed update's cost is one
     table stream (2 x table_bytes / ~200GB/s, batch-independent); the
     XLA scatter path costs ~36.5ns per touched row (PERF_NOTES.md). Pick
@@ -106,10 +106,15 @@ def _pick_stream(args, model_cfg) -> bool:
         bytes_per_el
     )
     stream_s = 2 * table_bytes / 200e9
-    hits = args.batch_size * model_cfg.num_tables * (
-        model_cfg.num_indices_per_lookup
+    # per-sample hits = sum of the REAL per-table hot sizes (ragged configs
+    # pad num_indices_per_lookup to the max — using it would overestimate
+    # the scatter path's cost by up to max/mean)
+    hits_per_sample = (
+        sum(hot_sizes)
+        if hot_sizes
+        else model_cfg.num_tables * model_cfg.num_indices_per_lookup
     )
-    scatter_s = hits * 36.5e-9
+    scatter_s = args.batch_size * hits_per_sample * 36.5e-9
     return stream_s < scatter_s
 
 
@@ -125,6 +130,9 @@ def _evaluate(eval_step, params, loader, to_device, stage: str) -> float:
         keep = lbl >= 0
         scores.append(np.asarray(probs).ravel()[keep])
         labels.append(lbl[keep])
+    if not scores:
+        print(f"AUROC over {stage} set: n/a (empty loader)")
+        return 0.0
     s, l = np.concatenate(scores), np.concatenate(labels)
     auroc = roc_auc_exact(s, l)
     print(f"AUROC over {stage} set: {auroc}")
@@ -190,14 +198,32 @@ def main(argv: Optional[List[str]] = None) -> int:
             ) as f:
                 import json
 
-                days = json.load(f)["days"]
+                meta = json.load(f)
+            days = meta["days"]
+            # the dataset's geometry is authoritative — a silent mismatch
+            # with the CLI flags would gather garbage rows (indices wrap)
+            if list(meta["table_sizes"]) != list(table_sizes):
+                raise SystemExit(
+                    f"--num_embeddings_per_feature {list(table_sizes)} != "
+                    f"materialized table_sizes {meta['table_sizes']}"
+                )
+            if hot_sizes and list(meta["hot_sizes"]) != list(hot_sizes):
+                raise SystemExit(
+                    f"--multi_hot_sizes {list(hot_sizes)} != materialized "
+                    f"hot_sizes {meta['hot_sizes']}"
+                )
             day_sel = list(range(days - 1)) if stage == "train" else [days - 1]
+            # last day splits into DISJOINT val/test halves (reference
+            # day-23 split) — eval metrics must not leak into test
+            split = {"train": None, "val": "first_half",
+                     "test": "second_half"}[stage]
             ds = MultiHotCriteoDataset(
                 args.synthetic_multi_hot_criteo_path,
                 args.batch_size if stage == "train" else (
                     args.test_batch_size or args.batch_size
                 ),
                 days=day_sel,
+                split=split,
             )
             return ds if limit is None else list(itertools.islice(iter(ds), limit))
         if args.in_memory_binary_criteo_path:
@@ -213,7 +239,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             tc = TrainConfig(
                 mini_batch_size=args.batch_size,
-                num_batches=limit or 10,
+                num_batches=limit if limit is not None else 10,
                 numpy_rand_seed=args.seed + {"train": 0, "val": 1, "test": 2}[stage],
                 num_indices_per_lookup_fixed=hot_sizes is None,
                 round_targets=True,
@@ -291,7 +317,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             stream_eval_to_device if stream_ok else to_device
         )
     elif args.embedding_impl in ("stream", "auto") and _pick_stream(
-        args, model_cfg
+        args, model_cfg, hot_sizes
     ):
         import jax.numpy as jnp
 
@@ -352,6 +378,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         n = 0
+        loss = float("nan")  # stays NaN only if the train loader is empty
         for batch in DevicePrefetcher(train_loader, to_device):
             if args.print_lr:
                 print(f"lr: {it} {lr_policy.lr}")

@@ -92,3 +92,34 @@ def test_butterfly_eval_matches_single_device():
     ev = bf.make_eval_step(p2)
     probs2 = np.asarray(ev(p2, bf.shard_batch(batches[0].to_device())))
     np.testing.assert_allclose(probs1, probs2, atol=1e-5)
+
+
+def test_shard_opt_state_preserves_loaded_accumulators():
+    """cli --sharded --load-model resume path: the loaded Adagrad
+    accumulators must survive resharding (they used to be zeroed)."""
+    import numpy as np
+
+    from dlrm_tpu.optim.optimizers import init_opt_state
+    from dlrm_tpu.parallel.planner import extract_table
+
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = init_opt_state("rwsadagrad", params)
+    # simulate a trained checkpoint: distinct per-row accumulator values
+    rows = model.total_rows
+    acc = np.arange(1, rows + 1, dtype=np.float32)
+    import jax.numpy as jnp
+
+    opt_state["accum"]["emb"]["stacked"] = jnp.asarray(acc)
+    opt_state["step"] = jnp.asarray(7, jnp.int32)
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh)
+    sharded = bf.shard_opt_state(opt_state)
+    assert int(sharded["step"]) == 7
+    got = np.asarray(jax.device_get(sharded["accum"]["emb"]["stacked"]))
+    for t, n in enumerate(CFG.table_sizes):
+        off = int(model.row_offsets[t])
+        want = acc[off : off + n]
+        have = extract_table(bf.placement, got[:, None], t)[:, 0]
+        np.testing.assert_allclose(have, want)

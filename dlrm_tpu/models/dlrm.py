@@ -174,15 +174,20 @@ class DLRMModel:
         if self.fused:
             params["emb"] = {"stacked": jnp.asarray(np.concatenate(tables, axis=0))}
         else:
+            # projections draw from a PRIVATE stream derived from (but not
+            # consuming) the global state: the reference inits them with the
+            # TORCH RNG, so numpy-stream parity for tables/MLPs must not be
+            # disturbed by interleaved proj draws
+            private = np.random.RandomState(
+                int(np.random.get_state()[1][0]) ^ 0x9E3779B9
+            )
             entries = []
             for i, (n, w) in enumerate(zip(cfg.table_sizes, tables)):
                 entry = {"w": jnp.asarray(w)}
                 if self._table_is_md(i, n) and self.md_dims[i] < cfg.embedding_dim:
-                    # reference uses torch xavier for the projection; any
-                    # xavier-uniform draw is acceptable here (not RNG-matched)
                     a = np.sqrt(6.0 / (self.md_dims[i] + cfg.embedding_dim))
                     entry["proj"] = jnp.asarray(
-                        np.random.uniform(
+                        private.uniform(
                             -a, a, size=(self.md_dims[i], cfg.embedding_dim)
                         ).astype(np.float32)
                     )
@@ -195,7 +200,11 @@ class DLRMModel:
                 params["v_w"] = [jnp.ones((n,), jnp.float32) for n in cfg.table_sizes]
         params["bot"] = init_mlp_numpy(cfg.mlp_bot)
         params["top"] = init_mlp_numpy(cfg.ln_top)
-        params.update(self._init_interaction(jax.random.PRNGKey(0)))
+        # interaction params are torch-RNG-initialized in the reference (not
+        # numpy-parity material) but must still VARY with the user's seed:
+        # derive a key from the global state without consuming it
+        seed_key = int(np.random.get_state()[1][0]) & 0x7FFFFFFF
+        params.update(self._init_interaction(jax.random.PRNGKey(seed_key)))
         return params
 
     def _init_interaction(self, rng: jax.Array) -> Params:

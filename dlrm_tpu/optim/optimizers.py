@@ -31,15 +31,23 @@ ADAGRAD_EPS = 1e-10
 OptState = Dict[str, Any]
 
 
-def _is_table_path(path) -> bool:
-    """Embedding-table leaves (2-D arrays under params['emb']) get the
-    row-wise treatment under rwsadagrad."""
+def path_keys(path):
+    """Dict keys / sequence indices along a jax tree path (the shared
+    helper behind table-vs-dense routing here and the sharding specs in
+    parallel/butterfly.py and parallel/gspmd.py)."""
     keys = []
     for p in path:
         if hasattr(p, "key"):
             keys.append(p.key)
         elif hasattr(p, "idx"):
             keys.append(p.idx)
+    return keys
+
+
+def _is_table_path(path) -> bool:
+    """Embedding-table leaves (2-D arrays under params['emb']) get the
+    row-wise treatment under rwsadagrad."""
+    keys = path_keys(path)
     if not keys or keys[0] != "emb":
         return False
     # MD projections are dense nn.Linear-style params in the reference

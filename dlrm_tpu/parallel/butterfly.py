@@ -253,7 +253,7 @@ class ButterflyDLRM:
         return p, logits
 
     def _dense_half(self, optimizer, global_batch, params, opt_state,
-                    emb_l, pooled, dense_l, labels_l, lr):
+                    emb_l, pooled, dense_l, labels_l, lr, eps=None):
         """The dense tail shared by the fused and streamed butterfly steps:
         value_and_grad over (dense params, pooled), global-mean loss with
         psum, dense optimizer update. Returns (loss, probs, dpooled,
@@ -284,8 +284,11 @@ class ButterflyDLRM:
                     k: v for k, v in opt_state["accum"].items() if k != "emb"
                 },
             }
+        from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
         new_dense, new_dense_state = apply_updates(
-            optimizer, dense_params, dgrads, dense_state, lr
+            optimizer, dense_params, dgrads, dense_state, lr,
+            eps=ADAGRAD_EPS if eps is None else eps,
         )
         return loss, probs, dpooled, new_dense, new_dense_state
 
@@ -298,7 +301,8 @@ class ButterflyDLRM:
         return idx[self.shard_major_order], wt[self.shard_major_order]
 
     def make_train_step(
-        self, optimizer: str, global_batch: int, params, opt_state
+        self, optimizer: str, global_batch: int, params, opt_state,
+        eps: float = None,
     ):
         """params/opt_state are templates used only to build the shard_map
         spec trees (structure, not values).
@@ -339,8 +343,11 @@ class ButterflyDLRM:
                     return jax.lax.psum(g, ("data", "model"))
 
                 grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+                from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
                 new_params, new_state = apply_updates(
-                    optimizer, params, grads, opt_state, lr
+                    optimizer, params, grads, opt_state, lr,
+                    eps=ADAGRAD_EPS if eps is None else eps,
                 )
                 return new_params, new_state, loss, probs
 
@@ -361,7 +368,7 @@ class ButterflyDLRM:
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
                     optimizer, global_batch, params, opt_state, emb_l,
-                    pooled, dense_l, labels_l, lr,
+                    pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )
             # gather ALL data-groups' hits for my tables (replicas stay equal)
@@ -378,13 +385,18 @@ class ButterflyDLRM:
                 new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
                 new_state = {"step": new_dense_state["step"]}
             else:
+                from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
                 acc_l = opt_state["accum"]["emb"]["stacked"]
                 fn = (
                     apply_sparse_rowwise_adagrad
                     if optimizer == "rwsadagrad"
                     else apply_sparse_adagrad
                 )
-                new_emb, new_acc = fn(emb_l, acc_l, rows, g, lr)
+                new_emb, new_acc = fn(
+                    emb_l, acc_l, rows, g, lr,
+                    eps=ADAGRAD_EPS if eps is None else eps,
+                )
                 new_state = {
                     "step": new_dense_state["step"],
                     "accum": {
@@ -457,7 +469,9 @@ class ButterflyDLRM:
 def _spec_for_path(path, leaf) -> P:
     """Model-axis row sharding for embedding-table state (params AND their
     optimizer accumulators); everything else replicated."""
-    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    from dlrm_tpu.optim.optimizers import path_keys
+
+    keys = path_keys(path)
     if ("emb" in keys or "v_w" in keys) and getattr(leaf, "ndim", 0) >= 1:
         return P("model")
     return P()

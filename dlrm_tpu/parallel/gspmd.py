@@ -27,7 +27,9 @@ def _param_sharding(mesh: Mesh):
     msize = mesh.shape["model"]
 
     def spec(path, leaf):
-        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        from dlrm_tpu.optim.optimizers import path_keys
+
+        keys = path_keys(path)
         if (
             ("emb" in keys or "v_w" in keys)
             and getattr(leaf, "ndim", 0) >= 1
@@ -71,9 +73,9 @@ class GspmdDLRM:
             labels=put(batch.labels, bspec),
         )
 
-    def make_train_step(self, optimizer: str):
+    def make_train_step(self, optimizer: str, eps: float = None):
         # the plain single-device step; GSPMD partitions it across the mesh
-        return make_train_step(self.model, optimizer)
+        return make_train_step(self.model, optimizer, eps=eps)
 
     def make_eval_step(self):
         return make_eval_step(self.model)

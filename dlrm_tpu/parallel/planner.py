@@ -44,7 +44,10 @@ class TablePlacement:
     strategy: str
     # per-table shard id (table_wise/round_robin); -1 = row-wise sharded
     table_shard: Tuple[int, ...]
-    # per-table start row in the GLOBAL stacked array
+    # per-table start row. MEANING IS STRATEGY-DEPENDENT: for round_robin /
+    # table_wise it is the offset into the GLOBAL stacked array; for
+    # row_wise it is the table's offset WITHIN each shard's block (use
+    # extract_table / global_index_map, never raw slicing, for row_wise)
     global_offsets: Tuple[int, ...]
     # rows per shard (equal across shards; includes padding)
     shard_rows: int

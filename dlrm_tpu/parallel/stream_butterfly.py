@@ -235,7 +235,7 @@ class StreamButterfly(ButterflyDLRM):
         return self._put(np.tile(offs, self.msize), P("model"))
 
     def make_train_step(self, optimizer: str, global_batch: int, params,
-                        opt_state):
+                        opt_state, eps: float = None):
         cfg = self.cfg
         mesh = self.mesh
         plan = self.plan
@@ -254,7 +254,7 @@ class StreamButterfly(ButterflyDLRM):
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
                     optimizer, global_batch, params, opt_state, emb_l,
-                    pooled, dense_l, labels_l, lr,
+                    pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )
 
@@ -272,10 +272,14 @@ class StreamButterfly(ButterflyDLRM):
                 if optimizer == "sgd"
                 else opt_state["accum"]["emb"]["stacked"]
             )
+            from dlrm_tpu.ops.stream_kernels import ADAGRAD_EPS
+
             out = stream_update(
                 optimizer, plan, emb_l, acc, g_u, sw.rows_u[0],
                 sw.item_block[0], sw.item_row0[0], sw.item_u[0], lr,
-                mm_dtype=self.mm_dtype, stochastic_round=self.sr,
+                mm_dtype=self.mm_dtype,
+                eps=ADAGRAD_EPS if eps is None else float(eps),
+                stochastic_round=self.sr,
                 seed=opt_state["step"], interpret=self.interpret,
             )
             new_params = dict(new_dense)

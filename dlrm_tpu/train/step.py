@@ -18,7 +18,11 @@ from dlrm_tpu.models.dlrm import DLRMModel
 from dlrm_tpu.optim.optimizers import apply_updates, init_opt_state
 
 
-def make_train_step(model: DLRMModel, optimizer: str):
+def make_train_step(model: DLRMModel, optimizer: str, eps: float = None):
+    from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
+    eps = ADAGRAD_EPS if eps is None else float(eps)
+
     def train_step(params, opt_state, batch: Batch, lr):
         def loss_fn(p):
             loss, probs = model.loss_and_prob(p, batch)
@@ -26,7 +30,7 @@ def make_train_step(model: DLRMModel, optimizer: str):
 
         (loss, probs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         new_params, new_state = apply_updates(
-            optimizer, params, grads, opt_state, lr
+            optimizer, params, grads, opt_state, lr, eps=eps
         )
         return new_params, new_state, loss, probs
 

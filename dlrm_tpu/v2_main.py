@@ -310,7 +310,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             print(f"sharding plan: {bf.placement}")
         train_step = bf.make_train_step(
-            optimizer, args.batch_size, params, opt_state
+            optimizer, args.batch_size, params, opt_state, eps=args.eps
         )
         eval_step = bf.make_eval_step(params)
         eval_to_device = (

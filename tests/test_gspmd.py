@@ -86,3 +86,25 @@ def test_multihost_helpers_single_process():
     gb = global_batch_from_replicated(mesh, hb.to_device(), specs)
     assert gb.dense.shape == (16, 8)
     barrier("test")
+
+
+def test_planner_all_strategies_roundtrip():
+    """build_stacked -> extract_table roundtrips for every placement
+    strategy (row_wise's intra-shard offset math was previously untested)."""
+    import numpy as np
+
+    from dlrm_tpu.parallel.planner import (
+        build_stacked,
+        extract_table,
+        plan_tables,
+    )
+
+    rng = np.random.default_rng(0)
+    sizes = (37, 100, 9, 260, 64)
+    tables = [rng.standard_normal((n, 8)).astype(np.float32) for n in sizes]
+    for strategy in ("round_robin", "table_wise", "row_wise"):
+        placement = plan_tables(sizes, 4, strategy=strategy)
+        stacked = build_stacked(placement, tables)
+        for t, tab in enumerate(tables):
+            got = extract_table(placement, stacked, t)
+            np.testing.assert_allclose(got, tab, err_msg=f"{strategy} t={t}")

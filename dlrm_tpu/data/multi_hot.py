@@ -60,12 +60,23 @@ class Multihot:
                 if dist_type == "uniform":
                     lk[:, 1:] = rng.randint(0, rows, size=(rows, h - 1))
                 else:  # pareto, clipped into range (multi_hot.py:96-107)
-                    draws = rng.pareto(a=0.25, size=(rows, h - 1)).astype(np.int64)
-                    lk[:, 1:] = draws % rows
+                    # int32 cast BEFORE the modulo, like the reference —
+                    # ~0.5% of Pareto(0.25) draws exceed 2^31 and must wrap
+                    # identically for fixed-seed table parity
+                    draws = rng.pareto(a=0.25, size=(rows, h - 1)).astype(
+                        np.int32
+                    )
+                    lk[:, 1:] = draws.astype(np.int64) % rows
             self.lookups.append(lk)
-        # access-frequency stats pre/post conversion (multi_hot.py:65-73)
-        self.freqs_pre = [np.zeros(n, np.int64) for n in self.table_sizes]
-        self.freqs_post = [np.zeros(n, np.int64) for n in self.table_sizes]
+        # access-frequency stats pre/post conversion (multi_hot.py:65-73);
+        # only materialized when requested — real configs total ~880M rows
+        if collect_freqs_stats:
+            self.freqs_pre = [np.zeros(n, np.int64) for n in self.table_sizes]
+            self.freqs_post = [
+                np.zeros(n, np.int64) for n in self.table_sizes
+            ]
+        else:
+            self.freqs_pre = self.freqs_post = None
 
     def convert_to_multi_hot(self, batch: HostBatch) -> HostBatch:
         """1-hot HostBatch (H=1) -> multi-hot HostBatch (H=max hot size)."""
@@ -89,6 +100,10 @@ class Multihot:
         return RestartableMap(self.convert_to_multi_hot, loader)
 
     def save_freqs_stats(self, path: str) -> None:
+        if self.freqs_pre is None:
+            raise ValueError(
+                "no frequency stats collected (collect_freqs_stats=False)"
+            )
         np.savez(
             path,
             **{f"pre_{i}": f for i, f in enumerate(self.freqs_pre)},

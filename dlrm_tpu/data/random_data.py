@@ -175,11 +175,10 @@ class RandomDataset:
         self.pad_last_batch = pad_last_batch
         self.trace_file = trace_file
         self.enable_padding = enable_padding
-        mb = train_cfg.mini_batch_size
-        nb = int(np.ceil(train_cfg.data_size / mb))
+        # single source of truth for the batch-count derivation
+        nb = train_cfg.num_train_batches
         if train_cfg.num_batches > 0:
-            nb = train_cfg.num_batches
-            self.data_size = nb * mb
+            self.data_size = nb * train_cfg.mini_batch_size
         else:
             self.data_size = train_cfg.data_size
         self.num_batches = nb
@@ -203,6 +202,10 @@ class RandomDataset:
                 self.trace_file,
                 tc.num_indices_per_lookup_fixed,
                 self.enable_padding,
+                round_targets=tc.round_targets,
+                pad_batch_to=(
+                    tc.mini_batch_size if self.pad_last_batch else None
+                ),
             )
         return generate_random_batch(
             mc.num_dense,

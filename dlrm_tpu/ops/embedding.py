@@ -137,18 +137,27 @@ def offsets_to_padded(
 
 
 def padded_to_offsets(
-    idx: np.ndarray, wt: np.ndarray
+    idx: np.ndarray, wt: np.ndarray,
+    lengths: Optional[np.ndarray] = None,  # [B] true bag lengths
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Inverse of offsets_to_padded (drops zero-weight padding)."""
+    """Inverse of offsets_to_padded.
+
+    Without `lengths`, padding is inferred as wt == 0 — which also drops
+    GENUINE zero per-sample weights (indistinguishable in this layout).
+    Pass the true bag lengths to round-trip weighted bags faithfully."""
     batch = idx.shape[0]
     offsets = np.zeros(batch, dtype=np.int64)
     out = []
     acc = 0
     for b in range(batch):
-        mask = wt[b] != 0.0
+        if lengths is not None:
+            ln = int(lengths[b])
+            keep = idx[b][:ln]
+        else:
+            keep = idx[b][wt[b] != 0.0]
         offsets[b] = acc
-        out.extend(idx[b][mask].tolist())
-        acc += int(mask.sum())
+        out.extend(keep.tolist())
+        acc += len(keep)
     return np.asarray(out, dtype=np.int64), offsets
 
 

@@ -29,20 +29,35 @@ def export_forward(
 ) -> str:
     """Serialize the inference forward to <path> (StableHLO bytes).
 
-    The exported function signature is (params, dense, idx, wt) -> probs with
-    static shapes; reload with load_forward()."""
+    wt=True exports (params, dense, idx, wt) -> probs; wt=False exports
+    (params, dense, idx) -> probs (all bags full, unweighted pooling).
+    Static shapes; reload with load_forward()."""
     from jax import export as jexport
 
     cfg = model.cfg
     t, h = cfg.num_tables, cfg.num_indices_per_lookup
 
-    def fwd(p, dense, idx, wt_arr):
-        return model.apply(p, Batch(dense=dense, idx=idx, wt=wt_arr, labels=None))
-
     dense_s = jax.ShapeDtypeStruct((batch_size, cfg.num_dense), np.float32)
     idx_s = jax.ShapeDtypeStruct((t, batch_size, h), np.int32)
-    wt_s = jax.ShapeDtypeStruct((t, batch_size, h), np.float32)
-    exported = jexport.export(jax.jit(fwd))(params, dense_s, idx_s, wt_s)
+    if wt:
+
+        def fwd(p, dense, idx, wt_arr):
+            return model.apply(
+                p, Batch(dense=dense, idx=idx, wt=wt_arr, labels=None)
+            )
+
+        wt_s = jax.ShapeDtypeStruct((t, batch_size, h), np.float32)
+        exported = jexport.export(jax.jit(fwd))(
+            params, dense_s, idx_s, wt_s
+        )
+    else:
+
+        def fwd(p, dense, idx):
+            return model.apply(
+                p, Batch(dense=dense, idx=idx, wt=None, labels=None)
+            )
+
+        exported = jexport.export(jax.jit(fwd))(params, dense_s, idx_s)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

@@ -110,7 +110,12 @@ def dlrm_v2(
     local_batch: int = 2048,
     adagrad: bool = True,
 ) -> Tuple[DLRMConfig, TrainConfig]:
-    """torchrec DLRM-v2 multi-hot config (README.MD:35-53 table rows)."""
+    """torchrec DLRM-v2 multi-hot config (README.MD:35-53 table rows).
+
+    The learning rates are tied to the cited GLOBAL batch sizes:
+    adagrad -> lr 0.006 @ global 16384 (README.MD:51-53, local 2048 x 8);
+    sgd -> lr 1.0 @ global 2048 (README.MD:48-50, local 256 x 8). Scale lr
+    if you change the global batch (e.g. 0.004 @ 65536, README.MD:196)."""
     model = DLRMConfig(
         embedding_dim=128,
         table_sizes=CRITEO_1TB_COUNTS,

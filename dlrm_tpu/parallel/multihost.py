@@ -56,7 +56,14 @@ def global_batch_from_replicated(mesh: Mesh, batch: Batch, specs) -> Batch:
             return None
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return Batch(*(put(x, s) for x, s in zip(batch, specs)))
+    main = [put(x, s) for x, s in zip(
+        (batch.dense, batch.idx, batch.wt, batch.labels), specs)]
+    stream = batch.stream
+    if stream is not None:
+        # U-layout work replicates (every device sees the full plan; a
+        # sharded-stream layout rides StreamButterfly.shard_batch instead)
+        stream = type(stream)(*(put(x, P()) for x in stream))
+    return Batch(*main, stream=stream)
 
 
 def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
@@ -71,7 +78,12 @@ def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
             np.asarray(x), mesh, spec
         )
 
-    return Batch(*(put(x, s) for x, s in zip(local, specs)))
+    main = [put(x, s) for x, s in zip(
+        (local.dense, local.idx, local.wt, local.labels), specs)]
+    stream = local.stream
+    if stream is not None:
+        stream = type(stream)(*(put(np.asarray(x), P()) for x in stream))
+    return Batch(*main, stream=stream)
 
 
 def process_local_rank_stride(num_batches: int) -> range:

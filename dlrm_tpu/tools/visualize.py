@@ -26,8 +26,11 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
-def _projector(kind: str, n_components: int = 2, seed: int = 0):
-    """Best-available 2-D projector: umap > tsne > pca."""
+def _projector(kind: str, n_components: int = 2, seed: int = 0,
+               n_samples: int = 0):
+    """Best-available 2-D projector: umap > tsne > pca. n_samples bounds
+    the t-SNE perplexity (must be < n_samples — small Criteo tables have
+    as few as 3 rows)."""
     if kind == "umap":
         try:
             import umap
@@ -39,7 +42,11 @@ def _projector(kind: str, n_components: int = 2, seed: int = 0):
     if kind == "tsne":
         from sklearn.manifold import TSNE
 
-        return TSNE(n_components=n_components, random_state=seed, init="pca")
+        perplexity = 30.0
+        if n_samples:
+            perplexity = max(1.0, min(30.0, (n_samples - 1) / 3.0))
+        return TSNE(n_components=n_components, random_state=seed,
+                    init="pca", perplexity=perplexity)
     from sklearn.decomposition import PCA
 
     return PCA(n_components=n_components, random_state=seed)
@@ -90,7 +97,7 @@ def plot_embedding_tables(
             w = w[sel]
         if w.shape[0] < 5:
             continue
-        proj = _projector(method, seed=seed)
+        proj = _projector(method, seed=seed, n_samples=w.shape[0])
         z = proj.fit_transform(w)
         fig, ax = plt.subplots(figsize=(6, 6))
         ax.scatter(z[:, 0], z[:, 1], s=2, alpha=0.5)
@@ -161,14 +168,23 @@ def analyze_model_data(
         ly = model.apply_emb(p, batch)
         x = apply_mlp(p["bot"], batch.dense, model.cfg.sigmoid_bot)
         z = model.interact(p, x, ly.astype(x.dtype))
-        probs, logits = model.forward_from_pooled(p, batch.dense, ly)
-        return ly.reshape(ly.shape[0], -1), z, logits, probs
+        # logits straight from the already-computed interaction (running
+        # forward_from_pooled here would redo the bottom MLP + interaction)
+        import jax.numpy as jnp
+
+        hidden = apply_mlp(p["top"][:-1], z, sigmoid_layer=-1)
+        last = p["top"][-1]
+        logits = (
+            jnp.dot(hidden, last["w"].astype(hidden.dtype),
+                    preferred_element_type=jnp.float32) + last["b"]
+        ).astype(jnp.float32)
+        return ly.reshape(ly.shape[0], -1), z, logits
 
     inputs, inters, finals, labels = [], [], [], []
     total = 0
     for hb in batches:
         b = hb.to_device()
-        ly_f, z, logits, _ = reps(params, b)
+        ly_f, z, logits = reps(params, b)
         lbl = np.asarray(b.labels).ravel()
         keep = lbl >= 0
         inputs.append(
@@ -185,11 +201,16 @@ def analyze_model_data(
     X = {
         "input": np.concatenate(inputs)[:max_points],
         "interaction": np.concatenate(inters)[:max_points],
+        "final": np.concatenate(finals)[:max_points],
     }
     y = np.concatenate(labels)[:max_points]
     outputs = []
     for stage, feats in X.items():
-        z2 = _projector(method, seed=seed).fit_transform(feats)
+        if feats.ndim == 2 and feats.shape[1] < 2:
+            # final logits are 1-D: pair with the label axis trivially
+            feats = np.concatenate([feats, np.zeros_like(feats)], axis=1)
+        z2 = _projector(method, seed=seed,
+                        n_samples=feats.shape[0]).fit_transform(feats)
         fig, axes = plt.subplots(1, 3, figsize=(15, 5))
         axes[0].scatter(z2[:, 0], z2[:, 1], s=3, c=y, cmap="coolwarm", alpha=0.6)
         axes[0].set_title(f"{stage}: by label")
@@ -252,7 +273,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"loaded checkpoint from {args.load_model}: {meta}")
 
     tc = TrainConfig(
-        mini_batch_size=args.mini_batch_size, num_batches=args.num_batches
+        mini_batch_size=args.mini_batch_size, num_batches=args.num_batches,
+        round_targets=True,  # per-class panels need {0,1} labels
     )
     data = RandomDataset(cfg, tc)
 

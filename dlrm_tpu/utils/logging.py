@@ -65,7 +65,17 @@ class MLPerfLogger:
     """Structured event logger in the mlperf_logging line format
     (:::MLLOG <json>), rank-0 gated like mlperf_logger._log_print (:40-53)."""
 
-    def __init__(self, enabled: bool = False, stream=None, rank: int = 0):
+    def __init__(self, enabled: bool = False, stream=None,
+                 rank: Optional[int] = None):
+        if rank is None:
+            # rank-0 gating must hold on multi-host runs without every
+            # caller remembering to pass the rank
+            try:
+                import jax
+
+                rank = jax.process_index()
+            except Exception:
+                rank = 0
         self.enabled = enabled and rank == 0
         self.stream = stream or sys.stdout
 

@@ -10,8 +10,9 @@ the embedding backward — the config of the best published A100 number
 
 Path under test: the streamed U-layout kernels (ops/stream_kernels.py) with
 bfloat16 tables + stochastic-rounding updates, XLA gather forward/grads,
-local batch 8192 (the reference's best number also uses its largest local
-batch, 16384/GPU).
+local batch 16384 — the SAME local batch as the reference's best number
+(16384/GPU), the measured single-chip sweet spot (bench_scripts
+train_bench sweep: 8192 -> 160k, 16384 -> 189k, 32768 -> 147k).
 """
 
 import json
@@ -37,7 +38,7 @@ def main():
         plan_for_model,
     )
 
-    batch_size = 8192
+    batch_size = 16384
     cfg = DLRMConfig(
         embedding_dim=128,
         # 26 Criteo-like tables; sizes capped so tables + optimizer state fit
@@ -104,7 +105,7 @@ def main():
             {
                 "metric": (
                     "train_examples_per_sec_per_chip (DLRM-v2 dot, 26x200k "
-                    "tables, d=128, H=8, bs=8192, rowwise-adagrad, streamed "
+                    "tables, d=128, H=8, bs=16384, rowwise-adagrad, streamed "
                     "bf16 tables)"
                 ),
                 "value": round(examples_per_sec, 1),

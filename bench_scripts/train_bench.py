@@ -150,25 +150,34 @@ def main():
                   flush=True)
             sp = pad_params(params, model, plan)
             sstate = init_stream_opt_state(OPT, sp, plan)
-            for tdt, mm, gi, gdt in (
+            import os as _os
+
+            variants = (
                 (jnp.float32, jnp.float32, "onehot", jnp.float32),
                 (jnp.float32, jnp.bfloat16, "gather", jnp.float32),
                 (jnp.bfloat16, jnp.bfloat16, "gather", jnp.float32),
                 # g_dtype=bf16 hits a Mosaic memref_slice bug (dynamic
                 # offset into packed bf16 HBM tiling) — not supported
-            ):
-                step = make_stream_train_step(
-                    model, OPT, plan, fwd_impl="gather", grad_impl=gi,
-                    mm_dtype=mm, g_dtype=gdt,
-                    stochastic_round=(tdt == jnp.bfloat16),
-                )
-                time_many(
-                    step.__wrapped__, cast_emb(sp, tdt), sstate,
-                    hb2.to_device(),
-                    f"stream bs={bs} tbl={jnp.dtype(tdt).name} "
-                    f"mm={jnp.dtype(mm).name} g={jnp.dtype(gdt).name} "
-                    f"grad={gi}", bs,
-                )
+            )
+            if _os.environ.get("BF16_ONLY"):
+                variants = variants[2:]
+            for tdt, mm, gi, gdt in variants:
+                try:
+                    step = make_stream_train_step(
+                        model, OPT, plan, fwd_impl="gather", grad_impl=gi,
+                        mm_dtype=mm, g_dtype=gdt,
+                        stochastic_round=(tdt == jnp.bfloat16),
+                    )
+                    time_many(
+                        step.__wrapped__, cast_emb(sp, tdt), sstate,
+                        hb2.to_device(),
+                        f"stream bs={bs} tbl={jnp.dtype(tdt).name} "
+                        f"mm={jnp.dtype(mm).name} g={jnp.dtype(gdt).name} "
+                        f"grad={gi}", bs,
+                    )
+                except ValueError as e:  # onehot VMEM guard raises at trace
+                    print(f"skip grad={gi} at bs={bs}: {e}", flush=True)
+                    continue
 
 
 if __name__ == "__main__":

@@ -92,7 +92,9 @@ def window_grads(
 ) -> jax.Array:  # G_u [Uw*1024, d]
     uw = vals_u.shape[0]
     t, b, d = dly.shape
-    if b * d * 4 * 2 > 14 * 2**20:  # double-buffered dly block vs ~16M VMEM
+    # double-buffered dly block + window/out blocks vs the 16M scoped VMEM
+    # limit (b=12288, d=128 compiled to a 19M allocation — leave headroom)
+    if b * d * 4 * 2 > 10 * 2**20:
         raise ValueError(
             f"window_grads holds one [batch={b}, d={d}] dly block (x2 "
             "buffers) in VMEM — too large for this chip; use "

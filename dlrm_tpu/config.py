@@ -197,6 +197,9 @@ class TrainConfig:
     nepochs: int = 1
     learning_rate: float = 0.01
     optimizer: str = "sgd"  # sgd | adagrad | rwsadagrad
+    # Adagrad denominator epsilon; None -> torch default 1e-10 (v2's --eps
+    # passes 1e-8 for torchrec parity, dlrm_main.py:200-205)
+    eps: Optional[float] = None
     # LR policy (dlrm_s_pytorch.py:169-203)
     lr_num_warmup_steps: int = 0
     lr_decay_start_step: int = 0

@@ -661,6 +661,13 @@ def window_pool(
     t = len(plan.table_sizes)
     b = plan.batch
     d = r_u.shape[1]
+    # same VMEM budget as window_grads (K1): one [b, d] f32 block x2 buffers
+    if b * d * 4 * 2 > 10 * 2**20:
+        raise ValueError(
+            f"window_pool holds one [batch={b}, d={d}] pooled output block "
+            "(x2 buffers) in VMEM — too large for this chip; use "
+            "fwd_impl='gather' (fused_embedding_bag) at large batch"
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(uw,),

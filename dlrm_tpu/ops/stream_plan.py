@@ -23,8 +23,10 @@ THE U-LAYOUT. All hits of a batch live in one canonical "U-space":
   * each table's segment is padded to a multiple of 1024 (the window size)
     so windows never straddle tables;
   * one trailing all-sentinel window serves as the target of padding items.
-Static size: U_t = B*H*2 + 1024 bounds any distribution of hits (each
-non-empty block adds <=127 pad slots and there are <= B*H non-empty blocks).
+Static size: U_t = B*H*2 + 256 + 1024 bounds any distribution of hits (each
+non-empty block adds <=127 pad slots, there are <= B*H non-empty blocks, and
+every table segment keeps >= one 256-slot chunk of sentinel tail so a chunk
+overrunning its run never reads the next table's slots).
 
 Arrays (shipped to the device with the batch):
   rows_u/vals_u [Uw, 8, 128] int32, wts_u [Uw, 8, 128] f32 — slot row (table
@@ -132,7 +134,12 @@ def make_stream_plan(
     for nb, h in zip(nblks, hot_t):
         u_base.append(u_acc)
         bh = batch * h  # this table's hit count — U sized TIGHTLY per table
-        bound = bh + 127 * min(nb, bh)  # every non-empty block pads <128
+        # + CHUNK: work items span 256 slots but runs pad only to 128, so a
+        # segment filled exactly to its bound would let its last chunk read
+        # the NEXT table's first run (cross-table bleed: those rows are
+        # table-local and can alias into the item's block range). At least
+        # one CHUNK of sentinel tail per segment makes overreads all-sentinel.
+        bound = bh + 127 * min(nb, bh) + CHUNK
         u_acc += -(-bound // WINDOW) * WINDOW
     u_base = tuple(u_base)
     u_size = u_acc

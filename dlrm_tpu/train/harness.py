@@ -111,14 +111,19 @@ class Trainer:
                 from dlrm_tpu.train.step import make_grad_accum_train_step
 
                 train_step = make_grad_accum_train_step(
-                    model, train_cfg.optimizer, train_cfg.grad_accum_iter
+                    model, train_cfg.optimizer, train_cfg.grad_accum_iter,
+                    eps=train_cfg.eps,
                 )
             elif supports_fused(model) and train_cfg.optimizer in (
                 "sgd", "adagrad", "rwsadagrad",
             ):
-                train_step = make_fused_train_step(model, train_cfg.optimizer)
+                train_step = make_fused_train_step(
+                    model, train_cfg.optimizer, eps=train_cfg.eps
+                )
             else:
-                train_step = make_train_step(model, train_cfg.optimizer)
+                train_step = make_train_step(
+                    model, train_cfg.optimizer, eps=train_cfg.eps
+                )
         self.train_step = train_step
         self.eval_step = eval_step or make_eval_step(model)
         self.to_device = to_device or (lambda hb: hb.to_device())

@@ -44,10 +44,20 @@ def make_eval_step(model: DLRMModel):
     return jax.jit(eval_step)
 
 
-def make_grad_accum_train_step(model: DLRMModel, optimizer: str, accum_iters: int):
+def make_grad_accum_train_step(
+    model: DLRMModel, optimizer: str, accum_iters: int, eps: float = None
+):
     """Gradient accumulation (--mlperf-grad-accum-iter, dlrm_s_pytorch.py:1604-1621):
     batches arrive stacked on a leading accum axis; grads are averaged via lax.scan
-    before one optimizer step."""
+    before one optimizer step.
+
+    Deliberate deviation (documented in PARITY.md): grads are MEANED over the
+    accum axis so the effective step size is LR-invariant in accum_iters; the
+    reference accumulates raw sums (and its zero_grad placement effectively
+    steps on the last micro-batch only)."""
+    from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
+    eps = ADAGRAD_EPS if eps is None else float(eps)
 
     def train_step(params, opt_state, batches: Batch, lr):
         def one(carry, batch):
@@ -64,7 +74,7 @@ def make_grad_accum_train_step(model: DLRMModel, optimizer: str, accum_iters: in
         grads, losses = jax.lax.scan(one, zero, batches)
         grads = jax.tree_util.tree_map(lambda g: g / accum_iters, grads)
         new_params, new_state = apply_updates(
-            optimizer, params, grads, opt_state, lr
+            optimizer, params, grads, opt_state, lr, eps=eps
         )
         # 4-tuple like the other steps (probs not tracked across
         # micro-batches; the harness only consumes the loss)

@@ -264,3 +264,65 @@ def _check_work_equal(wn, wp):
         return r[:, np.lexsort(r[::-1])]
 
     np.testing.assert_allclose(canon(wn), canon(wp), rtol=0, atol=0)
+
+
+def test_no_cross_table_chunk_bleed():
+    """Regression (advisor r1): work items span 256 slots but runs pad to
+    128, so a table segment filled exactly to its old bound let its last
+    chunk read the NEXT table's first run — whose table-local rows can alias
+    into the chunk's block range and silently double-apply the next table's
+    gradients. The plan now reserves >= one CHUNK of sentinel tail per
+    segment. Adversarial input: table 0 takes 8 hits in 8 distinct 128-row
+    blocks (8 runs of exactly 128 -> old segment fill = old bound = 1024);
+    table 1's hits sit at local rows 896..903, aliasing table 0's last
+    block range [896, 1024)."""
+    from dlrm_tpu.ops.stream_plan import CHUNK
+
+    tables_n = (1024, 1024)
+    b, h, br = 8, 1, 128
+    plan = make_stream_plan(tables_n, D, b, h, block_rows=br)
+
+    # geometry invariant: no real-block work chunk crosses its segment end
+    seg_end = list(plan.u_base[1:]) + [plan.u_size]
+    blk2t = np.zeros(plan.num_blocks, np.int32)
+    for t in range(len(tables_n)):
+        blk2t[plan.block_base[t] : plan.block_base[t]
+              + plan.blocks_per_table[t]] = t
+
+    idx = np.stack([
+        (np.arange(b, dtype=np.int32) * br),
+        (896 + np.arange(b, dtype=np.int32)),
+    ])[:, :, None]  # [2, 8, 1]
+    wt = np.ones((2, b, h), np.float32)
+    for prefer_native in (False, True):
+        from dlrm_tpu.native import stream_native
+
+        if prefer_native and not stream_native.available():
+            continue
+        work = build_stream_work(plan, idx, wt, prefer_native=prefer_native)
+        for i in range(work.num_real_items):
+            blk = int(work.item_block[i])
+            if blk == plan.pad_block or int(work.item_u[i]) >= plan.u_size:
+                continue  # cover / empty-block items read all-sentinel slots
+            t = int(blk2t[blk])
+            assert int(work.item_u[i]) + CHUNK <= seg_end[t], (
+                f"item {i} (table {t}) chunk crosses segment end"
+            )
+
+    work = build_stream_work(plan, idx, wt, prefer_native=False)
+    rng = np.random.default_rng(3)
+    tabs = [rng.normal(size=(n, D)).astype(np.float32) for n in tables_n]
+    dly = rng.normal(size=(2, b, D)).astype(np.float32)
+    stacked = stack_tables_padded(tabs, plan)
+    g_u = window_grads(
+        jnp.asarray(dly), jnp.asarray(work.vals_u), jnp.asarray(work.wts_u),
+        jnp.asarray(work.w2t), interpret=True,
+    )
+    out = stream_update(
+        "sgd", plan, jnp.asarray(stacked), None, g_u,
+        jnp.asarray(work.rows_u), jnp.asarray(work.item_block),
+        jnp.asarray(work.item_row0), jnp.asarray(work.item_u), 0.05,
+        interpret=True,
+    )
+    ref_table, _ = _sparse_oracle("sgd", tabs, idx, wt, dly, 0.05)
+    _compare_tables(plan, tabs, out[0], ref_table)

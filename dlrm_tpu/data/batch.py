@@ -38,6 +38,12 @@ class Batch(NamedTuple):
     wt: Optional[jax.Array]
     labels: Optional[jax.Array]
     stream: Optional[StreamArrays] = None
+    # Row-wise-striped tables of a mixed sharding plan travel separately:
+    # their indices must be visible to EVERY model shard (each masks its
+    # own row range), so they ship replicated over "model" instead of
+    # table-sharded (dlrm_tpu/parallel/butterfly.py mixed path).
+    idx_rw: Optional[jax.Array] = None  # [T_rw, B, H] int32
+    wt_rw: Optional[jax.Array] = None  # [T_rw, B, H] float32
 
     @property
     def batch_size(self) -> int:

@@ -55,7 +55,19 @@ class ButterflyDLRM:
     and single-device export see ordinary arrays.
     """
 
-    def __init__(self, model: DLRMModel, mesh: Mesh):
+    def __init__(
+        self,
+        model: DLRMModel,
+        mesh: Mesh,
+        strategy: str = "round_robin",
+        rw_threshold: Optional[int] = None,
+        capacity_rows: Optional[int] = None,
+    ):
+        """strategy: 'round_robin' (v1 parity, dlrm_s_pytorch.py:636),
+        'table_wise' (LPT packing), or 'mixed' (TorchRec-planner-style:
+        row-wise stripe any table bigger than the balanced per-shard load,
+        LPT-pack the rest — the layout that fits the real 26-table/104 GiB
+        flagship config on a mesh, torchrec_dlrm/README.MD:45-53)."""
         cfg = model.cfg
         if not model.fused:
             raise NotImplementedError(
@@ -67,37 +79,64 @@ class ButterflyDLRM:
         self.mesh = mesh
         self.dsize = mesh.shape["data"]
         self.msize = mesh.shape["model"]
-        # round-robin placement => equal table count per model shard after
-        # padding T to a multiple of msize (dummy tables hit padded zero rows)
         self.placement = plan_tables(
-            cfg.table_sizes, self.msize, strategy="round_robin"
+            cfg.table_sizes, self.msize, strategy=strategy,
+            rw_threshold=rw_threshold, capacity_rows=capacity_rows,
         )
         num_t = cfg.num_tables
-        self.t_pad = -(-num_t // self.msize) * self.msize  # ceil to multiple
-        self.t_local = self.t_pad // self.msize
-        # per-(padded)table local row offset inside its shard
-        local_off = np.zeros(self.t_pad, dtype=np.int32)
+        # ---- row-wise striped tables (mixed plan): every shard holds an
+        # equal slice; lookups are masked-local + psum_scatter over "model"
+        self.rw_ids = np.asarray(self.placement.rw_tables(), dtype=np.int32)
+        self.num_rw = len(self.rw_ids)
+        self.rw_off = np.asarray(
+            [self.placement.global_offsets[t] for t in self.rw_ids],
+            dtype=np.int32,
+        )  # intra-shard offset of each rw table's slice
+        self.rw_slice = np.asarray(
+            [self.placement.slice_len(int(t)) for t in self.rw_ids],
+            dtype=np.int32,
+        )
+        # ---- table-wise slots: equal slot count per shard; LPT/round-robin
+        # assignment comes from the placement, dummy slots fill the remainder
+        # (their hits carry weight 0 and land on a padded row)
+        per_shard = [self.placement.local_tables(s) for s in range(self.msize)]
+        self.t_local = max(1, max(len(x) for x in per_shard))
+        self.t_pad = self.t_local * self.msize
         shard_rows = self.placement.shard_rows
-        for t in range(num_t):
-            g = self.placement.global_offsets[t]
-            local_off[t] = g % shard_rows
-        # dummy tables point at the shard's last (padded, zero-grad-safe) row
-        local_off[num_t:] = shard_rows - 1
-        # reorder [T_pad] so that axis order groups tables by shard:
-        # device m receives rows [m*t_local:(m+1)*t_local] of the P("model")
-        # sharded [T_pad, ...] arrays -> table order must be shard-major.
-        order = []
+        order, local_off = [], []
+        next_dummy = num_t
         for s in range(self.msize):
-            order += [t for t in range(self.t_pad) if t % self.msize == s]
-        self.shard_major_order = np.asarray(order, dtype=np.int32)  # [T_pad]
-        # inverse: after the a2a concat, axis 0 is shard-major; restore table order
-        inv = np.zeros(self.t_pad, dtype=np.int32)
-        inv[self.shard_major_order] = np.arange(self.t_pad, dtype=np.int32)
-        self.unpermute = inv[: cfg.num_tables]  # select real tables, in order
-        self.local_offsets_shard_major = local_off[self.shard_major_order]
+            slots = list(per_shard[s])
+            while len(slots) < self.t_local:
+                slots.append(next_dummy)
+                next_dummy += 1
+            for t in slots:
+                order.append(t)
+                local_off.append(
+                    self.placement.global_offsets[t] % shard_rows
+                    if t < num_t
+                    else shard_rows - 1  # weight-0 hits: any row is safe
+                )
+        self.num_ids = next_dummy  # table-id space incl. dummies
+        self.shard_major_order = np.asarray(order, dtype=np.int32)  # [t_pad]
+        self.local_offsets_shard_major = np.asarray(local_off, dtype=np.int32)
+        # merge permutation: original table t <- position in
+        # concat([a2a output (t_pad slots, shard-major), rw tables])
+        slot_of = {int(t): i for i, t in enumerate(order)}
+        merge = np.zeros(num_t, dtype=np.int32)
+        for i, r in enumerate(self.rw_ids):
+            merge[int(r)] = self.t_pad + i
+        for t in range(num_t):
+            if t not in set(int(r) for r in self.rw_ids):
+                merge[t] = slot_of[t]
+        self.merge_perm = merge  # [num_t] -> index into concat
 
         self._train_step = None
         self._eval_step = None
+
+    def shard_tables_of(self, s: int):
+        """Slot-ordered table ids (incl. dummies >= num_tables) of shard s."""
+        return self.shard_major_order[s * self.t_local : (s + 1) * self.t_local]
 
     # ----------------------------------------------------------- shardings
 
@@ -190,7 +229,8 @@ class ButterflyDLRM:
 
     def shard_batch(self, batch: Batch) -> Batch:
         """idx/wt: [T_pad, B, H] tables sharded over model, batch over data;
-        dense/labels: batch sharded over (data, model)."""
+        dense/labels: batch sharded over (data, model); row-wise tables'
+        idx/wt replicated over model (every shard masks its row range)."""
         num_t, b, h = batch.idx.shape
         idx = np.asarray(batch.idx)
         wt = (
@@ -198,6 +238,12 @@ class ButterflyDLRM:
             if batch.wt is not None
             else np.ones((num_t, b, h), np.float32)
         )
+        kw = {}
+        if self.num_rw:
+            kw = dict(
+                idx_rw=self._put(idx[self.rw_ids], P(None, "data")),
+                wt_rw=self._put(wt[self.rw_ids], P(None, "data")),
+            )
         # shard-major table order so P("model") slices line up with ownership
         idx, wt = self._pad_reorder_sparse(idx, wt, num_t, b, h)
         return Batch(
@@ -205,11 +251,30 @@ class ButterflyDLRM:
             idx=self._put(idx, P("model", "data")),
             wt=self._put(wt, P("model", "data")),
             labels=self._put(batch.labels, P(("data", "model"))),
+            **kw,
         )
 
     # ------------------------------------------------------------- kernels
 
-    def _forward_local(self, params, dense_l, idx_l, wt_l, local_off):
+    def _rw_local_hits(self, params, idx_rw, wt_rw):
+        """This model shard's view of the row-wise tables' hits: local row
+        ids into the shard block (row 0 for foreign hits) and weights masked
+        to the shard's row range — so partial pooling / masked scatter are
+        exact under the later psum_scatter / psum."""
+        s = jax.lax.axis_index("model")
+        sl = jnp.asarray(self.rw_slice)[:, None, None]
+        off = jnp.asarray(self.rw_off)[:, None, None]
+        lo = s * sl
+        mask = (idx_rw >= lo) & (idx_rw < lo + sl)
+        loc = jnp.where(mask, idx_rw - lo + off, 0)
+        wt_eff = wt_rw * mask.astype(wt_rw.dtype)
+        if "v_w" in params:
+            vw = jnp.take(params["v_w"], loc, axis=0)
+            wt_eff = wt_eff * vw
+        return loc, wt_eff
+
+    def _forward_local(self, params, dense_l, idx_l, wt_l, local_off,
+                       idx_rw_l=None, wt_rw_l=None):
         """Device-local forward: local-table lookup -> a2a -> interaction ->
         top MLP. Returns probabilities for this device's batch slice."""
         emb_l = params["emb"]["stacked"]  # [shard_rows, d] local rows
@@ -223,17 +288,36 @@ class ButterflyDLRM:
         pooled = jnp.einsum(
             "tbhd,tbh->tbd", rows, wt_eff.astype(rows.dtype)
         )  # [t_local, b_d, d]
+        if idx_rw_l is not None:
+            loc, wt_rw_eff = self._rw_local_hits(params, idx_rw_l, wt_rw_l)
+            rows_rw = jnp.take(emb_l, loc, axis=0)
+            pooled_rw = jnp.einsum(
+                "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
+            )  # [T_rw, b_d, d] PARTIAL sums (this shard's rows only)
+            pooled = (pooled, pooled_rw)
         return self._tail_from_pooled(params, dense_l, pooled)
 
     def _tail_from_pooled(self, params, dense_l, pooled):
-        """The post-lookup tail: butterfly a2a -> table-order restore ->
-        interaction -> top MLP."""
+        """The post-lookup tail: butterfly a2a (+ psum_scatter of the
+        row-wise partial pools) -> table-order restore -> interaction ->
+        top MLP. `pooled` is either [t_local, b_d, d] or a
+        (table-wise, row-wise-partial) pair."""
         cfg = self.cfg
+        pooled_rw = None
+        if isinstance(pooled, tuple):
+            pooled, pooled_rw = pooled
         # ---- the butterfly: split batch over model ranks, gather all tables
         ly = jax.lax.all_to_all(
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
         )  # [t_pad, b_dm, d] shard-major table order
-        ly = jnp.take(ly, jnp.asarray(self.unpermute), axis=0)  # [T, b_dm, d]
+        if pooled_rw is not None:
+            # row-wise tables: partial sums reduce while the batch splits —
+            # one reduce_scatter rides ICI alongside the a2a
+            ly_rw = jax.lax.psum_scatter(
+                pooled_rw, "model", scatter_dimension=1, tiled=True
+            )  # [T_rw, b_dm, d]
+            ly = jnp.concatenate([ly, ly_rw], axis=0)
+        ly = jnp.take(ly, jnp.asarray(self.merge_perm), axis=0)  # [T, b_dm, d]
         ly = jnp.transpose(ly, (1, 0, 2))  # [b_dm, T, d]
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         x = apply_mlp(params["bot"], dense_l.astype(dtype), cfg.sigmoid_bot)
@@ -293,8 +377,9 @@ class ButterflyDLRM:
         return loss, probs, dpooled, new_dense, new_dense_state
 
     def _pad_reorder_sparse(self, idx, wt, num_t, b, h):
-        """Pad [T,B,H] idx/wt to t_pad tables and reorder shard-major."""
-        pad_t = self.t_pad - num_t
+        """Pad [T,B,H] idx/wt with dummy tables and reorder shard-major.
+        Row-wise tables (never referenced by shard_major_order) drop out."""
+        pad_t = self.num_ids - num_t
         if pad_t:
             idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
             wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
@@ -315,16 +400,19 @@ class ButterflyDLRM:
         coalesced semantics, like the single-device fused step."""
         cfg = self.cfg
         mesh = self.mesh
+        has_rw = self.num_rw > 0
         fuse = (
             "v_w" not in params
             and optimizer in ("sgd", "adagrad", "rwsadagrad")
         )
 
-        def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l, off_l, lr):
+        def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
+                      off_l, lr, *rw):
+            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
             if not fuse:
                 def loss_fn(p):
                     probs, logits = self._forward_local(
-                        p, dense_l, idx_l, wt_l, off_l
+                        p, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
                     )
                     per = per_example_loss(cfg, probs, labels_l, logits)
                     return jnp.sum(per) / global_batch, probs
@@ -365,18 +453,50 @@ class ButterflyDLRM:
             pooled = jnp.einsum(
                 "tbhd,tbh->tbd", rows_v, wt_l.astype(rows_v.dtype)
             )
+            if has_rw:
+                loc_rw, wt_rw_eff = self._rw_local_hits(
+                    params, idx_rw_l, wt_rw_l
+                )
+                rows_rw = jnp.take(emb_l, loc_rw, axis=0)
+                pooled_rw = jnp.einsum(
+                    "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
+                )
+                pooled = (pooled, pooled_rw)
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
                     optimizer, global_batch, params, opt_state, emb_l,
                     pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )
+            if has_rw:
+                # AD through psum_scatter all-gathers the scattered
+                # cotangent over "model": every shard sees the FULL pooled
+                # grad of the row-wise tables for its data slice
+                dpooled, dpooled_rw = dpooled
             # gather ALL data-groups' hits for my tables (replicas stay equal)
             dp_all = jax.lax.all_gather(
                 dpooled, "data", axis=1, tiled=True
             )  # [t_local, B, d]
             idx_all = jax.lax.all_gather(flat_idx, "data", axis=1, tiled=True)
             wt_all = jax.lax.all_gather(wt_l, "data", axis=1, tiled=True)
+            if has_rw:
+                dp_rw_all = jax.lax.all_gather(
+                    dpooled_rw, "data", axis=1, tiled=True
+                )  # [T_rw, B, d]
+                idx_rw_all = jax.lax.all_gather(
+                    idx_rw_l, "data", axis=1, tiled=True
+                )
+                wt_rw_all = jax.lax.all_gather(
+                    wt_rw_l, "data", axis=1, tiled=True
+                )
+                # re-mask on the full batch: each hit updates exactly the
+                # one shard owning its row (foreign hits get weight 0)
+                loc_all, wt_rw_eff_all = self._rw_local_hits(
+                    params, idx_rw_all, wt_rw_all
+                )
+                dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
+                idx_all = jnp.concatenate([idx_all, loc_all], axis=0)
+                wt_all = jnp.concatenate([wt_all, wt_rw_eff_all], axis=0)
             rows, g = per_hit_gradients(
                 jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
                 jnp.zeros((idx_all.shape[0],), jnp.int32),
@@ -410,19 +530,22 @@ class ButterflyDLRM:
 
         pspec = _tree_specs(params)
         ospec = _tree_specs(opt_state)
+        in_specs = [
+            pspec,
+            ospec,
+            P(("data", "model")),
+            P("model", "data"),
+            P("model", "data"),
+            P(("data", "model")),
+            P("model"),
+            P(),
+        ]
+        if has_rw:
+            in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(
-                pspec,
-                ospec,
-                P(("data", "model")),
-                P("model", "data"),
-                P("model", "data"),
-                P(("data", "model")),
-                P("model"),
-                P(),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=(pspec, ospec, P(), P(("data", "model"))),
             check_vma=False,
         )
@@ -430,30 +553,38 @@ class ButterflyDLRM:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
+            rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
             return step(
                 params, opt_state, batch.dense, batch.idx, batch.wt,
-                batch.labels, local_off, jnp.float32(lr),
+                batch.labels, local_off, jnp.float32(lr), *rw,
             )
 
         return train_step
 
     def make_eval_step(self, params):
         mesh = self.mesh
+        has_rw = self.num_rw > 0
 
-        def device_fn(params, dense_l, idx_l, wt_l, off_l):
-            return self._forward_local(params, dense_l, idx_l, wt_l, off_l)[0]
+        def device_fn(params, dense_l, idx_l, wt_l, off_l, *rw):
+            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+            return self._forward_local(
+                params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
+            )[0]
 
         pspec = _tree_specs(params)
+        in_specs = [
+            pspec,
+            P(("data", "model")),
+            P("model", "data"),
+            P("model", "data"),
+            P("model"),
+        ]
+        if has_rw:
+            in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(
-                pspec,
-                P(("data", "model")),
-                P("model", "data"),
-                P("model", "data"),
-                P("model"),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=P(("data", "model")),
             check_vma=False,
         )
@@ -461,7 +592,9 @@ class ButterflyDLRM:
 
         @jax.jit
         def eval_step(params, batch: Batch):
-            return step(params, batch.dense, batch.idx, batch.wt, local_off)
+            rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            return step(params, batch.dense, batch.idx, batch.wt, local_off,
+                        *rw)
 
         return eval_step
 

@@ -15,6 +15,15 @@ Strategies:
   * row_wise    — every table split evenly across all shards (for tables far
                   bigger than one device's HBM); lookup uses the same global
                   layout, indices map to (shard, local row) by row range.
+  * mixed       — the TorchRec-planner equivalent for the REAL flagship
+                  config (26 tables, up to 40M rows / 104 GiB,
+                  torchrec_dlrm/README.MD:45-53): tables whose row count
+                  exceeds the ideal balanced per-shard load are row-wise
+                  striped across every shard; the rest are LPT-packed
+                  table-wise. Per-shard layout = [row-wise slices | own
+                  whole tables], identical rw-region geometry on every
+                  shard, so the whole state is still ONE stacked array
+                  sharded P("model") on dim 0.
 
 All placement math is host-side numpy; the result is static metadata baked
 into the jitted step.
@@ -46,11 +55,16 @@ class TablePlacement:
     table_shard: Tuple[int, ...]
     # per-table start row. MEANING IS STRATEGY-DEPENDENT: for round_robin /
     # table_wise it is the offset into the GLOBAL stacked array; for
-    # row_wise it is the table's offset WITHIN each shard's block (use
-    # extract_table / global_index_map, never raw slicing, for row_wise)
+    # row_wise (and mixed row-wise tables) it is the table's offset WITHIN
+    # each shard's block (use extract_table / global_index_map, never raw
+    # slicing, for those)
     global_offsets: Tuple[int, ...]
     # rows per shard (equal across shards; includes padding)
     shard_rows: int
+    # per-table UNPADDED rows-per-shard slice length; 0 = not row-wise.
+    # (row_wise strategy leaves this empty for backward compat and uses
+    # ceil(n / num_shards) implicitly.)
+    rw_slice: Tuple[int, ...] = ()
 
     @property
     def total_rows(self) -> int:
@@ -59,14 +73,97 @@ class TablePlacement:
     def local_tables(self, shard: int) -> List[int]:
         return [t for t, s in enumerate(self.table_shard) if s == shard]
 
+    def rw_tables(self) -> List[int]:
+        return [t for t, s in enumerate(self.table_shard) if s == -1]
+
+    def slice_len(self, t: int) -> int:
+        """Unpadded rows-per-shard of row-wise table t."""
+        if self.rw_slice:
+            return self.rw_slice[t]
+        return int(np.ceil(self.table_sizes[t] / self.num_shards))
+
 
 def plan_tables(
     table_sizes: Sequence[int],
     num_shards: int,
     strategy: str = "table_wise",
+    rw_threshold: Optional[int] = None,
+    capacity_rows: Optional[int] = None,
 ) -> TablePlacement:
     sizes = [int(n) for n in table_sizes]
     num_t = len(sizes)
+
+    if strategy == "mixed":
+        # Per-table strategy choice mirroring TorchRec's size/topology-driven
+        # planner (EmbeddingShardingPlanner, torchrec_dlrm/dlrm_main.py:654-667):
+        #   1. any table that alone exceeds the ideal balanced per-shard load
+        #      is row-wise striped (it could never balance table-wise);
+        #   2. if capacity_rows is given (per-shard HBM row budget), further
+        #      stripe the largest remaining tables until every shard fits —
+        #      this is what lets the 26-table / 104 GiB flagship config
+        #      (torchrec_dlrm/README.MD:45-53) train on a small mesh.
+        thr = (
+            int(rw_threshold)
+            if rw_threshold is not None
+            else max(1, sum(sizes) // max(1, num_shards))
+        )
+        is_rw = [n > thr and n >= num_shards for n in sizes]
+
+        def _layout(is_rw):
+            rw_slice = [0] * num_t
+            rw_off = [0] * num_t
+            fill = 0
+            for t in range(num_t):
+                if not is_rw[t]:
+                    continue
+                rw_slice[t] = int(np.ceil(sizes[t] / num_shards))
+                rw_off[t] = fill
+                fill += _round_up(rw_slice[t], _ROW_ALIGN)
+            rw_region = fill
+            # tw region: greedy LPT over the remaining tables
+            tw = [t for t in range(num_t) if not is_rw[t]]
+            order = sorted(tw, key=lambda t: -sizes[t])
+            load = [0] * num_shards
+            assign = [-1] * num_t
+            local_off = [0] * num_t
+            for t in order:
+                s = int(np.argmin(load))
+                assign[t] = s
+                local_off[t] = load[s]
+                load[s] += _round_up(sizes[t], _ROW_ALIGN)
+            tw_region = _round_up(max(load) if tw else 0, _ROW_ALIGN)
+            shard_rows = max(_ROW_ALIGN, rw_region + tw_region)
+            return rw_slice, rw_off, rw_region, assign, local_off, shard_rows
+
+        out = _layout(is_rw)
+        if capacity_rows is not None:
+            while out[5] > int(capacity_rows) and not all(
+                is_rw[t] or sizes[t] < num_shards for t in range(num_t)
+            ):
+                # stripe the largest still-table-wise table and re-pack
+                cand = max(
+                    (t for t in range(num_t)
+                     if not is_rw[t] and sizes[t] >= num_shards),
+                    key=lambda t: sizes[t],
+                )
+                is_rw[cand] = True
+                out = _layout(is_rw)
+        rw_slice, rw_off, rw_region, assign, local_off, shard_rows = out
+        global_offsets = tuple(
+            rw_off[t]
+            if is_rw[t]
+            else assign[t] * shard_rows + rw_region + local_off[t]
+            for t in range(num_t)
+        )
+        return TablePlacement(
+            table_sizes=tuple(sizes),
+            num_shards=num_shards,
+            strategy="mixed",
+            table_shard=tuple(assign),
+            global_offsets=global_offsets,
+            shard_rows=int(shard_rows),
+            rw_slice=tuple(rw_slice),
+        )
 
     if strategy == "row_wise":
         # every table striped across all shards: table t's shard-s slice has
@@ -125,11 +222,13 @@ def build_stacked(
     """Materialize the padded global stacked array from per-table arrays."""
     dim = tables[0].shape[1]
     out = np.zeros((placement.total_rows, dim), dtype=tables[0].dtype)
-    if placement.strategy == "row_wise":
-        S = placement.num_shards
-        for t, w in enumerate(tables):
-            n = w.shape[0]
-            rows_per = int(np.ceil(n / S))
+    S = placement.num_shards
+    for t, w in enumerate(tables):
+        n = w.shape[0]
+        if placement.strategy == "row_wise" or (
+            placement.strategy == "mixed" and placement.rw_slice[t] > 0
+        ):
+            rows_per = placement.slice_len(t)
             for s in range(S):
                 lo = s * rows_per
                 hi = min(n, lo + rows_per)
@@ -137,10 +236,9 @@ def build_stacked(
                     break
                 dst = s * placement.shard_rows + placement.global_offsets[t]
                 out[dst : dst + (hi - lo)] = w[lo:hi]
-        return out
-    for t, w in enumerate(tables):
-        off = placement.global_offsets[t]
-        out[off : off + w.shape[0]] = w
+        else:
+            off = placement.global_offsets[t]
+            out[off : off + n] = w
     return out
 
 
@@ -149,9 +247,11 @@ def extract_table(
 ) -> np.ndarray:
     """Recover table t's rows from the stacked layout (checkpoint export)."""
     n = placement.table_sizes[t]
-    if placement.strategy == "row_wise":
+    if placement.strategy == "row_wise" or (
+        placement.strategy == "mixed" and placement.rw_slice[t] > 0
+    ):
         S = placement.num_shards
-        rows_per = int(np.ceil(n / S))
+        rows_per = placement.slice_len(t)
         parts = []
         for s in range(S):
             lo = s * rows_per
@@ -168,15 +268,25 @@ def extract_table(
 def global_index_map(placement: TablePlacement):
     """Returns f(table_id, local_idx)->global_row as numpy arrays, usable both
     host-side and (as static constants) inside jit."""
-    if placement.strategy == "row_wise":
+    if placement.strategy in ("row_wise", "mixed"):
         S = placement.num_shards
         rows_per = np.asarray(
-            [int(np.ceil(n / S)) for n in placement.table_sizes], dtype=np.int64
+            [max(1, placement.slice_len(t)) for t in range(len(placement.table_sizes))],
+            dtype=np.int64,
+        )
+        is_rw = np.asarray(
+            [
+                placement.strategy == "row_wise"
+                or (placement.rw_slice and placement.rw_slice[t] > 0)
+                for t in range(len(placement.table_sizes))
+            ]
         )
         intra = np.asarray(placement.global_offsets, dtype=np.int64)
         shard_rows = placement.shard_rows
 
         def to_global(t: int, idx):
+            if not is_rw[t]:
+                return intra[t] + idx
             s = idx // rows_per[t]
             local = idx % rows_per[t]
             return s * shard_rows + intra[t] + local

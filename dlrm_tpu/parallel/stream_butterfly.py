@@ -92,10 +92,9 @@ class StreamButterfly(ButterflyDLRM):
             self.local_sizes, cfg.embedding_dim, batch_size,
             self.hot, block_rows=block_rows,
         )
-        # tables of shard s, in shard-major order (includes dummies)
+        # tables of shard s, in slot order (includes dummies)
         self.shard_tables = [
-            [t for t in self.shard_major_order if t % self.msize == s]
-            for s in range(self.msize)
+            list(self.shard_tables_of(s)) for s in range(self.msize)
         ]
 
     # --------------------------------------------------------------- layout

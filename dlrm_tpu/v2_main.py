@@ -84,6 +84,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=0)
     p.add_argument("--sharded", action="store_true", default=False)
+    p.add_argument(
+        "--sharding_strategy",
+        choices=["auto", "round_robin", "table_wise", "mixed"],
+        default="auto",
+        help="table placement over the model axis (the TorchRec planner's "
+        "role, dlrm_main.py:654-667). auto = mixed with an HBM-derived "
+        "per-shard row budget: tables that cannot balance or fit "
+        "table-wise are row-wise striped across every shard",
+    )
+    p.add_argument(
+        "--hbm_gb", type=float, default=16.0,
+        help="per-chip HBM (GiB) for the auto sharding capacity budget "
+        "(v5e = 16)",
+    )
     p.add_argument("--auroc_target", type=float, default=None)
     return p
 
@@ -302,13 +316,33 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             print("sharded stream-butterfly over", dict(mesh.shape))
         else:
-            bf = ButterflyDLRM(model, mesh)
+            if args.sharding_strategy == "auto":
+                # HBM-derived per-shard row budget (the TorchRec planner's
+                # HeuristicalStorageReservation role, dlrm_main.py:658-666)
+                d = model_cfg.embedding_dim
+                table_b = 2 if args.embedding_dtype == "bfloat16" else 4
+                acc_b = {"adagrad": 4 * d, "rwsadagrad": 4}.get(optimizer, 0)
+                cap = int(
+                    args.hbm_gb * (2**30) * 0.7 // (d * table_b + acc_b)
+                )
+                bf = ButterflyDLRM(
+                    model, mesh, strategy="mixed", capacity_rows=cap
+                )
+            else:
+                bf = ButterflyDLRM(
+                    model, mesh, strategy=args.sharding_strategy
+                )
             params = bf.shard_params(params)
             opt_state = init_opt_state(optimizer, params)
             to_device = (  # noqa: E731
                 lambda hb: bf.shard_batch(hb.to_device())
             )
-            print(f"sharding plan: {bf.placement}")
+            rw = bf.num_rw
+            print(
+                f"sharding plan: {bf.placement.strategy}, "
+                f"{rw} row-wise + {model_cfg.num_tables - rw} table-wise "
+                f"tables, {bf.placement.shard_rows} rows/shard"
+            )
         train_step = bf.make_train_step(
             optimizer, args.batch_size, params, opt_state, eps=args.eps
         )

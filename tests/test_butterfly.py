@@ -123,3 +123,149 @@ def test_shard_opt_state_preserves_loaded_accumulators():
         want = acc[off : off + n]
         have = extract_table(bf.placement, got[:, None], t)[:, 0]
         np.testing.assert_allclose(have, want)
+
+
+# ---------------------------------------------------------------- mixed plan
+
+MIXED_CFG = DLRMConfig(
+    embedding_dim=4,
+    # two outlier tables (1000, 990 rows) exceed the balanced per-shard
+    # load -> row-wise striped; the rest LPT-pack table-wise. Miniature of
+    # the flagship skew (26 tables up to 40M rows, torchrec_dlrm/README.MD:45-53)
+    table_sizes=(1000, 17, 260, 33, 990, 120),
+    mlp_bot=(13, 8, 4),
+    mlp_top=(8, 4, 1),
+    interaction="dot",
+    loss="bce",
+    num_indices_per_lookup=6,
+)
+
+
+def _mixed_data(n_batches=4, mb=16):
+    tc = TrainConfig(
+        mini_batch_size=mb, num_batches=n_batches, numpy_rand_seed=11
+    )
+    return [hb for hb in RandomDataset(MIXED_CFG, tc)], tc
+
+
+def test_mixed_plan_places_outliers_row_wise():
+    from dlrm_tpu.parallel.planner import plan_tables
+
+    pl = plan_tables(MIXED_CFG.table_sizes, 4, strategy="mixed")
+    assert pl.rw_tables() == [0, 4]
+    assert pl.slice_len(0) == 250 and pl.slice_len(4) == 248
+    # per-shard memory is bounded by slices + LPT fill, far below the
+    # padded-round-robin layout's max-table fill
+    assert pl.shard_rows < 1000
+
+
+def test_mixed_plan_stacked_roundtrip():
+    from dlrm_tpu.parallel.planner import (
+        build_stacked,
+        extract_table,
+        global_index_map,
+        plan_tables,
+    )
+
+    rng = np.random.default_rng(0)
+    sizes = MIXED_CFG.table_sizes
+    pl = plan_tables(sizes, 4, strategy="mixed")
+    tables = [rng.normal(size=(n, 3)).astype(np.float32) for n in sizes]
+    stacked = build_stacked(pl, tables)
+    for t, tab in enumerate(tables):
+        np.testing.assert_array_equal(extract_table(pl, stacked, t), tab)
+    to_global = global_index_map(pl)
+    for t, n in enumerate(sizes):
+        ii = rng.integers(0, n, size=50)
+        np.testing.assert_array_equal(
+            stacked[np.asarray([to_global(t, int(i)) for i in ii])],
+            tables[t][ii],
+        )
+
+
+@pytest.mark.parametrize("dsize,msize", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_mixed_butterfly_matches_single_device(dsize, msize, optimizer):
+    model = DLRMModel(MIXED_CFG)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    batches, tc = _mixed_data()
+
+    step1 = make_train_step(model, optimizer)
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state(optimizer, p1)
+    for hb in batches:
+        p1, s1, loss1, _ = step1(p1, s1, hb.to_device(), 0.05)
+
+    mesh = make_mesh(data=dsize, model=msize)
+    # explicit threshold: the auto heuristic (total/msize) only stripes on
+    # the msize=4 mesh; pin the rw set so both meshes exercise it
+    bf = ButterflyDLRM(model, mesh, strategy="mixed", rw_threshold=600)
+    assert bf.num_rw == 2, "fixture must actually exercise row-wise striping"
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state(optimizer, p2)
+    step2 = bf.make_train_step(optimizer, tc.mini_batch_size, p2, s2)
+    for hb in batches:
+        b = bf.shard_batch(hb.to_device())
+        p2, s2, loss2, _ = step2(p2, s2, b, 0.05)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p2u = bf.unshard_params(p2)
+    for name in ("bot", "top"):
+        for l1, l2 in zip(p1[name], p2u[name]):
+            np.testing.assert_allclose(
+                np.asarray(l1["w"]), np.asarray(l2["w"]), atol=2e-5
+            )
+    np.testing.assert_allclose(
+        np.asarray(p1["emb"]["stacked"]),
+        np.asarray(p2u["emb"]["stacked"]),
+        atol=2e-5,
+    )
+
+
+def test_mixed_butterfly_weighted_pooling_ad_path():
+    """Learned pooling weights force the plain-AD (non-fused) sharded path;
+    row-wise masking must stay exact there too."""
+    import dataclasses
+
+    cfg = dataclasses.replace(MIXED_CFG, weighted_pooling="learned")
+    model = DLRMModel(cfg)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    batches, tc = _mixed_data(n_batches=2)
+
+    step1 = make_train_step(model, "sgd")
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state("sgd", p1)
+    for hb in batches:
+        p1, s1, loss1, _ = step1(p1, s1, hb.to_device(), 0.05)
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh, strategy="mixed")
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state("sgd", p2)
+    step2 = bf.make_train_step("sgd", tc.mini_batch_size, p2, s2)
+    for hb in batches:
+        b = bf.shard_batch(hb.to_device())
+        p2, s2, loss2, _ = step2(p2, s2, b, 0.05)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p2u = bf.unshard_params(p2)
+    np.testing.assert_allclose(
+        np.asarray(p1["v_w"]), np.asarray(p2u["v_w"]), atol=2e-5
+    )
+
+
+def test_mixed_butterfly_eval_matches_single_device():
+    model = DLRMModel(MIXED_CFG)
+    params = model.init_params(jax.random.PRNGKey(5))
+    batches, _ = _mixed_data(n_batches=1)
+    probs1 = np.asarray(make_eval_step(model)(params, batches[0].to_device()))
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh, strategy="mixed")
+    p2 = bf.shard_params(params)
+    ev = bf.make_eval_step(p2)
+    probs2 = np.asarray(ev(p2, bf.shard_batch(batches[0].to_device())))
+    np.testing.assert_allclose(probs1, probs2, atol=1e-5)

@@ -99,7 +99,11 @@ class ButterflyDLRM:
         # ---- table-wise slots: equal slot count per shard; LPT/round-robin
         # assignment comes from the placement, dummy slots fill the remainder
         # (their hits carry weight 0 and land on a padded row)
-        per_shard = [self.placement.local_tables(s) for s in range(self.msize)]
+        per_shard = (
+            [list(x) for x in self.placement.slots]
+            if self.placement.slots is not None
+            else [self.placement.local_tables(s) for s in range(self.msize)]
+        )
         self.t_local = max(1, max(len(x) for x in per_shard))
         self.t_pad = self.t_local * self.msize
         shard_rows = self.placement.shard_rows

@@ -65,6 +65,8 @@ class TablePlacement:
     # (row_wise strategy leaves this empty for backward compat and uses
     # ceil(n / num_shards) implicitly.)
     rw_slice: Tuple[int, ...] = ()
+    # explicit per-shard slot ordering (size_rr); None -> ascending table id
+    slots: Optional[Tuple[Tuple[int, ...], ...]] = None
 
     @property
     def total_rows(self) -> int:
@@ -179,6 +181,41 @@ def plan_tables(
             table_shard=tuple(-1 for _ in sizes),
             global_offsets=tuple(int(x) for x in intra),  # per-shard-block offset
             shard_rows=int(shard_rows),
+        )
+
+    if strategy == "size_rr":
+        # Round-robin over SIZE RANKS: slot j of shard s holds the table
+        # ranked j*S+s by descending row count, so aligned slots across
+        # shards hold comparably-sized tables. This minimizes the padding
+        # the stream butterfly pays for its common per-slot plan geometry
+        # (every shard's slot j is sized for the largest table in that
+        # slot across shards).
+        order = sorted(range(num_t), key=lambda t: (-sizes[t], t))
+        slot_lists: List[List[int]] = [[] for _ in range(num_shards)]
+        assign = [0] * num_t
+        for rank, t in enumerate(order):
+            s = rank % num_shards
+            assign[t] = s
+            slot_lists[s].append(t)
+        local_off = [0] * num_t
+        shard_fill = [0] * num_shards
+        for s in range(num_shards):
+            for t in slot_lists[s]:
+                local_off[t] = shard_fill[s]
+                shard_fill[s] += _round_up(sizes[t], _ROW_ALIGN)
+        shard_rows = _round_up(
+            max(shard_fill) if shard_fill else _ROW_ALIGN, _ROW_ALIGN
+        )
+        return TablePlacement(
+            table_sizes=tuple(sizes),
+            num_shards=num_shards,
+            strategy="size_rr",
+            table_shard=tuple(assign),
+            global_offsets=tuple(
+                assign[t] * shard_rows + local_off[t] for t in range(num_t)
+            ),
+            shard_rows=int(shard_rows),
+            slots=tuple(tuple(x) for x in slot_lists),
         )
 
     if strategy == "round_robin":

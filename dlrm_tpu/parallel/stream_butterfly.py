@@ -19,9 +19,13 @@ FBGEMM optimizer-in-backward, torchrec_dlrm/dlrm_main.py:649-653):
     (native/stream_work.cc) over the FULL batch and ships replicated over
     "data" — the input-dist stage of the pipeline.
 
-Restriction (v1): every model shard must have identical stream geometry —
-true when all tables share one row count (the MLPerf v2 bench shape).
-Mixed-size configs use the fused butterfly or GSPMD paths.
+Every model shard shares ONE static plan geometry: tables are assigned by
+size rank (size_rr — slot j holds comparably-sized tables on every shard)
+and each slot is sized/hotted for the largest table occupying it anywhere;
+smaller tables fill the extra hot columns with weight-0 hits, which are
+exact no-ops through pooling and the update kernels. Skewed table sizes
+and ragged per-table hot sizes are therefore supported; the remaining
+restriction is learned pooling weights (v_w -> fused butterfly).
 """
 
 from __future__ import annotations
@@ -52,30 +56,24 @@ class StreamButterfly(ButterflyDLRM):
                  stochastic_round: Optional[bool] = None,
                  mm_dtype=jnp.bfloat16, interpret: bool = False,
                  hot_sizes=None):
-        super().__init__(model, mesh)
+        # size_rr assignment: slot j holds comparably-sized tables on every
+        # shard, so the common per-slot plan geometry (max size / max hot
+        # per slot) pays minimal padding on skewed configs
+        super().__init__(model, mesh, strategy="size_rr")
         cfg = model.cfg
-        sizes = set(cfg.table_sizes)
-        if len(sizes) != 1:
-            raise NotImplementedError(
-                "stream butterfly v1 needs identical table sizes per shard "
-                "(uniform tables); use the fused butterfly otherwise"
-            )
         if cfg.weighted_pooling is not None:
             raise NotImplementedError(
                 "stream butterfly does not support learned pooling weights "
                 "(v_w); use the fused butterfly"
             )
-        if hot_sizes is not None and len(set(hot_sizes)) != 1:
-            # ragged hots shard-major-permuted must give every shard the
-            # SAME multiset for identical plan geometry; not guaranteed
-            raise NotImplementedError(
-                "stream butterfly v1 needs a uniform hot size across "
-                "tables; ragged configs use the single-chip stream step or "
-                "the fused butterfly"
+        num_t = cfg.num_tables
+        self.hots_all = tuple(
+            int(h) for h in hot_sizes
+        ) if hot_sizes is not None else (cfg.num_indices_per_lookup,) * num_t
+        if len(self.hots_all) != num_t:
+            raise ValueError(
+                f"{len(self.hots_all)} hot sizes for {num_t} tables"
             )
-        self.hot = (
-            int(hot_sizes[0]) if hot_sizes else cfg.num_indices_per_lookup
-        )
         self.table_dtype = jnp.dtype(table_dtype)
         self.sr = (
             stochastic_round
@@ -85,17 +83,34 @@ class StreamButterfly(ButterflyDLRM):
         self.mm_dtype = mm_dtype
         self.interpret = interpret
         self.batch_size = batch_size
-        # dummy tables (t >= num_tables) share the uniform size so every
-        # shard's plan geometry is identical; their hits carry weight 0
-        self.local_sizes = tuple([cfg.table_sizes[0]] * self.t_local)
-        self.plan = make_stream_plan(
-            self.local_sizes, cfg.embedding_dim, batch_size,
-            self.hot, block_rows=block_rows,
-        )
-        # tables of shard s, in slot order (includes dummies)
+        # tables of shard s, in slot order (includes dummies >= num_tables)
         self.shard_tables = [
             list(self.shard_tables_of(s)) for s in range(self.msize)
         ]
+        # common per-slot geometry: slot j is sized/hotted for the largest
+        # table occupying it on ANY shard; smaller tables use a prefix of
+        # the slot's rows and pad the extra hot columns with weight-0 hits
+        # (exact no-ops through pooling and the update kernels). Dummy-only
+        # slots get a minimal 8-row / 1-hot footprint.
+        slot_sizes, slot_hots = [], []
+        for j in range(self.t_local):
+            real = [
+                int(self.shard_major_order[s * self.t_local + j])
+                for s in range(self.msize)
+            ]
+            real = [t for t in real if t < num_t]
+            slot_sizes.append(
+                max(cfg.table_sizes[t] for t in real) if real else 8
+            )
+            slot_hots.append(
+                max(self.hots_all[t] for t in real) if real else 1
+            )
+        self.local_sizes = tuple(slot_sizes)
+        self.slot_hots = tuple(slot_hots)
+        self.plan = make_stream_plan(
+            self.local_sizes, cfg.embedding_dim, batch_size,
+            self.slot_hots, block_rows=block_rows,
+        )
 
     # --------------------------------------------------------------- layout
 
@@ -194,15 +209,21 @@ class StreamButterfly(ButterflyDLRM):
         )
         stream = None
         if with_stream:
+            hmax = max(max(self.slot_hots), h)
             works = []
             for s in range(self.msize):
-                idx_s = np.zeros((self.t_local, b, h), np.int32)
-                wt_s = np.zeros((self.t_local, b, h), np.float32)
+                idx_s = np.zeros((self.t_local, b, hmax), np.int32)
+                wt_s = np.zeros((self.t_local, b, hmax), np.float32)
                 for j, t in enumerate(self.shard_tables[s]):
                     if t >= num_t:
                         continue
-                    idx_s[j] = idx[t]
-                    wt_s[j] = wt[t]
+                    idx_s[j, :, :h] = idx[t]
+                    wt_s[j, :, :h] = wt[t]
+                    # a table smaller-hotted than its slot pads the extra
+                    # columns with weight-0 hits (exact no-ops)
+                    ht = self.hots_all[t]
+                    if ht < hmax:
+                        wt_s[j, :, ht:] = 0.0
                 works.append(build_stream_work(self.plan, idx_s, wt_s))
             stack = lambda name: np.stack(  # noqa: E731
                 [np.asarray(getattr(w, name)) for w in works]

@@ -287,11 +287,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             data=args.mesh_data,
             model=args.mesh_model if args.mesh_model > 0 else None,
         )
-        stream_ok = (
-            args.embedding_impl == "stream"
-            and len(set(model_cfg.table_sizes)) == 1
-            and (not hot_sizes or len(set(hot_sizes)) == 1)
-        )
+        # uniformity no longer required: the stream butterfly pads per-slot
+        # geometry to common maxima (weight-0 hits), so an explicit
+        # --embedding_impl stream always gets the stream path (or a loud
+        # error from StreamButterfly for genuinely unsupported configs,
+        # e.g. learned pooling weights)
+        stream_ok = args.embedding_impl == "stream"
         if stream_ok:
             import jax.numpy as jnp
 

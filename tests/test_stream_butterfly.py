@@ -75,3 +75,75 @@ def test_stream_butterfly_matches_fused(optimizer):
     probs_eval = np.asarray(eval_step(new_params, batch)).reshape(-1)
     ref_probs = np.asarray(model.apply(got, hb.to_device())).reshape(-1)
     np.testing.assert_allclose(probs_eval, ref_probs, rtol=1e-4, atol=1e-5)
+
+
+SKEW_CFG = DLRMConfig(
+    embedding_dim=128,
+    # skewed sizes: slots get per-slot max geometry; smaller tables use a
+    # prefix of their slot and pad hot columns with weight-0 hits
+    table_sizes=(2300, 120, 1280, 48, 990, 2050),
+    mlp_bot=(8, 16, 128),
+    mlp_top=(64, 8, 1),
+    interaction="dot",
+    loss="bce",
+    num_indices_per_lookup=4,
+)
+SKEW_HOTS = (4, 1, 3, 2, 4, 1)  # ragged per-table multi-hot
+
+
+def _ragged_batch(rng, cfg, hots, b):
+    """[T,B,Hmax] batch with per-table real hot sizes; wt 0 marks padding."""
+    hmax = max(hots)
+    t_ = cfg.num_tables
+    idx = np.zeros((t_, b, hmax), np.int32)
+    wt = np.zeros((t_, b, hmax), np.float32)
+    for t, n in enumerate(cfg.table_sizes):
+        h = hots[t]
+        idx[t, :, :h] = rng.integers(0, n, (b, h))
+        wt[t, :, :h] = 1.0
+    from dlrm_tpu.data.random_data import HostBatch
+
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    labels = rng.integers(0, 2, (b, 1)).astype(np.float32)
+    return HostBatch(dense=dense, idx=idx, wt=wt, labels=labels)
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_stream_butterfly_skewed_ragged_matches_fused(optimizer):
+    """VERDICT r1 item 3: the streamed update under the mesh must accept
+    skewed table sizes AND ragged hot sizes and match the fused step."""
+    model = DLRMModel(SKEW_CFG)
+    params = model.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(5)
+    hb = _ragged_batch(rng, SKEW_CFG, SKEW_HOTS, B)
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, optimizer)
+    ref_params, _, ref_loss, _ = ref_step(
+        copy(params), init_opt_state(optimizer, params), hb.to_device(), 0.05
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32, hot_sizes=SKEW_HOTS,
+    )
+    sp = sb.shard_params(copy(params))
+    sstate = sb.init_opt_state(optimizer, sp)
+    step = sb.make_train_step(optimizer, B, sp, sstate)
+    batch = sb.shard_batch(hb)
+    new_params, new_state, loss, probs = step(sp, sstate, batch, 0.05)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    got = sb.unshard_params(new_params)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    # eval forward parity on the sharded layout
+    eval_step = sb.make_eval_step(new_params)
+    probs_eval = np.asarray(eval_step(new_params, batch)).reshape(-1)
+    ref_probs = np.asarray(model.apply(got, hb.to_device())).reshape(-1)
+    np.testing.assert_allclose(probs_eval, ref_probs, rtol=1e-4, atol=1e-5)

@@ -2,11 +2,25 @@
 
 Capability parity with the reference's torch.save/load checkpointing
 (dlrm_s_pytorch.py:1398-1456 load with fast-forward, :1702-1715 save-on-best;
-contents per inference():860-872): a directory holding one .npz of all arrays
-(pytree flattened to path-keyed entries) plus meta.json for scalars. Sharded
-arrays are gathered to host before writing (single-controller view), so a
-checkpoint written by the butterfly path loads on a single chip and vice versa
-via ButterflyDLRM.shard_params/unshard_params.
+contents per inference():860-872), extended for the sharded path the way
+SURVEY.md §5.4 calls for (orbax-style sharded checkpoints):
+
+  * replicated leaves -> one path-keyed `arrays.npz` + `meta.json`;
+  * model-axis-sharded leaves (the stacked tables, v_w, their optimizer
+    accumulators) are written as PER-SHARD files `shard_{m:05d}.npz`, each
+    holding that model shard's axis-0 block — the full 104 GiB stacked
+    table is NEVER materialized on one host. A `sharding.json` manifest
+    records which keys are sharded and into how many blocks.
+
+Writer election: exactly one device replica (replica_id == 0) writes each
+block, so multi-process meshes don't double-write (each process saves only
+its addressable shards to a shared filesystem).
+
+Loading is symmetric: a sharded TEMPLATE leaf (jax.Array with a NamedSharding
+over "model") is assembled with jax.make_array_from_callback — each process
+reads only the blocks it addresses; an unsharded template concatenates the
+blocks (compat: a sharded checkpoint still loads on a single chip, and an
+old single-file checkpoint still loads everywhere).
 """
 
 from __future__ import annotations
@@ -19,18 +33,35 @@ import jax
 import numpy as np
 
 
-def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+def _flatten_with_paths(tree, to_numpy: bool = True) -> Dict[str, Any]:
     flat = {}
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves:
         key = "/".join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path
         )
-        flat[key] = np.asarray(jax.device_get(leaf))
+        flat[key] = np.asarray(jax.device_get(leaf)) if to_numpy else leaf
     return flat
 
 
-def _unflatten_like(template, flat: Dict[str, np.ndarray]):
+def _model_shard_info(leaf):
+    """(num_shards, block_rows) if leaf is sharded over a "model" mesh axis
+    on dim 0, else None."""
+    from jax.sharding import NamedSharding
+
+    sh = getattr(leaf, "sharding", None)
+    if not isinstance(sh, NamedSharding):
+        return None
+    spec = sh.spec
+    if len(spec) == 0 or spec[0] != "model":
+        return None
+    msize = int(sh.mesh.shape["model"])
+    if msize <= 1 or leaf.shape[0] % msize != 0:
+        return None
+    return msize, leaf.shape[0] // msize
+
+
+def _unflatten_like(template, flat: Dict[str, Any]):
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in paths_leaves:
@@ -40,9 +71,9 @@ def _unflatten_like(template, flat: Dict[str, np.ndarray]):
         if key not in flat:
             raise KeyError(f"checkpoint missing array {key!r}")
         arr = flat[key]
-        if tuple(arr.shape) != tuple(np.shape(leaf)):
+        if tuple(np.shape(arr)) != tuple(np.shape(leaf)):
             raise ValueError(
-                f"checkpoint array {key!r} has shape {arr.shape}, "
+                f"checkpoint array {key!r} has shape {np.shape(arr)}, "
                 f"expected {np.shape(leaf)}"
             )
         new_leaves.append(arr)
@@ -56,17 +87,89 @@ def save_checkpoint(
     meta: Optional[Dict[str, Any]] = None,
 ) -> None:
     os.makedirs(path, exist_ok=True)
-    arrays = {f"params/{k}": v for k, v in _flatten_with_paths(params).items()}
+    leaves = {
+        f"params/{k}": v
+        for k, v in _flatten_with_paths(params, to_numpy=False).items()
+    }
     if opt_state is not None:
-        arrays.update(
-            {f"opt/{k}": v for k, v in _flatten_with_paths(opt_state).items()}
+        leaves.update(
+            {
+                f"opt/{k}": v
+                for k, v in _flatten_with_paths(
+                    opt_state, to_numpy=False
+                ).items()
+            }
         )
-    tmp = os.path.join(path, ".arrays.npz.tmp")
-    with open(tmp, "wb") as f:
-        np.savez(f, **arrays)
-    os.replace(tmp, os.path.join(path, "arrays.npz"))
+    replicated: Dict[str, np.ndarray] = {}
+    per_shard: Dict[int, Dict[str, np.ndarray]] = {}
+    manifest: Dict[str, int] = {}
+    for key, leaf in leaves.items():
+        info = _model_shard_info(leaf)
+        if info is None:
+            replicated[key] = np.asarray(jax.device_get(leaf))
+            continue
+        msize, block = info
+        manifest[key] = msize
+        for sh in leaf.addressable_shards:
+            if sh.replica_id != 0:
+                continue  # one writer per block across data replicas/hosts
+            i0 = sh.index[0]
+            start = 0 if i0.start is None else int(i0.start)
+            rank = start // block
+            per_shard.setdefault(rank, {})[key] = np.asarray(sh.data)
+
+    def _atomic_npz(name: str, arrays: Dict[str, np.ndarray]) -> None:
+        tmp = os.path.join(path, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, os.path.join(path, name))
+
+    _atomic_npz("arrays.npz", replicated)
+    for rank, arrays in per_shard.items():
+        _atomic_npz(f"shard_{rank:05d}.npz", arrays)
+    if manifest:
+        with open(os.path.join(path, "sharding.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta or {}, f, indent=1)
+
+
+def _load_flat(path: str) -> Tuple[Dict[str, Any], Dict[str, int]]:
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        flat: Dict[str, Any] = {k: z[k] for k in z.files}
+    manifest: Dict[str, int] = {}
+    mpath = os.path.join(path, "sharding.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+    return flat, manifest
+
+
+class _ShardedEntry:
+    """Lazy per-block view of one sharded checkpoint array."""
+
+    def __init__(self, path: str, key: str, num_shards: int):
+        self.path = path
+        self.key = key
+        self.num_shards = num_shards
+        self._blocks: Dict[int, np.ndarray] = {}
+        # probe block 0 for geometry
+        b0 = self.block(0)
+        self.block_rows = b0.shape[0]
+        self.shape = (self.block_rows * num_shards,) + b0.shape[1:]
+        self.dtype = b0.dtype
+
+    def block(self, rank: int) -> np.ndarray:
+        if rank not in self._blocks:
+            fname = os.path.join(self.path, f"shard_{rank:05d}.npz")
+            with np.load(fname) as z:
+                self._blocks[rank] = z[self.key]
+        return self._blocks[rank]
+
+    def concat(self) -> np.ndarray:
+        return np.concatenate(
+            [self.block(r) for r in range(self.num_shards)], axis=0
+        )
 
 
 def load_checkpoint(
@@ -74,19 +177,54 @@ def load_checkpoint(
     params_template,
     opt_state_template=None,
 ) -> Tuple[Any, Any, Dict[str, Any]]:
-    with np.load(os.path.join(path, "arrays.npz")) as z:
-        flat = {k: z[k] for k in z.files}
-    params = _unflatten_like(
-        params_template,
-        {k[len("params/"):]: v for k, v in flat.items() if k.startswith("params/")},
-    )
+    """Templates may be host arrays (leaves load as numpy; sharded entries
+    concatenate) or sharded jax.Arrays (sharded entries assemble in place
+    via make_array_from_callback — no host-full copy)."""
+    flat, manifest = _load_flat(path)
+    entries = {
+        key: _ShardedEntry(path, key, int(m)) for key, m in manifest.items()
+    }
+
+    def _resolve(template):
+        tflat = _flatten_with_paths(template, to_numpy=False)
+        out: Dict[str, Any] = {}
+        for key, leaf in tflat.items():
+            if key in flat:
+                out[key] = flat[key]
+            elif key in entries:
+                ent = entries[key]
+                info = _model_shard_info(leaf)
+                if info is not None and info[0] == ent.num_shards:
+                    block = info[1]
+                    out[key] = jax.make_array_from_callback(
+                        ent.shape,
+                        leaf.sharding,
+                        lambda idx, ent=ent, block=block: ent.block(
+                            (0 if idx[0].start is None else int(idx[0].start))
+                            // block
+                        ),
+                    )
+                else:
+                    out[key] = ent.concat()
+        return out
+
+    presolved = {
+        k[len("params/"):]: v
+        for k, v in _resolve(
+            {"params": params_template}
+        ).items()
+        if k.startswith("params/")
+    }
+    params = _unflatten_like(params_template, presolved)
     opt_state = None
     if opt_state_template is not None:
-        opt_flat = {
-            k[len("opt/"):]: v for k, v in flat.items() if k.startswith("opt/")
+        oresolved = {
+            k[len("opt/"):]: v
+            for k, v in _resolve({"opt": opt_state_template}).items()
+            if k.startswith("opt/")
         }
-        if opt_flat:
-            opt_state = _unflatten_like(opt_state_template, opt_flat)
+        if oresolved:
+            opt_state = _unflatten_like(opt_state_template, oresolved)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):

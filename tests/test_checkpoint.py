@@ -160,3 +160,85 @@ def test_stream_checkpoint_interchange(tmp_path):
         np.asarray(rp["emb"]["stacked"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_sharded_checkpoint_no_host_gather(tmp_path):
+    """VERDICT r1 item 6: a butterfly checkpoint must round-trip as
+    PER-SHARD files — the stacked table is never materialized whole on one
+    host on save, and a sharded-template load assembles shards in place.
+    A host-array template still loads the same checkpoint (compat)."""
+    import os
+
+    from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+    from dlrm_tpu.parallel.mesh import make_mesh
+
+    cfg = DLRMConfig(
+        embedding_dim=4,
+        table_sizes=(1000, 17, 260, 33, 990, 120),
+        mlp_bot=(13, 8, 4),
+        mlp_top=(8, 4, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=6,
+    )
+    model = DLRMModel(cfg)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(0))
+    )
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh, strategy="mixed", rw_threshold=600)
+    sp = bf.shard_params(params0)
+    sstate = init_opt_state("rwsadagrad", sp)
+    # give the accumulator distinct values so the roundtrip is meaningful
+    sstate["accum"]["emb"]["stacked"] = jax.device_put(
+        jax.numpy.arange(
+            sp["emb"]["stacked"].shape[0], dtype=jax.numpy.float32
+        ),
+        sp["emb"]["stacked"].sharding,
+    )
+
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, sp, sstate, meta={"it": 3})
+
+    # per-shard layout on disk; the big table is NOT in arrays.npz
+    files = sorted(os.listdir(path))
+    assert [f for f in files if f.startswith("shard_")] == [
+        f"shard_{m:05d}.npz" for m in range(4)
+    ]
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        assert "params/emb/stacked" not in z.files
+        assert "opt/accum/emb/stacked" not in z.files
+    with np.load(os.path.join(path, "shard_00000.npz")) as z:
+        assert z["params/emb/stacked"].shape[0] == bf.placement.shard_rows
+
+    # sharded-template load: leaves come back SHARDED and equal
+    tmpl_p = bf.shard_params(
+        jax.tree_util.tree_map(np.zeros_like, params0)
+    )
+    tmpl_s = init_opt_state("rwsadagrad", tmpl_p)
+    lp, ls, meta = ckpt.load_checkpoint(path, tmpl_p, tmpl_s)
+    assert meta == {"it": 3}
+    assert lp["emb"]["stacked"].sharding == sp["emb"]["stacked"].sharding
+    np.testing.assert_array_equal(
+        np.asarray(lp["emb"]["stacked"]), np.asarray(sp["emb"]["stacked"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ls["accum"]["emb"]["stacked"]),
+        np.asarray(sstate["accum"]["emb"]["stacked"]),
+    )
+
+    # host-template load (single-chip consumer): concatenated + unshardable
+    hp, hs, _ = ckpt.load_checkpoint(
+        path, sp_host := jax.tree_util.tree_map(np.asarray, sp),
+        jax.tree_util.tree_map(np.asarray, sstate),
+    )
+    np.testing.assert_array_equal(
+        hp["emb"]["stacked"], np.asarray(sp["emb"]["stacked"])
+    )
+    # and the placement relay recovers the original tables exactly
+    un = bf.unshard_params({**hp, "emb": {"stacked": jax.numpy.asarray(hp["emb"]["stacked"])}})
+    np.testing.assert_allclose(
+        np.asarray(un["emb"]["stacked"]),
+        np.asarray(params0["emb"]["stacked"]),
+        atol=0,
+    )

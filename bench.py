@@ -64,49 +64,77 @@ def main():
         mm_dtype=jnp.bfloat16, stochastic_round=True,
     )
 
+    from dlrm_tpu.ops.stream_plan import build_stream_work
+
     rng = np.random.default_rng(0)
-    batch = (
-        fixed_multihot_batch(
-            rng, cfg.num_dense, cfg.table_sizes, batch_size,
-            cfg.num_indices_per_lookup,
+    # K distinct device-resident batches (the tunnel in this environment
+    # caps H2D at ~39 MB/s — a pure artifact; a co-located host moves the
+    # ~30 MB/step over PCIe DMA in ~1.5 ms — so batches are staged up
+    # front and the loop cycles them; see bench_scripts/PERF_NOTES.md)
+    k_staged = 8
+    staged = []
+    for i in range(k_staged):
+        staged.append(
+            fixed_multihot_batch(
+                np.random.default_rng(100 + i), cfg.num_dense,
+                cfg.table_sizes, batch_size, cfg.num_indices_per_lookup,
+            )
+            .with_stream_work(plan)
+            .to_device()
         )
-        .with_stream_work(plan)
-        .to_device()
-    )
 
-    # Measure K steps inside ONE lax.scan and force completion with a real
-    # device->host transfer of the per-step losses only: per-call dispatch
-    # timing (and any large-array fetch) is unreliable on remote/tunneled
-    # backends — see bench_scripts/PERF_NOTES.md.
-    raw = step.__wrapped__
-    iters = 30
+    # SUSTAINED measurement (not a device-only ceiling): individually
+    # dispatched steps with loop-carried params, and in every dispatch gap
+    # the host builds a fresh batch's U-layout with the native builder
+    # (native/stream_work.cc) — the producer-side work DevicePrefetcher
+    # overlaps with device compute. Completion is forced by fetching the
+    # last step's scalar loss, which transitively depends on every step.
+    # Host-side index pool: a sliding window gives each build distinct
+    # content without paying rng in the loop.
+    h = cfg.num_indices_per_lookup
+    pool = np.stack(
+        [
+            rng.integers(0, n, (batch_size * h + 4096,), dtype=np.int64)
+            for n in cfg.table_sizes
+        ]
+    ).astype(np.int32)
 
-    def one(carry, _):
-        p, s = carry
-        p, s, loss, _ = raw(p, s, batch, 0.01)
-        return (p, s), loss
+    def host_build(i):
+        off = (i * 61) % 4096
+        idx = np.ascontiguousarray(
+            pool[:, off : off + batch_size * h].reshape(
+                len(cfg.table_sizes), batch_size, h
+            )
+        )
+        return build_stream_work(plan, idx, None)
 
-    @jax.jit
-    def many(p, s):
-        (p, s), losses = jax.lax.scan(one, (p, s), None, length=iters)
-        return p, s, losses
-
-    params, opt_state, losses = many(params, opt_state)  # compile + warmup
-    np.asarray(losses)
+    iters = 104
+    warmup = 4
+    lr = 0.01
+    p, s = params, opt_state
+    loss = None
+    for i in range(warmup):  # compile + pipeline warm
+        p, s, loss, _ = step(p, s, staged[i % k_staged], lr)
+        host_build(i)
+    float(loss)
     t0 = time.perf_counter()
-    params, opt_state, losses = many(params, opt_state)
-    losses = np.asarray(losses)
+    for i in range(iters):
+        p, s, loss, _ = step(p, s, staged[i % k_staged], lr)
+        host_build(i)  # overlapped with the in-flight device steps
+    last = float(loss)
     dt = time.perf_counter() - t0
-    assert np.isfinite(losses).all(), f"non-finite losses {losses}"
+    assert np.isfinite(last), f"non-finite loss {last}"
 
     examples_per_sec = batch_size * iters / dt
     print(
         json.dumps(
             {
                 "metric": (
-                    "train_examples_per_sec_per_chip (DLRM-v2 dot, 26x200k "
-                    "tables, d=128, H=8, bs=16384, rowwise-adagrad, streamed "
-                    "bf16 tables)"
+                    "sustained_train_examples_per_sec_per_chip (DLRM-v2 "
+                    "dot, 26x200k tables, d=128, H=8, bs=16384, "
+                    "rowwise-adagrad, streamed bf16 tables; 104 steps, "
+                    "per-step host U-layout build in the measured window, "
+                    "8 distinct device-staged batches)"
                 ),
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s/chip",

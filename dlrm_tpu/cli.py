@@ -224,6 +224,7 @@ def configs_from_args(args) -> tuple[DLRMConfig, TrainConfig]:
         print_freq=args.print_freq,
         test_freq=args.test_freq,
         print_time=args.print_time,
+        print_wall_time=args.print_wall_time,
         debug_mode=args.debug_mode,
         grad_accum_iter=args.mlperf_grad_accum_iter,
         mlperf_logging=args.mlperf_logging,
@@ -244,6 +245,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from dlrm_tpu.models.dlrm import DLRMModel
     from dlrm_tpu.train.harness import Trainer, dump_parameters
     from dlrm_tpu.utils.logging import MLPerfLogger, ScalarLogger
+
+    if args.activation_function != "relu":
+        # loud rejection instead of silent acceptance: the reference parses
+        # this flag but never consumes it either (dlrm_s_pytorch.py:930 has
+        # no use site) — relu is the only implemented activation there too
+        sys.exit(
+            f"ERROR: --activation-function {args.activation_function!r} is "
+            "not supported (only 'relu' is implemented, matching the "
+            "reference's actual behavior)"
+        )
 
     model_cfg, train_cfg = configs_from_args(args)
     model = DLRMModel(model_cfg)
@@ -289,6 +300,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         from dlrm_tpu.data.criteo import make_criteo_datasets
 
         train_data, test_data = make_criteo_datasets(model_cfg, train_cfg, args)
+
+    if args.num_workers > 0:
+        # torch DataLoader(num_workers) analog: background-thread host batch
+        # materialization (dlrm_s_pytorch.py:997)
+        from dlrm_tpu.train.pipeline import HostPrefetcher
+
+        train_data = HostPrefetcher(train_data, depth=2 * args.num_workers)
+
+    if args.plot_compute_graph:
+        # the TPU analog of --plot-compute-graph (dlrm_s_pytorch.py:1809-1815
+        # wants pytorchviz): write the jitted forward's StableHLO text
+        import jax
+
+        from dlrm_tpu.tools.export import stablehlo_text
+
+        graph_path = (
+            (args.tensor_board_filename or "dlrm_s_tpu") + "_graph.stablehlo.txt"
+        )
+        g_params = model.init_params(jax.random.PRNGKey(0))
+        with open(graph_path, "w") as f:
+            f.write(
+                stablehlo_text(model, g_params, train_cfg.mini_batch_size)
+            )
+        print(f"compute graph written to {graph_path}")
 
     scalar_log = ScalarLogger(
         args.tensor_board_filename + ".scalars.jsonl"

@@ -220,6 +220,7 @@ class TrainConfig:
     print_freq: int = 1
     test_freq: int = -1
     print_time: bool = False
+    print_wall_time: bool = False  # append " (HH:MM)" (dlrm_s_pytorch.py:1655)
     debug_mode: bool = False
     grad_accum_iter: int = 1  # --mlperf-grad-accum-iter
     mlperf_logging: bool = False

@@ -260,6 +260,8 @@ class CriteoBinFile:
         pad_last: bool = True,
         rank: int = 0,
         world_size: int = 1,
+        shuffle_batches: bool = False,  # --mlperf-bin-shuffle: RandomSampler
+        seed: int = 0,  # over batch ids (dlrm_data_pytorch.py:450)
     ):
         self.batch_size = batch_size
         self.max_ind_range = max_ind_range
@@ -274,13 +276,23 @@ class CriteoBinFile:
             self.counts = z["counts"]
         self.rank = rank
         self.world_size = world_size
+        self.shuffle_batches = shuffle_batches
+        self._seed = seed
+        self._epoch = 0
 
     def __len__(self) -> int:
         # round-robin batch -> rank assignment (multi_hot_criteo.py:262)
         return len(range(self.rank, self.num_batches, self.world_size))
 
-    def batch_indices(self) -> range:
-        return range(self.rank, self.num_batches, self.world_size)
+    def batch_indices(self):
+        ids = range(self.rank, self.num_batches, self.world_size)
+        if not self.shuffle_batches:
+            return ids
+        # fresh permutation per epoch, like torch's RandomSampler re-drawing
+        # each iterator (dlrm_data_pytorch.py:450)
+        rng = np.random.default_rng(self._seed + self._epoch)
+        self._epoch += 1
+        return list(rng.permutation(np.asarray(ids)))
 
     def read_batch(self, idx: int) -> HostBatch:
         self.file.seek(idx * self.bytes_per_entry, 0)
@@ -315,7 +327,11 @@ class CriteoBinFile:
             yield self.read_batch(i)
 
     def __getitem__(self, i: int) -> HostBatch:
-        return self.read_batch(self.batch_indices()[i])
+        # positional access is always in file order (shuffle only affects
+        # iteration order, like a torch sampler)
+        return self.read_batch(
+            range(self.rank, self.num_batches, self.world_size)[i]
+        )
 
     def close(self):
         self.file.close()
@@ -346,7 +362,9 @@ def make_criteo_datasets(model_cfg, train_cfg, args):
         numpy_to_binary(art.day_files[:-1] or art.day_files, train_bin, "train")
         numpy_to_binary([art.day_files[-1]], test_bin, "test")
     train = CriteoBinFile(
-        train_bin, counts_file, train_cfg.mini_batch_size, args.max_ind_range
+        train_bin, counts_file, train_cfg.mini_batch_size, args.max_ind_range,
+        shuffle_batches=getattr(args, "mlperf_bin_shuffle", False),
+        seed=train_cfg.numpy_rand_seed,
     )
     test = CriteoBinFile(
         test_bin, counts_file, train_cfg.eval_batch_size, args.max_ind_range

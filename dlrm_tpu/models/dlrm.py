@@ -283,6 +283,17 @@ class DLRMModel:
 
     # --------------------------------------------------------------- forward
 
+    def pooling_weights(self, params: Params):
+        """v_w, frozen under '--weighted-pooling fixed': the reference
+        registers fixed pooling weights as non-trainable BUFFERS vs learned
+        Parameters (dlrm_s_pytorch.py:337-340); here stop_gradient zeroes
+        their grads, so every optimizer's update is an exact no-op and the
+        weights stay at init."""
+        vw = params["v_w"]
+        if self.cfg.weighted_pooling == "fixed":
+            vw = jax.tree_util.tree_map(jax.lax.stop_gradient, vw)
+        return vw
+
     def apply_emb(self, params: Params, batch: Batch) -> jax.Array:
         """Pooled embeddings [B, T, dim] (apply_emb, dlrm_s_pytorch.py:407-462)."""
         from dlrm_tpu.ops.quantized import infer_bits, quantized_embedding_bag
@@ -293,7 +304,7 @@ class DLRMModel:
             qt = params["emb"]["quantized"]
             flat_idx = idx + jnp.asarray(self.row_offsets)[:, None, None]
             if "v_w" in params:
-                vw = jnp.take(params["v_w"], flat_idx, axis=0)
+                vw = jnp.take(self.pooling_weights(params), flat_idx, axis=0)
                 wt = vw if wt is None else wt * vw
             pooled = quantized_embedding_bag(
                 qt, flat_idx, wt, bits=infer_bits(qt, cfg.embedding_dim)
@@ -302,7 +313,9 @@ class DLRMModel:
         if self.fused:
             if "v_w" in params:
                 flat_idx = idx + jnp.asarray(self.row_offsets)[:, None, None]
-                vw = jnp.take(params["v_w"], flat_idx, axis=0)  # [T, B, H]
+                vw = jnp.take(
+                    self.pooling_weights(params), flat_idx, axis=0
+                )  # [T, B, H]
                 wt = vw if wt is None else wt * vw
             return fused_embedding_bag(
                 params["emb"]["stacked"], jnp.asarray(self.row_offsets), idx, wt
@@ -312,7 +325,7 @@ class DLRMModel:
             idx_k = idx[k]
             wt_k = None if wt is None else wt[k]
             if "v_w" in params:
-                vw = jnp.take(params["v_w"][k], idx_k, axis=0)
+                vw = jnp.take(self.pooling_weights(params)[k], idx_k, axis=0)
                 wt_k = vw if wt_k is None else wt_k * vw
             if "quantized" in entry:
                 v = quantized_embedding_bag(

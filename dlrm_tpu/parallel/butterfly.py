@@ -273,7 +273,7 @@ class ButterflyDLRM:
         loc = jnp.where(mask, idx_rw - lo + off, 0)
         wt_eff = wt_rw * mask.astype(wt_rw.dtype)
         if "v_w" in params:
-            vw = jnp.take(params["v_w"], loc, axis=0)
+            vw = jnp.take(self.model.pooling_weights(params), loc, axis=0)
             wt_eff = wt_eff * vw
         return loc, wt_eff
 
@@ -284,7 +284,7 @@ class ButterflyDLRM:
         emb_l = params["emb"]["stacked"]  # [shard_rows, d] local rows
         flat_idx = idx_l + local_off[:, None, None]
         if "v_w" in params:
-            vw = jnp.take(params["v_w"], flat_idx, axis=0)
+            vw = jnp.take(self.model.pooling_weights(params), flat_idx, axis=0)
             wt_eff = wt_l * vw
         else:
             wt_eff = wt_l

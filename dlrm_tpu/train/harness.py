@@ -226,9 +226,12 @@ class Trainer:
                         accum_count
                     )
                     gt = accum_time / accum_count if tc.print_time else -1.0
+                    wall = (
+                        time.strftime(" (%H:%M)") if tc.print_wall_time else ""
+                    )
                     print(
                         f"Finished training it {it + 1}/{nbatches} of epoch "
-                        f"{epoch}, {gt:.2f} ms/it, loss {gl:.6f}"
+                        f"{epoch}, {gt:.2f} ms/it, loss {gl:.6f}{wall}"
                     )
                     self.scalar_log.add_scalar("Train/Loss", gl, state.total_iter)
                     accum_losses = []

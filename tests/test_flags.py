@@ -1,0 +1,128 @@
+"""Flag-parity behaviors (VERDICT r1 'dead flags' + weighted-pooling fixed):
+every flag below must observably change behavior or error loudly."""
+
+import contextlib
+import dataclasses
+import io
+import os
+import re
+
+import numpy as np
+import pytest
+
+import jax
+
+from dlrm_tpu.config import DLRMConfig, TrainConfig
+from dlrm_tpu.data.random_data import RandomDataset
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.optim.optimizers import init_opt_state
+from dlrm_tpu.train.step import make_train_step
+
+CFG = DLRMConfig(
+    embedding_dim=4,
+    table_sizes=(40, 9, 30),
+    mlp_bot=(13, 8, 4),
+    mlp_top=(8, 4, 1),
+    interaction="dot",
+    loss="bce",
+    num_indices_per_lookup=4,
+)
+
+
+def _run_cli(args):
+    from dlrm_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(args)
+    return rc, buf.getvalue()
+
+
+@pytest.mark.parametrize("mode", ["fixed", "learned"])
+def test_weighted_pooling_fixed_freezes_v_w(mode):
+    """--weighted-pooling fixed must keep v_w at init under every optimizer
+    (the reference registers fixed weights as non-trainable buffers,
+    dlrm_s_pytorch.py:337-340); learned must move them."""
+    cfg = dataclasses.replace(CFG, weighted_pooling=mode)
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tc = TrainConfig(mini_batch_size=8, num_batches=3, numpy_rand_seed=3)
+    step = make_train_step(model, "adagrad")
+    s = init_opt_state("adagrad", params)
+    for hb in RandomDataset(cfg, tc):
+        params, s, loss, _ = step(params, s, hb.to_device(), 0.1)
+    vw = np.asarray(params["v_w"])
+    if mode == "fixed":
+        np.testing.assert_array_equal(vw, np.ones_like(vw))
+    else:
+        assert np.abs(vw - 1.0).max() > 1e-6, "learned v_w never moved"
+
+
+def test_print_wall_time(tmp_path):
+    rc, out = _run_cli(
+        ["--mini-batch-size=2", "--data-size=4", "--print-wall-time"]
+    )
+    assert rc == 0
+    assert re.search(r"loss \d+\.\d+ \(\d\d:\d\d\)", out), out
+
+
+def test_activation_function_rejected():
+    with pytest.raises(SystemExit):
+        _run_cli(
+            ["--mini-batch-size=2", "--data-size=2",
+             "--activation-function=tanh"]
+        )
+
+
+def test_plot_compute_graph(tmp_path):
+    prefix = str(tmp_path / "g")
+    rc, out = _run_cli(
+        ["--mini-batch-size=2", "--data-size=2", "--plot-compute-graph",
+         f"--tensor-board-filename={prefix}"]
+    )
+    assert rc == 0
+    path = prefix + "_graph.stablehlo.txt"
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "func.func" in text and "stablehlo" in text
+
+
+def test_num_workers_same_goldens():
+    rc0, out0 = _run_cli(["--mini-batch-size=2", "--data-size=6"])
+    rc1, out1 = _run_cli(
+        ["--mini-batch-size=2", "--data-size=6", "--num-workers=2"]
+    )
+    assert rc0 == rc1 == 0
+    losses = lambda s: re.findall(r"loss (\d+\.\d+)", s)  # noqa: E731
+    assert losses(out0) == losses(out1) and len(losses(out0)) == 3
+
+
+def test_mlperf_bin_shuffle_batch_order(tmp_path):
+    from dlrm_tpu.data import criteo
+
+    rng = np.random.default_rng(0)
+    # synthetic packed bin: 64 samples of 40 int32 (label + 13 + 26)
+    arr = rng.integers(0, 100, size=(64, 40), dtype=np.int32)
+    arr[:, 0] = rng.integers(0, 2, 64)
+    bin_path = str(tmp_path / "t.bin")
+    arr.astype(np.int32).tofile(bin_path)
+    counts = str(tmp_path / "c.npz")
+    np.savez(counts, counts=np.full(26, 100, np.int64))
+
+    by_content = lambda bf: [  # noqa: E731
+        tuple(np.asarray(hb.idx).reshape(-1)[:8]) for hb in bf
+    ]
+    plain2 = criteo.CriteoBinFile(bin_path, counts, batch_size=8)
+    shuf2 = criteo.CriteoBinFile(
+        bin_path, counts, batch_size=8, shuffle_batches=True, seed=1
+    )
+    c_plain = by_content(plain2)
+    c_shuf = by_content(shuf2)
+    # same multiset of batches, different order, re-drawn across epochs
+    assert sorted(c_plain) == sorted(c_shuf)
+    assert c_plain != c_shuf
+    assert by_content(shuf2) != c_shuf
+    # positional access stays file-ordered regardless of shuffle
+    np.testing.assert_array_equal(
+        np.asarray(shuf2[0].idx), np.asarray(plain2[0].idx)
+    )

@@ -246,6 +246,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     from dlrm_tpu.train.harness import Trainer, dump_parameters
     from dlrm_tpu.utils.logging import MLPerfLogger, ScalarLogger
 
+    from dlrm_tpu.utils import logging as obs
+
+    # the INIT block opens before any setup work (dlrm_s_pytorch.py:1036-1040);
+    # the harness closes it with INIT_STOP when training starts
+    mlperf = obs.MLPerfLogger(enabled=args.mlperf_logging)
+    mlperf.event(obs.CACHE_CLEAR, value=True)
+    mlperf.start(obs.INIT_START)
+
     if args.activation_function != "relu":
         # loud rejection instead of silent acceptance: the reference parses
         # this flag but never consumes it either (dlrm_s_pytorch.py:930 has
@@ -330,7 +338,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.tensor_board_filename
         else None
     )
-    mlperf = MLPerfLogger(enabled=args.mlperf_logging)
     trainer = Trainer(
         model, train_cfg, train_data,
         test_data if (train_cfg.test_freq > 0 or train_cfg.inference_only or train_cfg.mlperf_logging) else None,

@@ -127,6 +127,7 @@ class Trainer:
         self.train_step = train_step
         self.eval_step = eval_step or make_eval_step(model)
         self.to_device = to_device or (lambda hb: hb.to_device())
+        self._run_stop_emitted = False
         self.lr_policy = LRPolicy(
             train_cfg.learning_rate,
             train_cfg.lr_num_warmup_steps,
@@ -177,13 +178,43 @@ class Trainer:
         if tc.inference_only:
             self.evaluate(state)
             return state
+        # the INIT block opened by the CLI (CACHE_CLEAR + INIT_START,
+        # dlrm_s_pytorch.py:1036-1040) closes when training begins; then the
+        # submission + hyperparameter block (:1097-1102, 1389-1396, 1487-1507)
+        self.mlperf.end(obs.INIT_STOP)
         self.mlperf.start(obs.RUN_START)
+        self.mlperf.submission("dlrm")
+        self.mlperf.event(obs.SEED, value=tc.numpy_rand_seed)
+        self.mlperf.event(obs.GLOBAL_BATCH_SIZE, value=tc.mini_batch_size)
+        # LR logged twice, mirroring the reference's compliance-checker
+        # workaround (dlrm_s_pytorch.py:1389-1407)
+        self.mlperf.event(obs.OPT_BASE_LR, value=tc.learning_rate)
+        self.mlperf.event(
+            obs.OPT_LR_WARMUP_STEPS, value=tc.lr_num_warmup_steps
+        )
+        self.mlperf.event(
+            "sgd_opt_base_learning_rate", value=tc.learning_rate
+        )
+        self.mlperf.event(
+            "lr_decay_start_steps", value=tc.lr_decay_start_step
+        )
+        self.mlperf.event(
+            "sgd_opt_learning_rate_decay_steps", value=tc.lr_num_decay_steps
+        )
+        self.mlperf.event("sgd_opt_learning_rate_decay_poly_power", value=2)
         print("time/loss/accuracy (if enabled):")
         nbatches = len(self.train_data)
         skip_epoch, skip_iter = state.epoch, state.iteration
         stop = False
+        self._run_stop_emitted = False
         for epoch in range(state.epoch, tc.nepochs):
-            self.mlperf.start(obs.EPOCH_START, metadata={"epoch_num": epoch})
+            self.mlperf.start(
+                obs.BLOCK_START,
+                metadata={"first_epoch_num": epoch + 1, "epoch_count": 1},
+            )
+            self.mlperf.start(
+                obs.EPOCH_START, metadata={"epoch_num": epoch + 1}
+            )
             accum_losses, accum_time, accum_count = [], 0.0, 0
             # host-prep + H2D overlapped with the device step
             # (TrainPipelineSparseDist equivalent, dlrm_tpu/train/pipeline.py)
@@ -249,14 +280,20 @@ class Trainer:
                         break
             state.epoch = epoch + 1
             state.iteration = 0
-            self.mlperf.end(obs.EPOCH_STOP, metadata={"epoch_num": epoch})
+            self.mlperf.end(obs.EPOCH_STOP, metadata={"epoch_num": epoch + 1})
+            self.mlperf.end(
+                obs.BLOCK_STOP, metadata={"first_epoch_num": epoch + 1}
+            )
             if stop:
                 break
         if tc.test_freq <= 0 and self.test_data is not None:
             self._eval_and_maybe_stop(state, state.epoch, state.total_iter, state.total_iter)
-        self.mlperf.end(
-            obs.RUN_STOP, metadata={"status": "success" if not stop else "aborted"}
-        )
+        # reference RUN_STOP semantics (dlrm_s_pytorch.py:1752-1781): SUCCESS
+        # is emitted at the auc-threshold stop inside the loop; a run that
+        # never clears the auc threshold ends ABORTED
+        if not self._run_stop_emitted and state.best_auc <= tc.mlperf_auc_threshold:
+            self.mlperf.end(obs.RUN_STOP, metadata={"status": "aborted"})
+            self._run_stop_emitted = True
         return state
 
     # ------------------------------------------------------------------- eval
@@ -323,6 +360,10 @@ class Trainer:
             and state.best_auc > tc.mlperf_auc_threshold
         ):
             print(f"MLPerf testing auc threshold {tc.mlperf_auc_threshold} reached, stop training")
+            # reference emits RUN_STOP success at the threshold stop itself
+            # (dlrm_s_pytorch.py:1752-1762)
+            self.mlperf.end(obs.RUN_STOP, metadata={"status": "success"})
+            self._run_stop_emitted = True
             return True
         return False
 

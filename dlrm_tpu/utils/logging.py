@@ -59,6 +59,10 @@ EVAL_START = "eval_start"
 EVAL_STOP = "eval_stop"
 EVAL_ACCURACY = "eval_accuracy"
 CACHE_CLEAR = "cache_clear"
+SEED = "seed"
+GLOBAL_BATCH_SIZE = "global_batch_size"
+OPT_BASE_LR = "opt_base_learning_rate"
+OPT_LR_WARMUP_STEPS = "opt_learning_rate_warmup_steps"
 
 
 class MLPerfLogger:

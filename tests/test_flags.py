@@ -126,3 +126,50 @@ def test_mlperf_bin_shuffle_batch_order(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(shuf2[0].idx), np.asarray(plain2[0].idx)
     )
+
+
+def test_mlperf_event_sequence():
+    """--mlperf-logging must emit the reference's full event surface in
+    order: CACHE_CLEAR, INIT block, submission block, hyperparameters,
+    BLOCK/EPOCH/EVAL intervals, RUN_STOP with reference status semantics
+    (dlrm_s_pytorch.py:1036-1040, 1487-1507, 1520-1533, 1752-1781)."""
+    import json
+
+    # auc threshold far above reach -> the run ends ABORTED, the reference's
+    # status for never clearing the threshold (with no threshold the
+    # reference emits no RUN_STOP at all when auc > 0 — mirrored here)
+    rc, out = _run_cli(
+        ["--mini-batch-size=2", "--data-size=8", "--mlperf-logging",
+         "--test-freq=2", "--learning-rate=0.05",
+         "--mlperf-auc-threshold=0.999"]
+    )
+    assert rc == 0
+    events = [
+        json.loads(line.split(":::MLLOG ", 1)[1])
+        for line in out.splitlines()
+        if line.startswith(":::MLLOG")
+    ]
+    keys = [e["key"] for e in events]
+    expected_prefix = [
+        "cache_clear", "init_start", "init_stop", "run_start",
+        "submission_benchmark", "submission_division", "submission_org",
+        "submission_platform", "submission_status", "seed",
+        "global_batch_size", "opt_base_learning_rate",
+        "opt_learning_rate_warmup_steps", "sgd_opt_base_learning_rate",
+        "lr_decay_start_steps", "sgd_opt_learning_rate_decay_steps",
+        "sgd_opt_learning_rate_decay_poly_power", "block_start",
+        "epoch_start", "eval_start",
+    ]
+    assert keys[: len(expected_prefix)] == expected_prefix, keys
+    assert keys.count("eval_start") == keys.count("eval_stop") >= 2
+    assert "eval_accuracy" in keys
+    # epoch/block closed, run stopped with reference status semantics
+    tail = keys[-3:]
+    assert tail == ["epoch_stop", "block_stop", "run_stop"], keys
+    run_stop = events[-1]
+    assert run_stop["metadata"]["status"] == "aborted"
+    # values carried through
+    by_key = {e["key"]: e for e in events}
+    assert by_key["global_batch_size"]["value"] == 2
+    assert by_key["opt_base_learning_rate"]["value"] == 0.05
+    assert by_key["seed"]["value"] == 123

@@ -265,6 +265,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
 
     model_cfg, train_cfg = configs_from_args(args)
+    train_data = test_data = None
+    if train_cfg.data_generation == "dataset":
+        from dlrm_tpu.data.criteo import make_criteo_datasets
+
+        train_data, test_data = make_criteo_datasets(
+            model_cfg, train_cfg, args
+        )
+        # dataset runs take table sizes from the data counts and the bottom
+        # MLP input width from the dense feature count, not the flags
+        # (dlrm_s_pytorch.py:1123-1124, 1139-1151; counts are post-hash so
+        # already clamped by --max-ind-range)
+        from dlrm_tpu.data.criteo import NUM_DENSE
+
+        model_cfg = model_cfg.replace(
+            table_sizes=tuple(int(c) for c in train_data.counts),
+            mlp_bot=(NUM_DENSE,) + tuple(model_cfg.mlp_bot[1:]),
+        )
     model = DLRMModel(model_cfg)
 
     if args.debug_mode:
@@ -304,10 +321,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             trace_file=args.data_trace_file,
             enable_padding=args.data_trace_enable_padding,
         )
-    else:
-        from dlrm_tpu.data.criteo import make_criteo_datasets
-
-        train_data, test_data = make_criteo_datasets(model_cfg, train_cfg, args)
+    # dataset loaders were already built above (table sizes come from them)
 
     if args.num_workers > 0:
         # torch DataLoader(num_workers) analog: background-thread host batch

@@ -340,24 +340,77 @@ class CriteoBinFile:
 def make_criteo_datasets(model_cfg, train_cfg, args):
     """CLI glue: build train/test loaders from --processed-data-file /
     --raw-data-file flags (make_criteo_data_and_loaders equivalent,
-    dlrm_data_pytorch.py:414-567)."""
+    dlrm_data_pytorch.py:414-567). --memory-map selects the out-of-core
+    preprocessing + memmap day-file dataset (dlrm_data_pytorch.py:50-321);
+    --dataset-multiprocessing parses days in parallel worker processes
+    (data_utils.py:1104-1143)."""
     out_dir = os.path.dirname(args.processed_data_file) or "."
     counts_file = os.path.join(out_dir, "day_fea_count.npz")
     train_bin = os.path.join(out_dir, "train_data.bin")
     test_bin = os.path.join(out_dir, "test_data.bin")
-    if not os.path.exists(train_bin):
+    memory_map = getattr(args, "memory_map", False)
+    n_workers = (
+        max(2, os.cpu_count() or 2)
+        if getattr(args, "dataset_multiprocessing", False)
+        else 1
+    )
+
+    def _raw_files():
         if not args.raw_data_file:
             raise FileNotFoundError(
-                f"{train_bin} not found and no --raw-data-file given"
+                f"processed data not found in {out_dir} and no "
+                "--raw-data-file given"
             )
         days = 7 if args.data_set == "kaggle" else 24
         if args.data_set == "kaggle":
-            raw = split_kaggle_train(args.raw_data_file, out_dir, days)
+            return split_kaggle_train(args.raw_data_file, out_dir, days)
+        return [f"{args.raw_data_file}_{d}" for d in range(days)]
+
+    if memory_map or n_workers > 1:
+        from dlrm_tpu.data import criteo_stream
+
+        day0 = os.path.join(out_dir, "day_0_processed.y.npy")
+        if not os.path.exists(day0):
+            sart = criteo_stream.preprocess_raw_streaming(
+                _raw_files(), out_dir, args.max_ind_range,
+                args.data_sub_sample_rate, args.data_randomize,
+                args.numpy_rand_seed, num_workers=n_workers,
+            )
         else:
-            raw = [f"{args.raw_data_file}_{d}" for d in range(days)]
+            days = 7 if args.data_set == "kaggle" else 24
+            with np.load(counts_file) as z:
+                counts = z["counts"]
+            sart = criteo_stream.CriteoStreamArtifacts(
+                day_prefixes=[
+                    os.path.join(out_dir, f"day_{d}_processed")
+                    for d in range(days)
+                ],
+                counts_file=counts_file,
+                counts=counts,
+            )
+        if memory_map:
+            train = criteo_stream.CriteoDayDataset(
+                sart.day_prefixes, counts_file,
+                train_cfg.mini_batch_size, "train", args.max_ind_range,
+            )
+            test = criteo_stream.CriteoDayDataset(
+                sart.day_prefixes, counts_file,
+                train_cfg.eval_batch_size, "test", args.max_ind_range,
+            )
+            return train, test
+        if not os.path.exists(train_bin):
+            criteo_stream.days_to_binary_streaming(
+                sart.day_prefixes[:-1] or sart.day_prefixes, train_bin,
+                "train",
+            )
+            criteo_stream.days_to_binary_streaming(
+                [sart.day_prefixes[-1]], test_bin, "test"
+            )
+    elif not os.path.exists(train_bin):
         art = preprocess_raw(
-            raw, out_dir, args.max_ind_range, args.data_sub_sample_rate,
-            args.data_randomize, args.numpy_rand_seed,
+            _raw_files(), out_dir, args.max_ind_range,
+            args.data_sub_sample_rate, args.data_randomize,
+            args.numpy_rand_seed,
         )
         numpy_to_binary(art.day_files[:-1] or art.day_files, train_bin, "train")
         numpy_to_binary([art.day_files[-1]], test_bin, "test")

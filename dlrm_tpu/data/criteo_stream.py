@@ -46,12 +46,6 @@ def _day_prefix(out_dir: str, i: int) -> str:
     return os.path.join(out_dir, f"day_{i}_processed")
 
 
-def _save_npy(path: str, arr: np.ndarray) -> None:
-    tmp = path + ".tmp"
-    np.save(tmp, arr)
-    os.replace(tmp + ".npy" if not tmp.endswith(".npy") else tmp, path)
-
-
 def _parse_worker(day: int, path: str, out_dir: str, max_ind_range: int,
                   sub_sample_rate: float, seed: int) -> None:
     d = parse_raw_day(path, max_ind_range, sub_sample_rate, seed)
@@ -93,14 +87,17 @@ def preprocess_raw_streaming(
     os.makedirs(out_dir, exist_ok=True)
     days = len(raw_files)
 
-    # ---- phase 1: parse days in worker processes (data_utils.py:1104-1143)
+    # ---- phase 1: parse days in worker processes (data_utils.py:1104-1143).
+    # spawn, not fork: the parent usually has JAX/XLA threads running and
+    # forking them deadlocks.
+    ctx = mp.get_context("spawn")
     num_workers = max(1, int(num_workers))
     pending = list(enumerate(raw_files))
     running: List[mp.Process] = []
     while pending or running:
         while pending and len(running) < num_workers:
             i, p = pending.pop(0)
-            proc = mp.Process(
+            proc = ctx.Process(
                 target=_parse_worker,
                 args=(i, p, out_dir, max_ind_range, sub_sample_rate,
                       seed + i),

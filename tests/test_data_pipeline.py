@@ -260,3 +260,111 @@ def test_pipelined_trainer_steps_lr_policy():
     for _ in range(4):
         tr.progress(it)
     assert lrs == sorted(lrs) and lrs[0] < lrs[-1], lrs  # warmup advanced
+
+
+# -------------------------------------------------- out-of-core preprocessing
+
+
+@pytest.mark.parametrize("randomize", ["total", "day"])
+def test_streaming_preprocess_bit_equal_to_in_ram(raw_days, tmp_path,
+                                                  randomize):
+    """VERDICT r1 item 4: the out-of-core pipeline (chunked memmaps,
+    chunk_rows far below a day) must produce BIT-EQUAL arrays to the
+    in-RAM preprocess_raw on the same inputs."""
+    from dlrm_tpu.data import criteo_stream
+
+    ram_out = str(tmp_path / "ram")
+    st_out = str(tmp_path / "st")
+    art = criteo.preprocess_raw(
+        raw_days, ram_out, max_ind_range=1000, sub_sample_rate=0.2,
+        randomize=randomize, seed=123,
+    )
+    sart = criteo_stream.preprocess_raw_streaming(
+        raw_days, st_out, max_ind_range=1000, sub_sample_rate=0.2,
+        randomize=randomize, seed=123, chunk_rows=7,  # << one day
+    )
+    np.testing.assert_array_equal(art.counts, sart.counts)
+    for i, (npz, pre) in enumerate(zip(art.day_files, sart.day_prefixes)):
+        with np.load(npz) as z:
+            np.testing.assert_array_equal(
+                z["y"], np.load(pre + ".y.npy"), err_msg=f"day {i} y"
+            )
+            np.testing.assert_array_equal(
+                z["X_int"], np.load(pre + ".X_int.npy"),
+                err_msg=f"day {i} X_int",
+            )
+            np.testing.assert_array_equal(
+                z["X_cat"], np.load(pre + ".X_cat.npy"),
+                err_msg=f"day {i} X_cat",
+            )
+
+
+def test_streaming_bin_and_day_dataset(raw_days, tmp_path):
+    """Chunked bin writer is byte-identical to numpy_to_binary; the memmap
+    day-switching dataset (--memory-map) yields batches equal to the bin
+    loader's (the reference's _test_bin lockstep check)."""
+    from dlrm_tpu.data import criteo_stream
+
+    ram_out = str(tmp_path / "ram")
+    st_out = str(tmp_path / "st")
+    art = criteo.preprocess_raw(raw_days, ram_out, seed=7)
+    sart = criteo_stream.preprocess_raw_streaming(
+        raw_days, st_out, seed=7, chunk_rows=11
+    )
+    for split, files_ram, pres in (
+        ("train", art.day_files[:-1], sart.day_prefixes[:-1]),
+        ("test", [art.day_files[-1]], [sart.day_prefixes[-1]]),
+        ("val", [art.day_files[-1]], [sart.day_prefixes[-1]]),
+    ):
+        b_ram = str(tmp_path / f"{split}_ram.bin")
+        b_st = str(tmp_path / f"{split}_st.bin")
+        criteo.numpy_to_binary(files_ram, b_ram, split)
+        criteo_stream.days_to_binary_streaming(pres, b_st, split,
+                                               chunk_rows=5)
+        assert open(b_ram, "rb").read() == open(b_st, "rb").read(), split
+
+    # lockstep: day dataset vs bin loader (train, crossing day boundaries)
+    train_bin = str(tmp_path / "train_ram.bin")
+    bf = criteo.CriteoBinFile(train_bin, art.counts_file, batch_size=16)
+    dd = criteo_stream.CriteoDayDataset(
+        sart.day_prefixes, sart.counts_file, batch_size=16, split="train"
+    )
+    assert len(bf) == len(dd)
+    for i, (a, b) in enumerate(zip(bf, dd)):
+        np.testing.assert_allclose(a.dense, b.dense, err_msg=f"batch {i}")
+        np.testing.assert_array_equal(a.idx, b.idx, err_msg=f"batch {i}")
+        np.testing.assert_array_equal(a.wt, b.wt, err_msg=f"batch {i}")
+        np.testing.assert_array_equal(a.labels, b.labels,
+                                      err_msg=f"batch {i}")
+    # test/val splits line up too
+    for split in ("test", "val"):
+        sb = criteo.CriteoBinFile(
+            str(tmp_path / f"{split}_ram.bin"), art.counts_file,
+            batch_size=8,
+        )
+        sd = criteo_stream.CriteoDayDataset(
+            sart.day_prefixes, sart.counts_file, batch_size=8, split=split
+        )
+        assert len(sb) == len(sd)
+        for a, b in zip(sb, sd):
+            np.testing.assert_array_equal(a.idx, b.idx)
+            np.testing.assert_array_equal(a.labels, b.labels)
+
+
+def test_streaming_preprocess_parallel_workers(raw_days, tmp_path):
+    """--dataset-multiprocessing equivalent: 2 worker processes produce the
+    same artifacts as 1."""
+    from dlrm_tpu.data import criteo_stream
+
+    a = criteo_stream.preprocess_raw_streaming(
+        raw_days, str(tmp_path / "w1"), seed=3, num_workers=1
+    )
+    b = criteo_stream.preprocess_raw_streaming(
+        raw_days, str(tmp_path / "w2"), seed=3, num_workers=2
+    )
+    np.testing.assert_array_equal(a.counts, b.counts)
+    for pa, pb in zip(a.day_prefixes, b.day_prefixes):
+        for suf in (".y.npy", ".X_int.npy", ".X_cat.npy"):
+            np.testing.assert_array_equal(
+                np.load(pa + suf), np.load(pb + suf), err_msg=suf
+            )

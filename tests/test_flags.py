@@ -173,3 +173,31 @@ def test_mlperf_event_sequence():
     assert by_key["global_batch_size"]["value"] == 2
     assert by_key["opt_base_learning_rate"]["value"] == 0.05
     assert by_key["seed"]["value"] == 123
+
+
+def test_memory_map_and_dataset_multiprocessing(tmp_path):
+    """--memory-map trains from the memmap day-file dataset;
+    --dataset-multiprocessing preprocesses with worker processes. Losses
+    must match the bin-file path on the same raw data."""
+    from tests.test_data_pipeline import _write_raw_day
+
+    rng = np.random.default_rng(0)
+    raw = str(tmp_path / "train.txt")
+    _write_raw_day(raw, 60, rng)
+
+    def run(out_sub, extra):
+        out = tmp_path / out_sub
+        out.mkdir()
+        return _run_cli(
+            ["--data-generation=dataset", "--data-set=kaggle",
+             f"--raw-data-file={raw}",
+             f"--processed-data-file={out}/proc",
+             "--mini-batch-size=4", "--nepochs=1"] + extra
+        )
+
+    rc_bin, out_bin = run("bin", [])
+    rc_mm, out_mm = run("mm", ["--memory-map", "--dataset-multiprocessing"])
+    assert rc_bin == rc_mm == 0
+    losses = lambda s: re.findall(r"loss (\d+\.\d+)", s)  # noqa: E731
+    assert losses(out_bin), out_bin
+    assert losses(out_bin) == losses(out_mm)

@@ -1,0 +1,105 @@
+"""Worker for the true 2-process distributed test (launched by
+tests/test_multiprocess.py). Mirrors the reference's multi-process
+integration test, which runs its real main() under 2-process
+elastic_launch (torchrec_dlrm/tests/test_dlrm_main.py:44-57): real
+jax.distributed init, rank-strided host loading, one hybrid-parallel
+butterfly train step, loss printed for the parent to cross-check."""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    from dlrm_tpu.parallel.multihost import (
+        barrier,
+        global_batch_from_local_shard,
+        init_multihost,
+        process_local_rank_stride,
+    )
+
+    rank = init_multihost(f"localhost:{port}", nproc, pid)
+    assert rank == pid and jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    from jax.sharding import PartitionSpec as P
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.batch import Batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.optim.optimizers import init_opt_state
+    from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+    from dlrm_tpu.parallel.mesh import make_mesh
+
+    cfg = DLRMConfig(
+        embedding_dim=4,
+        table_sizes=(60, 9, 300, 17, 45),
+        mlp_bot=(13, 8, 4),
+        mlp_top=(8, 4, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=6,
+    )
+    model = DLRMModel(cfg)
+    # data axis spans the two processes (device order: proc0's devices
+    # first), model axis stays within-process
+    mesh = make_mesh(data=nproc, model=2)
+    bf = ButterflyDLRM(model, mesh)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    params = bf.shard_params(params0)
+    opt_state = init_opt_state("sgd", params)
+    step = bf.make_train_step("sgd", 16, params, opt_state)
+
+    # rank-strided host loading: every process GENERATES only its local
+    # slice of the global batch (the v2 pattern, multi_hot_criteo.py:262)
+    b_global, h = 16, cfg.num_indices_per_lookup
+    rng = np.random.default_rng(7)  # same stream everywhere, sliced locally
+    dense = rng.normal(size=(b_global, cfg.num_dense)).astype(np.float32)
+    idx = np.stack(
+        [rng.integers(0, n, (b_global, h)) for n in cfg.table_sizes]
+    ).astype(np.int32)
+    wt = np.ones((cfg.num_tables, b_global, h), np.float32)
+    labels = rng.integers(0, 2, (b_global, 1)).astype(np.float32)
+    lo = rank * (b_global // nproc)
+    hi = lo + b_global // nproc
+    idx_p, wt_p = bf._pad_reorder_sparse(
+        idx, wt, cfg.num_tables, b_global, h
+    )
+    local = Batch(
+        dense=dense[lo:hi],
+        idx=idx_p[:, lo:hi],
+        wt=wt_p[:, lo:hi],
+        labels=labels[lo:hi],
+    )
+    batch = global_batch_from_local_shard(
+        mesh, local,
+        (P(("data", "model")), P("model", "data"), P("model", "data"),
+         P(("data", "model"))),
+    )
+    # sanity: strided assignment helper covers all batches across ranks
+    assert list(process_local_rank_stride(4)) == list(range(pid, 4, nproc))
+
+    barrier("pre-step")
+    params, opt_state, loss, _ = step(params, opt_state, batch, 0.05)
+    loss = float(loss)
+    assert np.isfinite(loss)
+    barrier("post-step")
+    print(f"MPLOSS rank={rank} loss={loss:.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

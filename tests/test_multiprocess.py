@@ -1,0 +1,99 @@
+"""True multi-process distributed test (VERDICT r1 item 5).
+
+The reference tests its REAL main() under 2-process elastic_launch with
+rendezvous (torchrec_dlrm/tests/test_dlrm_main.py:44-57). Equivalent here:
+two OS processes, real jax.distributed.initialize rendezvous over a local
+port, 2 virtual CPU devices each (global mesh 2 data x 2 model), rank-
+strided host loading assembled via host_local_array_to_global_array, and
+one hybrid-parallel butterfly train step. Both ranks must report the SAME
+finite loss, and it must match a single-process run of the same global
+batch."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_butterfly_step():
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker_butterfly.py"),
+             str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+    losses = []
+    for out in outs:
+        m = re.search(r"MPLOSS rank=\d loss=([\d.]+)", out)
+        assert m, out
+        losses.append(float(m.group(1)))
+    assert losses[0] == losses[1], losses  # replicated loss identical
+
+    # single-process oracle on the same global batch
+    import jax
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.batch import Batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.optim.optimizers import init_opt_state
+    from dlrm_tpu.train.step import make_train_step
+
+    cfg = DLRMConfig(
+        embedding_dim=4,
+        table_sizes=(60, 9, 300, 17, 45),
+        mlp_bot=(13, 8, 4),
+        mlp_top=(8, 4, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=6,
+    )
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    b_global, h = 16, cfg.num_indices_per_lookup
+    rng = np.random.default_rng(7)
+    dense = rng.normal(size=(b_global, cfg.num_dense)).astype(np.float32)
+    idx = np.stack(
+        [rng.integers(0, n, (b_global, h)) for n in cfg.table_sizes]
+    ).astype(np.int32)
+    wt = np.ones((cfg.num_tables, b_global, h), np.float32)
+    labels = rng.integers(0, 2, (b_global, 1)).astype(np.float32)
+    step = make_train_step(model, "sgd")
+    _, _, loss, _ = step(
+        params, init_opt_state("sgd", params),
+        Batch(dense=jax.numpy.asarray(dense), idx=jax.numpy.asarray(idx),
+              wt=jax.numpy.asarray(wt), labels=jax.numpy.asarray(labels)),
+        0.05,
+    )
+    np.testing.assert_allclose(losses[0], float(loss), rtol=2e-5)

@@ -255,11 +255,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                 mini_batch_size=args.batch_size,
                 num_batches=limit if limit is not None else 10,
                 numpy_rand_seed=args.seed + {"train": 0, "val": 1, "test": 2}[stage],
-                num_indices_per_lookup_fixed=hot_sizes is None,
+                num_indices_per_lookup_fixed=True,
                 round_targets=True,
             )
-            loader = RandomDataset(model_cfg, tc, pad_last_batch=True)
-        if hot_sizes and args.in_memory_binary_criteo_path:
+            # with --multi_hot_sizes the base loader generates ONE-hot
+            # batches which the Multihot synthesizer expands below — the
+            # reference wraps WHATEVER loader is active (dlrm_main.py:
+            # 697-710), not just the bin path; a variable-bag random
+            # stream would have a different distribution entirely
+            base_cfg = (
+                model_cfg.replace(num_indices_per_lookup=1)
+                if hot_sizes
+                else model_cfg
+            )
+            loader = RandomDataset(base_cfg, tc, pad_last_batch=True)
+        if hot_sizes:  # any non-materialized loader (materialized
+            # datasets returned above — they already carry multi-hot)
             mh = Multihot(
                 hot_sizes, table_sizes, args.batch_size,
                 collect_freqs_stats=args.collect_multi_hot_freqs_stats,

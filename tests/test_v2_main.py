@@ -141,3 +141,24 @@ def test_main_on_materialized_multihot(multihot_dir):
         ]
     )
     assert rc == 0
+
+
+def test_main_random_data_multi_hot_conversion():
+    """--multi_hot_sizes with RANDOM data must route through the Multihot
+    synthesizer like any other loader (dlrm_main.py:697-710) — previously
+    it silently produced variable-bag data with a different distribution."""
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "4",
+            "--limit_val_batches", "2",
+            "--limit_test_batches", "2",
+            "--batch_size", "16",
+            "--embedding_dim", "8",
+            "--num_embeddings_per_feature", "64,32,48",
+            "--dense_arch_layer_sizes", "16,8",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--multi_hot_sizes", "3,1,5",
+            "--adagrad",
+        ]
+    )
+    assert rc == 0

@@ -204,35 +204,110 @@ def analyze_model_data(
         "final": np.concatenate(finals)[:max_points],
     }
     y = np.concatenate(labels)[:max_points]
+    # predictions / correctness masks drive the reference's full plot
+    # family (visualize_umap_data, reference :613-765: all-classes,
+    # all-predictions, per-class, correct, errors, per-prediction)
+    logit1 = X["final"][:, 0] if X["final"].ndim == 2 else X["final"]
+    prob = 1.0 / (1.0 + np.exp(-logit1))
+    pred = (prob >= 0.5).astype(np.float32)
+    correct = pred == y
     outputs = []
+    proj2 = {}
     for stage, feats in X.items():
         if feats.ndim == 2 and feats.shape[1] < 2:
             # final logits are 1-D: pair with the label axis trivially
             feats = np.concatenate([feats, np.zeros_like(feats)], axis=1)
         z2 = _projector(method, seed=seed,
                         n_samples=feats.shape[0]).fit_transform(feats)
-        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
-        axes[0].scatter(z2[:, 0], z2[:, 1], s=3, c=y, cmap="coolwarm", alpha=0.6)
-        axes[0].set_title(f"{stage}: by label")
-        for cls, ax in ((0, axes[1]), (1, axes[2])):
-            m = y == cls
-            ax.scatter(z2[m, 0], z2[m, 1], s=3, alpha=0.6)
-            ax.set_title(f"{stage}: class {cls}")
+        proj2[stage] = z2
+        panels = [
+            ("by label", None, y, "coolwarm"),
+            ("by prediction", None, pred, "coolwarm"),
+            ("class 0", y == 0, None, None),
+            ("class 1", y == 1, None, None),
+            ("correct", correct, None, None),
+            ("errors", ~correct, None, None),
+            ("predict 0", pred == 0, None, None),
+            ("predict 1", pred == 1, None, None),
+        ]
+        fig, axes = plt.subplots(2, 4, figsize=(20, 10))
+        for (title, mask, color, cmap), ax in zip(panels, axes.ravel()):
+            if mask is None:
+                ax.scatter(z2[:, 0], z2[:, 1], s=3, c=color, cmap=cmap,
+                           alpha=0.6)
+            else:
+                ax.scatter(z2[~mask, 0], z2[~mask, 1], s=1,
+                           c=[(0.8, 0.8, 0.8)], alpha=0.3)
+                ax.scatter(z2[mask, 0], z2[mask, 1], s=3, alpha=0.6)
+                title = f"{title} ({int(mask.sum())})"
+            ax.set_title(f"{stage}: {title}", fontsize=9)
         path = os.path.join(output_dir, f"repr_{stage}.png")
         fig.savefig(path, dpi=110)
         plt.close(fig)
         outputs.append(path)
-    # cluster analysis on the interaction representation
+
+    # ---- cluster analysis on the interaction representation (reference
+    # hdbscan_clustering :765-843 + the per-cluster deep dives :843-1014)
     cl = _clusterer().fit_predict(X["interaction"])
-    ctr = []
+    z2 = proj2["interaction"]
+    inlier = cl >= 0
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(12, 5))
+    ax0.scatter(z2[~inlier, 0], z2[~inlier, 1], s=1, c=[(0.5, 0.5, 0.5)],
+                alpha=0.5)
+    ax0.set_title(f"outliers ({int((~inlier).sum())})")
+    ax1.scatter(z2[inlier, 0], z2[inlier, 1], s=2, c=cl[inlier],
+                cmap="Spectral")
+    ax1.set_title(f"inliers ({int(inlier.sum())})")
+    cpath = os.path.join(output_dir, "clusters.png")
+    fig.savefig(cpath, dpi=110)
+    plt.close(fig)
+    outputs.append(cpath)
+
+    # per-cluster per-class statistics: size, click rate, predicted click
+    # rate, accuracy, majority class + purity
+    rows = []
     for c in np.unique(cl):
         m = cl == c
-        ctr.append((int(c), int(m.sum()), float(y[m].mean())))
+        maj = 1 if y[m].mean() >= 0.5 else 0
+        rows.append((
+            int(c), int(m.sum()), float(y[m].mean()),
+            float(pred[m].mean()), float(correct[m].mean()),
+            maj, float((y[m] == maj).mean()),
+        ))
     with open(os.path.join(output_dir, "clusters.txt"), "w") as f:
-        f.write("cluster\tsize\tclick_rate\n")
-        for c, s, r in ctr:
-            f.write(f"{c}\t{s}\t{r:.4f}\n")
+        f.write(
+            "cluster\tsize\tclick_rate\tpred_click_rate\taccuracy\t"
+            "majority_class\tpurity\n"
+        )
+        for r in rows:
+            f.write(
+                f"{r[0]}\t{r[1]}\t{r[2]:.4f}\t{r[3]:.4f}\t{r[4]:.4f}\t"
+                f"{r[5]}\t{r[6]:.4f}\n"
+            )
+        f.write(
+            f"TOTAL\t{len(y)}\t{y.mean():.4f}\t{pred.mean():.4f}\t"
+            f"{correct.mean():.4f}\t-\t-\n"
+        )
     outputs.append(os.path.join(output_dir, "clusters.txt"))
+
+    # deep dive into the largest clusters: members by label and by
+    # correctness (the per-cluster analysis plots, reference :843-1014)
+    real = [r for r in rows if r[0] >= 0] or rows
+    top = sorted(real, key=lambda r: -r[1])[:4]
+    for c, size, *_ in top:
+        m = cl == c
+        fig, (a0, a1) = plt.subplots(1, 2, figsize=(12, 5))
+        for ax, col, ttl in ((a0, y[m], "by label"),
+                             (a1, correct[m].astype(float), "by correctness")):
+            ax.scatter(z2[~m, 0], z2[~m, 1], s=1, c=[(0.85, 0.85, 0.85)],
+                       alpha=0.3)
+            ax.scatter(z2[m, 0], z2[m, 1], s=4, c=col, cmap="coolwarm",
+                       alpha=0.8)
+            ax.set_title(f"cluster {c} (n={size}): {ttl}", fontsize=9)
+        path = os.path.join(output_dir, f"cluster_{c}.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        outputs.append(path)
     return outputs
 
 

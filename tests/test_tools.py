@@ -70,3 +70,31 @@ def test_visualize_cli_end_to_end(tmp_path):
     assert "categorical_counts.png" in files
     assert "clusters.txt" in files
     assert any(f.startswith("repr_") for f in files)
+
+
+def test_visualize_deep_analysis_artifacts(tmp_path):
+    """Round-2 depth (reference visualize.py:451-1014): per-stage 8-panel
+    plot families (label/prediction/per-class/correct/errors), cluster
+    inlier-outlier plot, per-cluster stats incl. purity, and per-cluster
+    deep-dive plots for the largest clusters."""
+    from dlrm_tpu.tools import visualize as viz
+
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(2))
+    tc = TrainConfig(mini_batch_size=64, num_batches=2, numpy_rand_seed=5,
+                     round_targets=True)
+    batches = list(RandomDataset(CFG, tc))
+    out = str(tmp_path / "deep")
+    files = viz.analyze_model_data(model, params, batches, out,
+                                   method="pca", max_points=128)
+    names = [os.path.basename(f) for f in files]
+    for stage in ("input", "interaction", "final"):
+        assert f"repr_{stage}.png" in names
+    assert "clusters.png" in names
+    assert "clusters.txt" in names
+    assert any(n.startswith("cluster_") for n in names)
+    txt = open(os.path.join(out, "clusters.txt")).read()
+    header = txt.splitlines()[0].split("\t")
+    assert header == ["cluster", "size", "click_rate", "pred_click_rate",
+                      "accuracy", "majority_class", "purity"]
+    assert txt.splitlines()[-1].startswith("TOTAL")

@@ -392,3 +392,74 @@ class CriteoDayDataset:
     def __iter__(self) -> Iterator[HostBatch]:
         for b in range(len(self)):
             yield self[b]
+
+
+def main(argv=None) -> int:
+    """Standalone preprocessing CLI (the cython_criteo.py driver +
+    process_Criteo_1TB_Click_Logs_dataset.sh role): raw tsv days ->
+    processed memmap day files (+ optional packed bins)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Out-of-core Criteo preprocessing (tsv days -> memmap "
+        "day files -> optional train/val/test bins)"
+    )
+    p.add_argument("--input-dir", required=True,
+                   help="directory holding day_0..day_{N-1} raw tsv files")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--days", type=int, default=24)
+    p.add_argument("--max-ind-range", type=int, default=-1)
+    p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
+    p.add_argument("--data-randomize", type=str, default="total",
+                   choices=["total", "day", "none"])
+    p.add_argument("--numpy-rand-seed", type=int, default=123)
+    p.add_argument("--dataset-multiprocessing", action="store_true",
+                   help="parse days in parallel worker processes")
+    p.add_argument("--chunk-rows", type=int, default=1_000_000)
+    p.add_argument("--make-bins", action="store_true",
+                   help="also write train/val/test .bin files")
+    args = p.parse_args(argv)
+
+    raw = [
+        os.path.join(args.input_dir, f"day_{d}") for d in range(args.days)
+    ]
+    for f in raw:
+        if not os.path.exists(f):
+            raise SystemExit(f"missing raw day file {f}")
+    workers = (
+        max(2, os.cpu_count() or 2)
+        if args.dataset_multiprocessing
+        else 1
+    )
+    art = preprocess_raw_streaming(
+        raw, args.output_dir, args.max_ind_range,
+        args.data_sub_sample_rate, args.data_randomize,
+        args.numpy_rand_seed, num_workers=workers,
+        chunk_rows=args.chunk_rows,
+    )
+    print(f"processed {args.days} days -> {args.output_dir}; table counts: "
+          f"{art.counts.tolist()}")
+    if args.make_bins:
+        days_to_binary_streaming(
+            art.day_prefixes[:-1] or art.day_prefixes,
+            os.path.join(args.output_dir, "train_data.bin"), "train",
+            chunk_rows=args.chunk_rows,
+        )
+        days_to_binary_streaming(
+            [art.day_prefixes[-1]],
+            os.path.join(args.output_dir, "test_data.bin"), "test",
+            chunk_rows=args.chunk_rows,
+        )
+        days_to_binary_streaming(
+            [art.day_prefixes[-1]],
+            os.path.join(args.output_dir, "val_data.bin"), "val",
+            chunk_rows=args.chunk_rows,
+        )
+        print("wrote train/test/val bins")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

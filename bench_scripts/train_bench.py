@@ -54,24 +54,27 @@ def cfg_for(batch_size):
 
 
 def time_many(raw_step, params, opt_state, batch, label, bs):
-    def one(carry, _):
-        p, s = carry
-        p, s, loss, _ = raw_step(p, s, batch, 0.01)
-        return (p, s), loss
-
+    # batch rides as a jit ARG: closing over it bakes the whole staged
+    # batch into the HLO as literals and blows the remote compile
+    # service's payload limit at large bs (HTTP 413)
     @jax.jit
-    def many(p, s):
+    def many(p, s, b):
+        def one(carry, _):
+            p, s = carry
+            p, s, loss, _ = raw_step(p, s, b, 0.01)
+            return (p, s), loss
+
         (p, s), losses = jax.lax.scan(one, (p, s), None, length=ITERS)
         return losses  # [ITERS] scalars only
 
     t0 = time.perf_counter()
-    losses = np.asarray(many(params, opt_state))
+    losses = np.asarray(many(params, opt_state, batch))
     print(f"[{time.strftime('%H:%M:%S')}] {label}: compile+first "
           f"{time.perf_counter() - t0:.1f}s loss[-1]={losses[-1]:.4f}",
           flush=True)
     assert np.isfinite(losses).all(), losses
     t0 = time.perf_counter()
-    np.asarray(many(params, opt_state))
+    np.asarray(many(params, opt_state, batch))
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{label:46s} {dt*1e3:9.2f} ms/step  "
           f"{bs/dt:10.0f} examples/s", flush=True)

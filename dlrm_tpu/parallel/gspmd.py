@@ -23,22 +23,17 @@ from dlrm_tpu.models.dlrm import DLRMModel
 from dlrm_tpu.train.step import make_eval_step, make_train_step
 
 
-def _param_sharding(mesh: Mesh):
-    msize = mesh.shape["model"]
+def _is_row_shardable(path, leaf) -> bool:
+    from dlrm_tpu.optim.optimizers import path_keys
 
-    def spec(path, leaf):
-        from dlrm_tpu.optim.optimizers import path_keys
-
-        keys = path_keys(path)
-        if (
-            ("emb" in keys or "v_w" in keys)
-            and getattr(leaf, "ndim", 0) >= 1
-            and leaf.shape[0] % msize == 0  # small/odd tables stay replicated
-        ):
-            return NamedSharding(mesh, P("model"))
-        return NamedSharding(mesh, P())
-
-    return spec
+    keys = path_keys(path)
+    if getattr(leaf, "ndim", 0) < 1:
+        return False
+    if "v_w" in keys:
+        return True
+    # only leaves indexed BY ROW shard (tables + their accumulators);
+    # MD projection matrices etc. are dense weights and replicate
+    return "emb" in keys and keys and keys[-1] in ("stacked", "w", "q", "r")
 
 
 class GspmdDLRM:
@@ -46,16 +41,46 @@ class GspmdDLRM:
         self.model = model
         self.mesh = mesh
 
-    def shard_params(self, params):
-        spec = _param_sharding(self.mesh)
+    def _put_row_sharded(self, leaf):
+        """Row-shard over 'model', padding trailing rows to a multiple of
+        msize when needed (JAX shardings require divisibility; tail pad
+        rows are index-unreachable so lookups/updates never touch them)."""
+        import jax.numpy as jnp
+
+        msize = self.mesh.shape["model"]
+        n = leaf.shape[0]
+        pad = (-n) % msize
+        if pad:
+            leaf = jnp.concatenate(
+                [jnp.asarray(leaf),
+                 jnp.zeros((pad,) + leaf.shape[1:], leaf.dtype)]
+            )
+        return jax.device_put(leaf, NamedSharding(self.mesh, P("model")))
+
+    def _shard_tree(self, tree):
+        rep = NamedSharding(self.mesh, P())
         return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: jax.device_put(leaf, spec(path, leaf)), params
+            lambda path, leaf: (
+                self._put_row_sharded(leaf)
+                if _is_row_shardable(path, leaf)
+                else jax.device_put(leaf, rep)
+            ),
+            tree,
         )
 
+    def shard_params(self, params):
+        return self._shard_tree(params)
+
     def shard_opt_state(self, opt_state):
-        spec = _param_sharding(self.mesh)
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: jax.device_put(leaf, spec(path, leaf)), opt_state
+        return self._shard_tree(opt_state)
+
+    def unshard_params(self, params, template):
+        """Back to host arrays with the template's (unpadded) shapes."""
+        return jax.tree_util.tree_map(
+            lambda leaf, t: np.asarray(jax.device_get(leaf))[
+                tuple(slice(0, s) for s in np.shape(t))
+            ],
+            params, template,
         )
 
     def shard_batch(self, batch: Batch) -> Batch:

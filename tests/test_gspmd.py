@@ -61,13 +61,25 @@ def test_gspmd_matches_single_device(variant):
         p2, s2, l2, _ = step2(p2, s2, b, 0.05)
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    # non-divisible row counts are tail-padded to shard (never silently
+    # replicated); compare against the unpadded reference shapes
+    from jax.sharding import PartitionSpec as P
+
     for (k, a), (_, b) in zip(
         jax.tree_util.tree_flatten_with_path(p1)[0],
         jax.tree_util.tree_flatten_with_path(p2)[0],
     ):
+        bv = np.asarray(jax.device_get(b))
+        bv = bv[tuple(slice(0, s) for s in np.shape(a))]
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(k)
+            np.asarray(a), bv, atol=2e-5, err_msg=str(k)
         )
+    from dlrm_tpu.parallel.gspmd import _is_row_shardable
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(p2)[0]:
+        if _is_row_shardable(path, leaf):
+            assert leaf.sharding.spec == P("model"), (path, leaf.shape)
+            assert leaf.shape[0] % 4 == 0
 
 
 def test_multihost_helpers_single_process():

@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inference-only", action="store_true", default=False)
     p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
     p.add_argument("--quantize-emb-with-bit", type=int, default=32)
+    # portable serialized-model export: the reference's --save-onnx writes
+    # dlrm_s_pytorch.onnx (dlrm_s_pytorch.py:987, 1828+); the TPU-native
+    # interchange format is a serialized StableHLO module (jax.export)
+    p.add_argument("--save-onnx", action="store_true", default=False)
     # device / distributed
     p.add_argument("--use-gpu", action="store_true", default=False)  # ignored
     p.add_argument("--use-tpu", action="store_true", default=True)
@@ -329,6 +333,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         from dlrm_tpu.train.pipeline import HostPrefetcher
 
         train_data = HostPrefetcher(train_data, depth=2 * args.num_workers)
+    test_workers = (
+        args.test_num_workers if args.test_num_workers >= 0 else args.num_workers
+    )
+    if test_workers > 0 and test_data is not None:
+        from dlrm_tpu.train.pipeline import HostPrefetcher
+
+        test_data = HostPrefetcher(test_data, depth=2 * test_workers)
 
     if args.plot_compute_graph:
         # the TPU analog of --plot-compute-graph (dlrm_s_pytorch.py:1809-1815
@@ -403,6 +414,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.debug_mode:
         print("updated parameters (weights and bias):")
         dump_parameters(state.params, args.print_precision)
+    if args.save_onnx:
+        from dlrm_tpu.tools.export import export_forward
+
+        onnx_path = (
+            args.tensor_board_filename or "dlrm_s_tpu"
+        ) + ".stablehlo"
+        export_forward(
+            model, state.params,
+            batch_size=train_cfg.mini_batch_size, path=onnx_path,
+        )
+        print(f"exported serialized forward to {onnx_path}")
     return 0
 
 

@@ -201,3 +201,21 @@ def test_memory_map_and_dataset_multiprocessing(tmp_path):
     losses = lambda s: re.findall(r"loss (\d+\.\d+)", s)  # noqa: E731
     assert losses(out_bin), out_bin
     assert losses(out_bin) == losses(out_mm)
+
+
+def test_save_onnx_exports_serialized_forward(tmp_path):
+    """--save-onnx writes the trained forward as a serialized StableHLO
+    module (the portable-export role of the reference's ONNX dump) that
+    reloads and evaluates."""
+    prefix = str(tmp_path / "m")
+    rc, out = _run_cli(
+        ["--mini-batch-size=2", "--data-size=4", "--save-onnx",
+         f"--tensor-board-filename={prefix}", "--test-num-workers=1"]
+    )
+    assert rc == 0
+    path = prefix + ".stablehlo"
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+    from dlrm_tpu.tools.export import load_forward
+
+    fn = load_forward(path)
+    assert callable(fn)

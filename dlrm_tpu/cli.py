@@ -81,8 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-size", type=int, default=1)
     p.add_argument("--num-batches", type=int, default=0)
     p.add_argument(
-        "--data-generation", type=str, default="random"
-    )  # random | synthetic | dataset
+        "--data-generation", type=str, default="random",
+        choices=["random", "synthetic", "dataset"],
+    )
     p.add_argument("--rand-data-dist", type=str, default="uniform")
     p.add_argument("--rand-data-min", type=float, default=0)
     p.add_argument("--rand-data-max", type=float, default=1)
@@ -392,7 +393,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         trainer.eval_step = bf.make_eval_step(state.params)
         trainer.to_device = lambda hb: bf.shard_batch(hb.to_device())
-        trainer.train(state)
+        state = trainer.train(state)
+        if args.debug_mode:
+            print("updated parameters (weights and bias):")
+            dump_parameters(bf.unshard_params(state.params), args.print_precision)
+        if args.save_onnx:
+            from dlrm_tpu.tools.export import export_forward
+
+            onnx_path = (
+                args.tensor_board_filename or "dlrm_s_tpu"
+            ) + ".stablehlo"
+            export_forward(
+                model, bf.unshard_params(state.params),
+                batch_size=train_cfg.mini_batch_size, path=onnx_path,
+            )
+            print(f"exported serialized forward to {onnx_path}")
         return 0
 
     from dlrm_tpu.utils.profiling import profile

@@ -366,7 +366,11 @@ def make_criteo_datasets(model_cfg, train_cfg, args):
             return split_kaggle_train(args.raw_data_file, out_dir, days)
         return [f"{args.raw_data_file}_{d}" for d in range(days)]
 
-    if memory_map or n_workers > 1:
+    if (memory_map or n_workers > 1) and (
+        memory_map or not os.path.exists(train_bin)
+    ):
+        # (--dataset-multiprocessing with bins already on disk skips
+        # preprocessing entirely, same as the single-worker path)
         from dlrm_tpu.data import criteo_stream
 
         day0 = os.path.join(out_dir, "day_0_processed.y.npy")

@@ -94,24 +94,35 @@ def preprocess_raw_streaming(
     num_workers = max(1, int(num_workers))
     pending = list(enumerate(raw_files))
     running: List[mp.Process] = []
-    while pending or running:
-        while pending and len(running) < num_workers:
-            i, p = pending.pop(0)
-            proc = ctx.Process(
-                target=_parse_worker,
-                args=(i, p, out_dir, max_ind_range, sub_sample_rate,
-                      seed + i),
-            )
-            proc.start()
-            running.append(proc)
-        running[0].join()
-        for proc in list(running):
-            if not proc.is_alive():
-                if proc.exitcode != 0:
-                    raise RuntimeError(
-                        f"day parser worker failed (exit {proc.exitcode})"
-                    )
-                running.remove(proc)
+    try:
+        while pending or running:
+            while pending and len(running) < num_workers:
+                i, p = pending.pop(0)
+                proc = ctx.Process(
+                    target=_parse_worker,
+                    args=(i, p, out_dir, max_ind_range, sub_sample_rate,
+                          seed + i),
+                )
+                proc.start()
+                running.append(proc)
+            # reap ANY finished worker (a bounded join on the oldest is just
+            # the wakeup; slower days must not serialize the whole pool)
+            if running:
+                running[0].join(timeout=0.2)
+            for proc in list(running):
+                if not proc.is_alive():
+                    if proc.exitcode != 0:
+                        raise RuntimeError(
+                            f"day parser worker failed (exit {proc.exitcode})"
+                        )
+                    running.remove(proc)
+    except BaseException:
+        for proc in running:  # don't orphan multi-GB parsers on failure
+            if proc.is_alive():
+                proc.terminate()
+        for proc in running:
+            proc.join(timeout=5.0)
+        raise
 
     # ---- phase 2: merge per-day uniques -> per-column dictionaries
     sorted_keys: List[np.ndarray] = []

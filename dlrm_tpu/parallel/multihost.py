@@ -63,7 +63,12 @@ def global_batch_from_replicated(mesh: Mesh, batch: Batch, specs) -> Batch:
         # U-layout work replicates (every device sees the full plan; a
         # sharded-stream layout rides StreamButterfly.shard_batch instead)
         stream = type(stream)(*(put(x, P()) for x in stream))
-    return Batch(*main, stream=stream)
+    return Batch(
+        *main, stream=stream,
+        # mixed-plan row-wise tables: indices visible to every model shard
+        idx_rw=put(batch.idx_rw, P(None, "data")),
+        wt_rw=put(batch.wt_rw, P(None, "data")),
+    )
 
 
 def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
@@ -83,7 +88,11 @@ def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
     stream = local.stream
     if stream is not None:
         stream = type(stream)(*(put(np.asarray(x), P()) for x in stream))
-    return Batch(*main, stream=stream)
+    return Batch(
+        *main, stream=stream,
+        idx_rw=put(local.idx_rw, P(None, "data")),
+        wt_rw=put(local.wt_rw, P(None, "data")),
+    )
 
 
 def process_local_rank_stride(num_batches: int) -> range:

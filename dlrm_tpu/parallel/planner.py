@@ -150,6 +150,16 @@ def plan_tables(
                 )
                 is_rw[cand] = True
                 out = _layout(is_rw)
+            if out[5] > int(capacity_rows):
+                import warnings
+
+                warnings.warn(
+                    f"mixed plan cannot meet capacity_rows={capacity_rows}: "
+                    f"best-effort shard_rows={out[5]} even with every "
+                    "eligible table row-wise striped — expect HBM pressure "
+                    "or add shards",
+                    stacklevel=2,
+                )
         rw_slice, rw_off, rw_region, assign, local_off, shard_rows = out
         global_offsets = tuple(
             rw_off[t]

@@ -124,14 +124,17 @@ def save_checkpoint(
             np.savez(f, **arrays)
         os.replace(tmp, os.path.join(path, name))
 
-    _atomic_npz("arrays.npz", replicated)
+    # replicated files get a single writer too (process 0) — on a shared
+    # filesystem every process writing the same tmp path races os.replace
+    if jax.process_index() == 0:
+        _atomic_npz("arrays.npz", replicated)
+        if manifest:
+            with open(os.path.join(path, "sharding.json"), "w") as f:
+                json.dump(manifest, f, indent=1)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta or {}, f, indent=1)
     for rank, arrays in per_shard.items():
         _atomic_npz(f"shard_{rank:05d}.npz", arrays)
-    if manifest:
-        with open(os.path.join(path, "sharding.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta or {}, f, indent=1)
 
 
 def _load_flat(path: str) -> Tuple[Dict[str, Any], Dict[str, int]]:

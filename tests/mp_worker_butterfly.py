@@ -100,6 +100,36 @@ def main() -> None:
     barrier("post-step")
     print(f"MPLOSS rank={rank} loss={loss:.8f}", flush=True)
 
+    # mixed plan across processes: the row-wise striped table's indices
+    # must assemble replicated-over-model through the multihost helper
+    bf2 = ButterflyDLRM(model, mesh, strategy="mixed", rw_threshold=100)
+    assert bf2.num_rw > 0
+    p2 = bf2.shard_params(params0)
+    s2 = init_opt_state("sgd", p2)
+    step2 = bf2.make_train_step("sgd", b_global, p2, s2)
+    idx_p2, wt_p2 = bf2._pad_reorder_sparse(
+        idx, wt, cfg.num_tables, b_global, h
+    )
+    local2 = Batch(
+        dense=dense[lo:hi],
+        idx=idx_p2[:, lo:hi],
+        wt=wt_p2[:, lo:hi],
+        labels=labels[lo:hi],
+        idx_rw=idx[bf2.rw_ids][:, lo:hi],
+        wt_rw=wt[bf2.rw_ids][:, lo:hi],
+    )
+    batch2 = global_batch_from_local_shard(
+        mesh, local2,
+        (P(("data", "model")), P("model", "data"), P("model", "data"),
+         P(("data", "model"))),
+    )
+    barrier("pre-mixed")
+    p2, s2, loss2, _ = step2(p2, s2, batch2, 0.05)
+    loss2 = float(loss2)
+    assert np.isfinite(loss2)
+    barrier("post-mixed")
+    print(f"MPLOSS2 rank={rank} loss={loss2:.8f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -54,12 +54,18 @@ def test_two_process_butterfly_step():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
-    losses = []
+    losses, losses2 = [], []
     for out in outs:
         m = re.search(r"MPLOSS rank=\d loss=([\d.]+)", out)
         assert m, out
         losses.append(float(m.group(1)))
+        m2 = re.search(r"MPLOSS2 rank=\d loss=([\d.]+)", out)
+        assert m2, out
+        losses2.append(float(m2.group(1)))
     assert losses[0] == losses[1], losses  # replicated loss identical
+    # mixed-plan (row-wise striped) step: same exactness guarantee
+    assert losses2[0] == losses2[1], losses2
+    np.testing.assert_allclose(losses2[0], losses[0], rtol=2e-5)
 
     # single-process oracle on the same global batch
     import jax

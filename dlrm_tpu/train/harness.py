@@ -108,12 +108,26 @@ class Trainer:
             # fused sparse in-backward update when the config allows it
             # (O(touched rows) table traffic); plain AD otherwise
             if train_cfg.grad_accum_iter > 1:
-                from dlrm_tpu.train.step import make_grad_accum_train_step
+                if supports_fused(model) and train_cfg.optimizer in (
+                    "sgd", "adagrad", "rwsadagrad",
+                ):
+                    from dlrm_tpu.train.fused_step import (
+                        make_fused_grad_accum_train_step,
+                    )
 
-                train_step = make_grad_accum_train_step(
-                    model, train_cfg.optimizer, train_cfg.grad_accum_iter,
-                    eps=train_cfg.eps,
-                )
+                    train_step = make_fused_grad_accum_train_step(
+                        model, train_cfg.optimizer,
+                        train_cfg.grad_accum_iter, eps=train_cfg.eps,
+                    )
+                else:
+                    from dlrm_tpu.train.step import (
+                        make_grad_accum_train_step,
+                    )
+
+                    train_step = make_grad_accum_train_step(
+                        model, train_cfg.optimizer,
+                        train_cfg.grad_accum_iter, eps=train_cfg.eps,
+                    )
             elif supports_fused(model) and train_cfg.optimizer in (
                 "sgd", "adagrad", "rwsadagrad",
             ):

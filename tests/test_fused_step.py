@@ -143,3 +143,48 @@ def test_grad_accum_wired_through_trainer():
     tr = Trainer(model, tc, L())
     state = tr.train()
     assert state.total_iter == 2, state.total_iter
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_fused_grad_accum_matches_plain_accum(optimizer):
+    """Grad accumulation composed with the fused sparse update must equal
+    the plain-AD accumulation step (same mean-over-accum scaling, one
+    optimizer advance per step)."""
+    import jax.numpy as jnp
+
+    from dlrm_tpu.data.batch import Batch
+    from dlrm_tpu.train.fused_step import make_fused_grad_accum_train_step
+    from dlrm_tpu.train.step import make_grad_accum_train_step
+
+    cfg = CFG
+    model = DLRMModel(cfg)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(4))
+    )
+    tc = TrainConfig(mini_batch_size=8, num_batches=4, numpy_rand_seed=9)
+    hbs = list(RandomDataset(cfg, tc))
+    stacked = Batch(
+        dense=jnp.stack([jnp.asarray(h.dense) for h in hbs]),
+        idx=jnp.stack([jnp.asarray(h.idx) for h in hbs]),
+        wt=jnp.stack([jnp.asarray(h.wt) for h in hbs]),
+        labels=jnp.stack([jnp.asarray(h.labels) for h in hbs]),
+    )
+    accum = len(hbs)
+
+    s1 = init_opt_state(optimizer, params0)
+    p1, s1b, l1, _ = make_grad_accum_train_step(model, optimizer, accum)(
+        jax.tree_util.tree_map(jnp.asarray, params0), s1, stacked, 0.05
+    )
+    s2 = init_opt_state(optimizer, params0)
+    p2, s2b, l2, _ = make_fused_grad_accum_train_step(
+        model, optimizer, accum
+    )(jax.tree_util.tree_map(jnp.asarray, params0), s2, stacked, 0.05)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(p1)[0],
+        jax.tree_util.tree_flatten_with_path(p2)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, err_msg=str(k)
+        )

@@ -162,3 +162,28 @@ def test_main_random_data_multi_hot_conversion():
         ]
     )
     assert rc == 0
+
+
+def test_main_sharded_stream_ragged():
+    """--sharded --embedding_impl stream with SKEWED table sizes AND ragged
+    multi-hot sizes: the stream butterfly's per-slot max geometry (round 2
+    uniformity lift) through the real v2 main()."""
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "3",
+            "--limit_val_batches", "2",
+            "--limit_test_batches", "2",
+            "--batch_size", "16",
+            "--embedding_dim", "128",
+            "--num_embeddings_per_feature", "640,1290,320,820",
+            "--multi_hot_sizes", "3,1,4,2",
+            "--dense_arch_layer_sizes", "16,128",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--sharded",
+            "--mesh_data", "2",
+            "--embedding_impl", "stream",
+            "--embedding_dtype", "bfloat16",
+            "--adagrad",
+        ]
+    )
+    assert rc == 0

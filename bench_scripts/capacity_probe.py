@@ -1,0 +1,114 @@
+"""Single-chip HBM capacity probe: train with ~10 GB of bf16 tables.
+
+26 tables x 1.5M rows x 128-dim bf16 = 10.0 GB of embedding state — MORE
+than the 6.8 GB/chip each shard of the 8-chip mixed-plan flagship carries
+(PARITY.md HBM arithmetic), demonstrated live on one v5e with the
+streamed update (K2 streams the whole table per step, so the step cost
+is dominated by the 10 GB table pass at the pallas revolve bandwidth).
+
+Tables are initialized DIRECTLY in bf16 on device (an fp32 init would be
+20 GB and cannot coexist with its cast). Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python bench_scripts/capacity_probe.py
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.data.random_data import fixed_multihot_batch
+from dlrm_tpu.models.dlrm import DLRMModel
+from dlrm_tpu.train.stream_step import (
+    init_stream_opt_state,
+    make_stream_train_step,
+    plan_for_model,
+)
+
+ROWS = 1_500_000
+BS = 8192
+OPT = "rwsadagrad"
+
+
+def main():
+    cfg = DLRMConfig(
+        embedding_dim=128,
+        table_sizes=(ROWS,) * 26,
+        mlp_bot=(13, 512, 256, 128),
+        mlp_top=(1024, 1024, 512, 256, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=8,
+        compute_dtype="bfloat16",
+    )
+    model = DLRMModel(cfg)
+    plan = plan_for_model(model, BS, block_rows=2048)
+    gib = plan.padded_rows * 128 * 2 / 2**30
+    print(f"padded table state: {plan.padded_rows} rows = {gib:.2f} GiB bf16",
+          flush=True)
+
+    # dense params from the normal init (tiny); bf16 table born on device
+    small = DLRMConfig(
+        embedding_dim=128, table_sizes=(8,) * 26,
+        mlp_bot=cfg.mlp_bot, mlp_top=cfg.mlp_top,
+        interaction="dot", loss="bce", num_indices_per_lookup=8,
+        compute_dtype="bfloat16",
+    )
+    params = DLRMModel(small).init_params(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def init_table(key):
+        b = float(np.sqrt(1.0 / ROWS))
+        return jax.random.uniform(
+            key, (plan.padded_rows, 128), jnp.bfloat16, -b, b
+        )
+
+    params["emb"] = {"stacked": init_table(jax.random.PRNGKey(1))}
+    opt_state = init_stream_opt_state(OPT, params, plan)
+    step = make_stream_train_step(
+        model, OPT, plan, fwd_impl="gather", grad_impl="gather",
+        mm_dtype=jnp.bfloat16, stochastic_round=True,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = (
+        fixed_multihot_batch(
+            rng, cfg.num_dense, cfg.table_sizes, BS,
+            cfg.num_indices_per_lookup,
+        )
+        .with_stream_work(plan)
+        .to_device()
+    )
+    raw = step.__wrapped__
+    iters = 20
+
+    import functools
+
+    # donate params/opt_state: without donation XLA must COPY the 9.3 GiB
+    # table argument before the in-place (aliased) K2 update can run
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def many(p, s, b):
+        def one(carry, _):
+            p, s = carry
+            p, s, loss, _ = raw(p, s, b, 0.01)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(one, (p, s), None, length=iters)
+        return losses
+
+    t0 = time.perf_counter()
+    losses = np.asarray(many(params, opt_state, batch))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s "
+          f"loss[-1]={losses[-1]:.4f}", flush=True)
+    assert np.isfinite(losses).all()
+    t0 = time.perf_counter()
+    np.asarray(many(params, opt_state, batch))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"capacity run ({gib:.1f} GiB bf16 tables, bs {BS}): "
+          f"{dt*1e3:.1f} ms/step, {BS/dt:.0f} examples/s/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,15 @@ from dlrm_tpu.ops.stream_plan import CHUNK, WINDOW, StreamPlan
 
 ADAGRAD_EPS = 1e-10  # matches optim/optimizers.py ADAGRAD_EPS
 
+import os as _os
+
+# escape hatch for A/B-ing the in-place K2 buffers (debugging only)
+_K2_ALIAS = not _os.environ.get("DLRM_K2_NO_ALIAS")
+
+
+def _k2_aliases(pairs):
+    return pairs if _K2_ALIAS else {}
+
 
 def _onehot(iota, keys, vals=None, dtype=jnp.float32):
     """[rows, 128] one-hot: iota [rows,128] sublane-iota, keys [128] lane
@@ -488,6 +497,11 @@ def stream_update(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
             compiler_params=side,
+            # table updates in place: without the alias XLA keeps TWO
+            # copies of the table (9.3 GiB each at capacity scale) plus a
+            # per-step copy inside loop-carried scans. Safe: each block is
+            # written once, after its last read, in item order.
+            input_output_aliases=_k2_aliases({5: 0}),
             interpret=interpret,
         )(item_block, item_row0, item_u, g_u, rows2d, table, lr_arr)
         return (new_table,)
@@ -518,6 +532,7 @@ def stream_update(
                 jax.ShapeDtypeStruct(acc.shape, jnp.float32),
             ),
             compiler_params=side,
+            input_output_aliases=_k2_aliases({5: 0, 6: 1}),  # in-place table + acc
             interpret=interpret,
         )(item_block, item_row0, item_u, g_u, rows2d, table, acc, lr_arr)
         return new_table, new_acc
@@ -542,6 +557,7 @@ def stream_update(
                 jax.ShapeDtypeStruct(table.shape, jnp.float32),
             ),
             compiler_params=side,
+            input_output_aliases=_k2_aliases({5: 0, 6: 1}),  # in-place table + acc
             interpret=interpret,
         )(item_block, item_row0, item_u, g_u, rows2d, table, acc, lr_arr)
         return new_table, new_acc

@@ -86,8 +86,9 @@ def main():
 
     import functools
 
-    # donate params/opt_state: without donation XLA must COPY the 9.3 GiB
-    # table argument before the in-place (aliased) K2 update can run
+    # donate params/opt_state AND return them: donation is only usable
+    # when an output aliases the donated buffer — returning just the
+    # losses made XLA copy the 9.3 GiB table before the in-place K2 run
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def many(p, s, b):
         def one(carry, _):
@@ -96,15 +97,17 @@ def main():
             return (p, s), loss
 
         (p, s), losses = jax.lax.scan(one, (p, s), None, length=iters)
-        return losses
+        return p, s, losses
 
     t0 = time.perf_counter()
-    losses = np.asarray(many(params, opt_state, batch))
+    params, opt_state, losses = many(params, opt_state, batch)
+    losses = np.asarray(losses)
     print(f"compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss[-1]={losses[-1]:.4f}", flush=True)
     assert np.isfinite(losses).all()
     t0 = time.perf_counter()
-    np.asarray(many(params, opt_state, batch))
+    params, opt_state, losses = many(params, opt_state, batch)
+    np.asarray(losses)
     dt = (time.perf_counter() - t0) / iters
     print(f"capacity run ({gib:.1f} GiB bf16 tables, bs {BS}): "
           f"{dt*1e3:.1f} ms/step, {BS/dt:.0f} examples/s/chip", flush=True)

@@ -31,8 +31,13 @@ Design notes (measured on v5e, bench_scripts/PERF_NOTES.md):
     the transposition.
   * int32 window data is over-fetched in 8-tile-aligned (16,128) slabs and
     sliced at a dynamic sublane offset (HBM slices must be tile-aligned).
-  * input_output_aliases on blocked specs is catastrophically slow on this
-    toolchain — the kernels are functional (fresh output buffers).
+  * input_output_aliases on blocked OUTPUT specs is catastrophically slow
+    on this toolchain, but K2's outputs are ANY with manual DMA-out and
+    aliasing those is free: the update kernels run IN PLACE (table + acc),
+    which removes a per-step whole-table XLA copy and halves table HBM
+    residency (a 9.3 GiB bf16 table state fits one 16 GiB chip). Safe
+    because each block is written once, after its last read, in item
+    order. DLRM_K2_NO_ALIAS=1 restores functional buffers for A/B runs.
 
 Reference parity: together K1+K2 implement FBGEMM's
 EXACT_ROWWISE_ADAGRAD/EXACT_ADAGRAD/EXACT_SGD in-backward updates invoked by

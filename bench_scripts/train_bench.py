@@ -111,7 +111,8 @@ def run_ragged(bs):
     for tag, hot in variants:
         plan = plan_for_model(model, bs, block_rows=2048, hot_sizes=hot)
         t0 = time.perf_counter()
-        hb2 = hb.with_stream_work(plan)
+        # ragged real columns are all-ones -> the device derives wts_u
+        hb2 = hb.with_stream_work(plan, unit_weights=(tag == "ragged"))
         print(f"host stream work ({tag}, u={plan.u_total}): "
               f"{(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
         sp = cast_emb(pad_params(params, model, plan), jnp.bfloat16)

@@ -34,13 +34,21 @@ class HostBatch:
     labels: np.ndarray  # [B, 1] float32
     stream: "object" = None  # Optional[dlrm_tpu.ops.stream_plan.StreamWork]
 
-    def with_stream_work(self, plan) -> "HostBatch":
+    def with_stream_work(self, plan, unit_weights: bool = False) -> "HostBatch":
         """Attach the U-layout work plan (host-side numpy; zero device
-        cost — see ops/stream_plan.py)."""
+        cost — see ops/stream_plan.py). unit_weights=True promises every
+        REAL hit (first plan.hot[t] columns) has weight 1.0: the builder
+        then skips wts_u and the device derives it from rows_u != -1 —
+        one third fewer host writes and H2D bytes (both fixed multi-hot
+        and ragged v2 batches qualify)."""
         from dlrm_tpu.ops.stream_plan import build_stream_work
 
         return dataclasses.replace(
-            self, stream=build_stream_work(plan, self.idx, self.wt)
+            self,
+            stream=build_stream_work(
+                plan, self.idx, None if unit_weights else self.wt,
+                skip_wts=unit_weights,
+            ),
         )
 
     def to_device(self) -> Batch:
@@ -54,7 +62,7 @@ class HostBatch:
             stream = StreamArrays(
                 rows_u=jnp.asarray(w.rows_u),
                 vals_u=jnp.asarray(w.vals_u),
-                wts_u=jnp.asarray(w.wts_u),
+                wts_u=None if w.wts_u is None else jnp.asarray(w.wts_u),
                 w2t=jnp.asarray(w.w2t),
                 item_block=jnp.asarray(w.item_block),
                 item_row0=jnp.asarray(w.item_row0),

@@ -51,6 +51,7 @@ def _load() -> Optional[ctypes.CDLL]:
         _I32P, _I32P, _I32P,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,  # write_wts
         _I32P, _I32P, _F32P, _I32P,
         _I32P, _I32P, _I32P,
     ]
@@ -63,7 +64,8 @@ def available() -> bool:
 
 
 def build_stream_work_native(plan, idx: np.ndarray,
-                             wt: Optional[np.ndarray] = None):
+                             wt: Optional[np.ndarray] = None,
+                             skip_wts: bool = False):
     """Native twin of ops/stream_plan.build_stream_work. Returns a
     StreamWork (imported lazily to avoid a circular import)."""
     from dlrm_tpu.ops.stream_plan import StreamWork
@@ -81,7 +83,7 @@ def build_stream_work_native(plan, idx: np.ndarray,
     nblks = np.asarray(plan.blocks_per_table, dtype=np.int32)
     rows_u = np.empty(plan.u_total, dtype=np.int32)
     vals_u = np.empty(plan.u_total, dtype=np.int32)
-    wts_u = np.empty(plan.u_total, dtype=np.float32)
+    wts_u = None if skip_wts else np.empty(plan.u_total, dtype=np.float32)
     w2t = np.empty(plan.num_windows, dtype=np.int32)
     m = plan.max_items
     item_block = np.empty(m, dtype=np.int32)
@@ -99,9 +101,10 @@ def build_stream_work_native(plan, idx: np.ndarray,
         nblks.ctypes.data_as(_I32P),
         plan.u_size, plan.u_total, plan.num_blocks,
         m, plan.num_windows,
+        0 if skip_wts else 1,
         rows_u.ctypes.data_as(_I32P),
         vals_u.ctypes.data_as(_I32P),
-        wts_u.ctypes.data_as(_F32P),
+        None if skip_wts else wts_u.ctypes.data_as(_F32P),
         w2t.ctypes.data_as(_I32P),
         item_block.ctypes.data_as(_I32P),
         item_row0.ctypes.data_as(_I32P),
@@ -112,7 +115,7 @@ def build_stream_work_native(plan, idx: np.ndarray,
     return StreamWork(
         rows_u=rows_u.reshape(-1, 8, 128),
         vals_u=vals_u.reshape(-1, 8, 128),
-        wts_u=wts_u.reshape(-1, 8, 128),
+        wts_u=None if skip_wts else wts_u.reshape(-1, 8, 128),
         w2t=w2t,
         item_block=item_block,
         item_row0=item_row0,

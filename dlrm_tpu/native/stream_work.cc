@@ -46,6 +46,8 @@ int64_t build_stream_work_native(
     const int32_t* blocks_per_table,  // [T]
     int32_t u_size, int32_t u_total, int32_t num_blocks,
     int32_t max_items, int32_t num_windows,
+    int32_t write_wts,  // 0: skip wts_u entirely (may be null) — callers
+                        // with unit weights derive it on device from rows_u
     int32_t* rows_u, int32_t* vals_u, float* wts_u, int32_t* w2t,
     int32_t* item_block, int32_t* item_row0, int32_t* item_u) {
   const int64_t bh = int64_t(b_) * h_;
@@ -57,7 +59,8 @@ int64_t build_stream_work_native(
   // tail); the trailing sentinel window is cleared here.
   std::fill(rows_u + u_size, rows_u + u_total, kSentinelRow);
   std::memset(vals_u + u_size, 0, sizeof(int32_t) * (u_total - u_size));
-  std::memset(wts_u + u_size, 0, sizeof(float) * (u_total - u_size));
+  if (write_wts)
+    std::memset(wts_u + u_size, 0, sizeof(float) * (u_total - u_size));
   std::fill(w2t, w2t + num_windows, t_ - 1);
 
   std::vector<std::vector<Item>> items(t_);
@@ -115,7 +118,7 @@ int64_t build_stream_work_native(
         const int32_t lo = cursor[j] + counts[j], hi = cursor[j] + run;
         std::fill(rows_u + lo, rows_u + hi, kSentinelRow);
         std::memset(vals_u + lo, 0, sizeof(int32_t) * (hi - lo));
-        std::memset(wts_u + lo, 0, sizeof(float) * (hi - lo));
+        if (write_wts) std::memset(wts_u + lo, 0, sizeof(float) * (hi - lo));
       }
       // fill slots (scan order; intra-run order is free)
       for (int32_t bag = 0; bag < b_; ++bag) {
@@ -126,14 +129,15 @@ int64_t build_stream_work_native(
           const int32_t slot = cursor[j]++;
           rows_u[slot] = rows[i];
           vals_u[slot] = bag;
-          wts_u[slot] = w ? w[i] : 1.0f;
+          if (write_wts) wts_u[slot] = w ? w[i] : 1.0f;
         }
       }
       // clear + cover the table's U-segment tail padding
       if (u < useg_end[t]) {
         std::fill(rows_u + u, rows_u + useg_end[t], kSentinelRow);
         std::memset(vals_u + u, 0, sizeof(int32_t) * (useg_end[t] - u));
-        std::memset(wts_u + u, 0, sizeof(float) * (useg_end[t] - u));
+        if (write_wts)
+          std::memset(wts_u + u, 0, sizeof(float) * (useg_end[t] - u));
       }
       for (int32_t c = u; c < useg_end[t]; c += kChunk)
         it.push_back({pad_block, 0, c});

@@ -181,6 +181,10 @@ def build_stream_work(
     idx: np.ndarray,  # [T, B, H] table-local indices
     wt: Optional[np.ndarray] = None,  # [T, B, H] weights (None -> all 1.0)
     prefer_native: bool = True,
+    skip_wts: bool = False,  # weights are 1.0 for every REAL hit: leave
+    # wts_u None — the device derives it as (rows_u != -1), skipping a
+    # third of the host writes and of the H2D bytes. Only valid when
+    # wt[:, :, :hot_t] is all-ones (or wt is None) for every table.
 ) -> StreamWork:
     """Builds the per-batch U-layout arrays. Uses the threaded C++ builder
     (native/stream_work.cc, ~20x faster) when available; the numpy path
@@ -199,12 +203,14 @@ def build_stream_work(
         from dlrm_tpu.native import stream_native
 
         if stream_native.available():
-            return stream_native.build_stream_work_native(plan, idx, wt)
+            return stream_native.build_stream_work_native(
+                plan, idx, wt, skip_wts=skip_wts
+            )
     br = plan.block_rows
     u_total = plan.u_total
     rows_u = np.full(u_total, SENTINEL_ROW, dtype=np.int32)
     vals_u = np.zeros(u_total, dtype=np.int32)
-    wts_u = np.zeros(u_total, dtype=np.float32)
+    wts_u = None if skip_wts else np.zeros(u_total, dtype=np.float32)
     w2t = np.full(plan.num_windows, t_ - 1, dtype=np.int32)
 
     items = []  # (block, row0, u)
@@ -234,7 +240,8 @@ def build_stream_work(
                 continue
             rows_u[u : u + cnt] = rs[lo:hi]
             vals_u[u : u + cnt] = vs[lo:hi]
-            wts_u[u : u + cnt] = ws[lo:hi]
+            if not skip_wts:
+                wts_u[u : u + cnt] = ws[lo:hi]
             run = -(-cnt // 128) * 128  # pad the block's run to x128
             for c in range(0, run, CHUNK):
                 items.append((gb + j, j * br, u + c))
@@ -261,7 +268,7 @@ def build_stream_work(
     return StreamWork(
         rows_u=rows_u.reshape(-1, 8, 128),
         vals_u=vals_u.reshape(-1, 8, 128),
-        wts_u=wts_u.reshape(-1, 8, 128),
+        wts_u=None if skip_wts else wts_u.reshape(-1, 8, 128),
         w2t=w2t,
         item_block=arr[:, 0].copy(),
         item_row0=arr[:, 1].copy(),

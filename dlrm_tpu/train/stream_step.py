@@ -153,6 +153,13 @@ def make_stream_train_step(
                 "HostBatch.with_stream_work(plan)"
             )
         emb = params["emb"]["stacked"]
+        if sw.wts_u is None:
+            # unit-weight batches skip host wts: every real slot weighs 1
+            from dlrm_tpu.ops.stream_plan import SENTINEL_ROW
+
+            sw = sw._replace(
+                wts_u=(sw.rows_u != SENTINEL_ROW).astype(jnp.float32)
+            )
         if fwd_impl == "stream":
             pooled_t = stream_embedding_fwd(
                 plan, emb, sw.rows_u, sw.vals_u, sw.wts_u, sw.w2t,

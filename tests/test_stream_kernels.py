@@ -326,3 +326,39 @@ def test_no_cross_table_chunk_bleed():
     )
     ref_table, _ = _sparse_oracle("sgd", tabs, idx, wt, dly, 0.05)
     _compare_tables(plan, tabs, out[0], ref_table)
+
+
+def test_skip_wts_unit_weight_build():
+    """skip_wts builds (native + numpy) must produce identical rows/vals/
+    items with wts_u=None, and the derived device weights (rows != -1)
+    must equal the explicitly-built unit weights."""
+    from dlrm_tpu.native import stream_native
+    from dlrm_tpu.ops.stream_plan import SENTINEL_ROW
+
+    rng = np.random.default_rng(13)
+    plan = make_stream_plan(TABLES, D, B, (2, 1, 2), block_rows=BR)
+    idx = np.stack(
+        [rng.integers(0, n, (B, H)) for n in TABLES]
+    ).astype(np.int32)
+    full = build_stream_work(plan, idx, None, prefer_native=False)
+    lean = build_stream_work(plan, idx, None, prefer_native=False,
+                             skip_wts=True)
+    assert lean.wts_u is None
+    np.testing.assert_array_equal(full.rows_u, lean.rows_u)
+    np.testing.assert_array_equal(full.vals_u, lean.vals_u)
+    np.testing.assert_array_equal(full.item_u, lean.item_u)
+    derived = (lean.rows_u != SENTINEL_ROW).astype(np.float32)
+    np.testing.assert_array_equal(full.wts_u, derived)
+    if stream_native.available():
+        import dataclasses
+
+        nat = build_stream_work(plan, idx, None, prefer_native=True,
+                                skip_wts=True)
+        assert nat.wts_u is None
+        # derived weights differ per builder's intra-run order; compare
+        # with each builder's OWN derivation
+        nat_derived = (nat.rows_u != SENTINEL_ROW).astype(np.float32)
+        _check_work_equal(
+            dataclasses.replace(nat, wts_u=nat_derived),
+            dataclasses.replace(lean, wts_u=derived),
+        )

@@ -188,3 +188,49 @@ def test_stream_step_ragged_hot_sizes():
         CFG.table_sizes, CFG.embedding_dim, 2048, hmax, block_rows=1024
     )
     assert big_r.u_size < big_p.u_size
+
+
+def test_unit_weights_batch_matches_full_wts():
+    """A unit_weights stream batch (no host wts_u; device derives it) must
+    train identically to the full-wts build."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.random_data import fixed_multihot_batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.train.stream_step import (
+        init_stream_opt_state,
+        make_stream_train_step,
+        pad_params,
+        plan_for_model,
+    )
+
+    cfg = DLRMConfig(
+        embedding_dim=128, table_sizes=(1280, 640), mlp_bot=(8, 16, 128),
+        mlp_top=(16, 8, 1), interaction="dot", loss="bce",
+        num_indices_per_lookup=4,
+    )
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    plan = plan_for_model(model, 32, block_rows=1024)
+    hb = fixed_multihot_batch(
+        np.random.default_rng(3), cfg.num_dense, cfg.table_sizes, 32, 4
+    )
+    step = make_stream_train_step(
+        model, "rwsadagrad", plan, fwd_impl="gather", grad_impl="gather",
+        mm_dtype=jnp.float32, interpret=True,
+    )
+    outs = []
+    for unit in (False, True):
+        p = pad_params(jax.tree_util.tree_map(jnp.copy, params), model, plan)
+        s = init_stream_opt_state("rwsadagrad", p, plan)
+        b = hb.with_stream_work(plan, unit_weights=unit).to_device()
+        if unit:
+            assert b.stream.wts_u is None
+        p, s, loss, _ = step(p, s, b, 0.05)
+        outs.append((np.asarray(p["emb"]["stacked"]), float(loss)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]

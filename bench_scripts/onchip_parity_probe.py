@@ -1,5 +1,4 @@
 """1-step on-chip rwsadagrad comparison + error growth across steps."""
-import os
 import numpy as np
 import jax, jax.numpy as jnp
 from dlrm_tpu.config import DLRMConfig

@@ -29,13 +29,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR, "-s"],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
+    # ALWAYS run make (dependency-driven no-op when fresh): loading a
+    # stale .so after a C-ABI change would push mismatched ctypes args
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

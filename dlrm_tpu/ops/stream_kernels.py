@@ -61,12 +61,11 @@ ADAGRAD_EPS = 1e-10  # matches optim/optimizers.py ADAGRAD_EPS
 
 import os as _os
 
-# escape hatch for A/B-ing the in-place K2 buffers (debugging only)
-_K2_ALIAS = not _os.environ.get("DLRM_K2_NO_ALIAS")
-
 
 def _k2_aliases(pairs):
-    return pairs if _K2_ALIAS else {}
+    """In-place K2 buffers; DLRM_K2_NO_ALIAS=1 (read at call time, so an
+    A/B toggle set after import still works) restores functional buffers."""
+    return {} if _os.environ.get("DLRM_K2_NO_ALIAS") else pairs
 
 
 def _onehot(iota, keys, vals=None, dtype=jnp.float32):

@@ -220,13 +220,17 @@ def build_stream_work(
         bh = b_ * ht
         bag_of_pos = (np.arange(bh, dtype=np.int32) // ht).astype(np.int32)
         rows = idx[t, :, :ht].reshape(bh).astype(np.int32)
-        w = (
-            np.ones(bh, dtype=np.float32)
-            if wt is None
-            else wt[t, :, :ht].reshape(bh).astype(np.float32)
-        )
         order = np.argsort(rows, kind="stable")
-        rs, vs, ws = rows[order], bag_of_pos[order], w[order]
+        rs, vs = rows[order], bag_of_pos[order]
+        if skip_wts:
+            ws = None
+        else:
+            w = (
+                np.ones(bh, dtype=np.float32)
+                if wt is None
+                else wt[t, :, :ht].reshape(bh).astype(np.float32)
+            )
+            ws = w[order]
         ub = plan.u_base[t]
         nb = plan.blocks_per_table[t]
         gb = plan.block_base[t]
@@ -240,7 +244,7 @@ def build_stream_work(
                 continue
             rows_u[u : u + cnt] = rs[lo:hi]
             vals_u[u : u + cnt] = vs[lo:hi]
-            if not skip_wts:
+            if ws is not None:
                 wts_u[u : u + cnt] = ws[lo:hi]
             run = -(-cnt // 128) * 128  # pad the block's run to x128
             for c in range(0, run, CHUNK):

@@ -107,10 +107,11 @@ class Trainer:
 
             # fused sparse in-backward update when the config allows it
             # (O(touched rows) table traffic); plain AD otherwise
+            fused_ok = supports_fused(model) and train_cfg.optimizer in (
+                "sgd", "adagrad", "rwsadagrad",
+            )
             if train_cfg.grad_accum_iter > 1:
-                if supports_fused(model) and train_cfg.optimizer in (
-                    "sgd", "adagrad", "rwsadagrad",
-                ):
+                if fused_ok:
                     from dlrm_tpu.train.fused_step import (
                         make_fused_grad_accum_train_step,
                     )
@@ -128,9 +129,7 @@ class Trainer:
                         model, train_cfg.optimizer,
                         train_cfg.grad_accum_iter, eps=train_cfg.eps,
                     )
-            elif supports_fused(model) and train_cfg.optimizer in (
-                "sgd", "adagrad", "rwsadagrad",
-            ):
+            elif fused_ok:
                 train_step = make_fused_train_step(
                     model, train_cfg.optimizer, eps=train_cfg.eps
                 )

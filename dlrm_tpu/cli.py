@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mini-batch-size", type=int, default=1)
     p.add_argument("--nepochs", type=int, default=1)
     p.add_argument("--learning-rate", type=float, default=0.01)
+    # LR policy (LRPolicyScheduler, dlrm_s_pytorch.py:169-203)
+    p.add_argument("--lr-num-warmup-steps", type=int, default=0)
+    p.add_argument("--lr-decay-start-step", type=int, default=0)
+    p.add_argument("--lr-num-decay-steps", type=int, default=0)
+    # DDP dense sync toggle (dlrm_s_pytorch.py:971): on TPU the dense psum
+    # is integral to the sharded step, so False only prints a notice
+    p.add_argument("--sync-dense-params", type=bool, default=True)
     p.add_argument("--print-precision", type=int, default=5)
     p.add_argument("--numpy-rand-seed", type=int, default=123)
     p.add_argument("--optimizer", type=str, default="sgd")
@@ -215,6 +222,9 @@ def configs_from_args(args) -> tuple[DLRMConfig, TrainConfig]:
         nepochs=args.nepochs,
         learning_rate=args.learning_rate,
         optimizer=args.optimizer,
+        lr_num_warmup_steps=args.lr_num_warmup_steps,
+        lr_decay_start_step=args.lr_decay_start_step,
+        lr_num_decay_steps=args.lr_num_decay_steps,
         data_generation=args.data_generation,
         data_size=args.data_size,
         num_batches=args.num_batches,
@@ -258,6 +268,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     mlperf = obs.MLPerfLogger(enabled=args.mlperf_logging)
     mlperf.event(obs.CACHE_CLEAR, value=True)
     mlperf.start(obs.INIT_START)
+
+    if not args.sync_dense_params:
+        print(
+            "NOTE: --sync-dense-params=False has no effect on TPU — the "
+            "dense-gradient psum is integral to the sharded step (the "
+            "reference's DDP-skip experiment has no analog here)"
+        )
 
     if args.activation_function != "relu":
         # loud rejection instead of silent acceptance: the reference parses

@@ -219,3 +219,18 @@ def test_save_onnx_exports_serialized_forward(tmp_path):
 
     fn = load_forward(path)
     assert callable(fn)
+
+
+def test_lr_policy_flags_change_training():
+    """--lr-num-warmup-steps must actually scale early-step LRs (the
+    LRPolicyScheduler surface was previously not exposed by the CLI)."""
+    rc0, out0 = _run_cli(["--mini-batch-size=2", "--data-size=6"])
+    rc1, out1 = _run_cli(
+        ["--mini-batch-size=2", "--data-size=6",
+         "--lr-num-warmup-steps=2", "--lr-decay-start-step=2"]
+    )
+    assert rc0 == rc1 == 0
+    losses = lambda s: re.findall(r"loss (\d+\.\d+)", s)  # noqa: E731
+    l0, l1 = losses(out0), losses(out1)
+    assert l0[0] == l1[0]  # first loss computed before any update differs
+    assert l0[1:] != l1[1:], "warmup had no effect on training"

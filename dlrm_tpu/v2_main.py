@@ -40,6 +40,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding_dim", type=int, default=64)
     p.add_argument("--num_embeddings", type=int, default=100_000)
     p.add_argument("--num_embeddings_per_feature", type=str, default=None)
+    p.add_argument(
+        "--dataset_name", type=str, default="criteo_1tb",
+        choices=["criteo_1tb", "criteo_kaggle"],
+        help="selects the default per-feature table sizes when "
+        "--num_embeddings_per_feature is not given",
+    )
+    p.add_argument("--shuffle_training_set", action="store_true",
+                   default=False)
+    p.add_argument("--drop_last_training_batch", action="store_true",
+                   default=False)
+    p.add_argument("--print_sharding_plan", action="store_true",
+                   default=False)
+    # CUDA-specific reference flags, accepted with explicit TPU semantics
+    p.add_argument("--allow_tf32", action="store_true", default=False)
+    p.add_argument("--pin_memory", action="store_true", default=False)
+    p.add_argument("--mmap_mode", action="store_true", default=False)
+    p.add_argument("--undersampling_rate", type=float, default=None)
     p.add_argument("--dense_arch_layer_sizes", type=str, default="512,256,64")
     p.add_argument("--over_arch_layer_sizes", type=str, default="512,512,256,1")
     p.add_argument(
@@ -165,9 +182,37 @@ def main(argv: Optional[List[str]] = None) -> int:
     from dlrm_tpu.optim.optimizers import init_opt_state
     from dlrm_tpu.train.pipeline import DevicePrefetcher
 
+    if args.undersampling_rate is not None:
+        # the reference parses this flag but never consumes it either
+        # (dlrm_main.py:183-188, no use site); subsampling belongs to
+        # preprocessing (--data-sub-sample-rate on the v1 pipeline)
+        raise SystemExit(
+            "ERROR: --undersampling_rate is not implemented (the reference "
+            "never consumes it; use preprocessing-time subsampling)"
+        )
+    for flag, note in (
+        ("allow_tf32", "fp32 matmuls already run bf16 passes on TPU"),
+        ("pin_memory", "no host-pinned staging on the TPU runtime"),
+        ("mmap_mode", "bin/npy loaders always stream from disk here"),
+    ):
+        if getattr(args, flag):
+            print(f"NOTE: --{flag} has no effect on TPU ({note})")
     if args.num_embeddings_per_feature is not None:
         table_sizes = tuple(
             int(x) for x in args.num_embeddings_per_feature.split(",")
+        )
+    elif args.in_memory_binary_criteo_path or args.synthetic_multi_hot_criteo_path:
+        # dataset runs default to the dataset's published counts
+        # (dlrm_dataloader.py:84-92 semantics)
+        from dlrm_tpu.configs.presets import (
+            CRITEO_1TB_COUNTS,
+            CRITEO_KAGGLE_COUNTS,
+        )
+
+        table_sizes = tuple(
+            CRITEO_KAGGLE_COUNTS
+            if args.dataset_name == "criteo_kaggle"
+            else CRITEO_1TB_COUNTS
         )
     else:
         table_sizes = tuple([args.num_embeddings] * 26)
@@ -248,6 +293,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"{args.in_memory_binary_criteo_path}/{split}_data.bin",
                 f"{args.in_memory_binary_criteo_path}/day_fea_count.npz",
                 args.batch_size,
+                drop_last=(
+                    args.drop_last_training_batch if stage == "train" else False
+                ),
+                shuffle_batches=(
+                    args.shuffle_training_set and stage == "train"
+                ),
+                seed=args.seed,
             )
             loader = ds
         else:
@@ -355,6 +407,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"{rw} row-wise + {model_cfg.num_tables - rw} table-wise "
                 f"tables, {bf.placement.shard_rows} rows/shard"
             )
+            if args.print_sharding_plan:
+                # the per-table dump (dlrm_main.py:674-678)
+                pl = bf.placement
+                for t, n in enumerate(model_cfg.table_sizes):
+                    if pl.table_shard[t] < 0:
+                        print(
+                            f"  table {t}: row_wise, {pl.slice_len(t)} "
+                            f"rows/shard of {n}"
+                        )
+                    else:
+                        print(
+                            f"  table {t}: table_wise on shard "
+                            f"{pl.table_shard[t]} ({n} rows)"
+                        )
         train_step = bf.make_train_step(
             optimizer, args.batch_size, params, opt_state, eps=args.eps
         )

@@ -24,7 +24,8 @@ import numpy as np
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     nb = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    table_sizes = [200_000] * 26
+    rows_per_table = int(os.environ.get("TABLE_ROWS", 200_000))
+    table_sizes = [rows_per_table] * 26
     hot_sizes = [8] * 26
     root = tempfile.mkdtemp(prefix="dlrm_e2e_")
     rng = np.random.default_rng(0)

@@ -311,12 +311,14 @@ class Trainer:
 
     # ------------------------------------------------------------------- eval
 
-    def evaluate(self, state: TrainState) -> Dict[str, float]:
+    def evaluate(self, state: TrainState,
+                 epoch_num: Optional[float] = None) -> Dict[str, float]:
         """inference() equivalent (dlrm_s_pytorch.py:759-899)."""
         tc = self.tc
         from dlrm_tpu.train.pipeline import DevicePrefetcher
 
-        self.mlperf.start(obs.EVAL_START)
+        meta = {} if epoch_num is None else {"epoch_num": epoch_num}
+        self.mlperf.start(obs.EVAL_START, metadata=meta)
         scores: List[np.ndarray] = []
         labels: List[np.ndarray] = []
         for batch in DevicePrefetcher(self.test_data, self.to_device):
@@ -333,14 +335,18 @@ class Trainer:
         else:
             # rounded-prediction accuracy (dlrm_s_pytorch.py:814-823)
             results = {"accuracy": float(np.mean(np.round(s) == l))}
-        self.mlperf.end(obs.EVAL_STOP)
-        self.mlperf.event(obs.EVAL_ACCURACY, value=results.get("accuracy"))
+        self.mlperf.end(obs.EVAL_STOP, metadata=meta)
+        self.mlperf.event(
+            obs.EVAL_ACCURACY, value=results.get("accuracy"), metadata=meta
+        )
         return results
 
     def _eval_and_maybe_stop(self, state: TrainState, epoch: int, it: int,
                              nbatches: int = 0) -> bool:
         tc = self.tc
-        results = self.evaluate(state)
+        # epoch_num_float, dlrm_s_pytorch.py:1675
+        epoch_num = (it / nbatches if nbatches else 0.0) + epoch + 1
+        results = self.evaluate(state, epoch_num=epoch_num)
         acc = results.get("accuracy", 0.0)
         auc = results.get("roc_auc", float("nan"))
         is_best = acc > state.best_acc

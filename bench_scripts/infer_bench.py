@@ -49,7 +49,11 @@ def main():
         @jax.jit
         def many(p_, b_):
             def one(carry, _):
-                probs = model.apply(p_, b_)
+                # feed the carry back into the inputs: an iteration-invariant
+                # body gets hoisted out of the loop by XLA LICM and the
+                # "measurement" collapses to ITERS scalar adds
+                b2 = b_._replace(dense=b_.dense + carry * 1e-30)
+                probs = model.apply(p_, b2)
                 return carry + jnp.sum(probs), None
 
             s, _ = jax.lax.scan(one, jnp.float32(0), None, length=ITERS)
@@ -69,12 +73,10 @@ def main():
 
     only = os.environ.get("VARIANTS", "all")
     if only in ("all", "float"):
+        from dlrm_tpu.train.stream_step import cast_emb
+
         bench("fp32 tables", params)
-        pb = dict(params)
-        pb["emb"] = {
-            "stacked": params["emb"]["stacked"].astype(jnp.bfloat16)
-        }
-        bench("bf16 tables", pb)
+        bench("bf16 tables", cast_emb(params, jnp.bfloat16))
     if only in ("all", "quant"):
         for bits in (8, 4):
             pq = model.quantize_embeddings(

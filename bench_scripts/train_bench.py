@@ -92,18 +92,11 @@ def run_ragged(bs):
     cfg = cfg_for(bs)
     model = DLRMModel(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
-    idx = np.stack([
-        rng.integers(0, n, (bs, hmax)).astype(np.int32)
-        for n in cfg.table_sizes
-    ])
-    wt = np.zeros((len(cfg.table_sizes), bs, hmax), np.float32)
-    for t, h in enumerate(V2_HOT_SIZES):
-        wt[t, :, :h] = 1.0
-    hb = HostBatch(
-        dense=rng.random((bs, cfg.num_dense), dtype=np.float32),
-        idx=idx, wt=wt,
-        labels=(rng.random((bs, 1)) < 0.5).astype(np.float32),
+    from dlrm_tpu.data.random_data import ragged_multihot_batch
+
+    hb = ragged_multihot_batch(
+        np.random.default_rng(0), cfg.num_dense, cfg.table_sizes,
+        V2_HOT_SIZES, bs,
     )
     variants = (("ragged", V2_HOT_SIZES), ("padded", hmax))
     if os.environ.get("RAGGED_ONLY"):  # padded cannot run at large bs

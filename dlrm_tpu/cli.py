@@ -44,6 +44,16 @@ def dash_separated_floats(value: str) -> str:
     return value
 
 
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native DLRM")
     # model arch
@@ -110,8 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-decay-start-step", type=int, default=0)
     p.add_argument("--lr-num-decay-steps", type=int, default=0)
     # DDP dense sync toggle (dlrm_s_pytorch.py:971): on TPU the dense psum
-    # is integral to the sharded step, so False only prints a notice
-    p.add_argument("--sync-dense-params", type=bool, default=True)
+    # is integral to the sharded step, so False only prints a notice.
+    # (The reference uses type=bool, which parses "False" as True — an
+    # argparse footgun we do NOT reproduce.)
+    p.add_argument(
+        "--sync-dense-params", type=_str2bool, default=True
+    )
     p.add_argument("--print-precision", type=int, default=5)
     p.add_argument("--numpy-rand-seed", type=int, default=123)
     p.add_argument("--optimizer", type=str, default="sgd")

@@ -262,6 +262,10 @@ class CriteoBinFile:
         world_size: int = 1,
         shuffle_batches: bool = False,  # --mlperf-bin-shuffle: RandomSampler
         seed: int = 0,  # over batch ids (dlrm_data_pytorch.py:450)
+        shuffle_samples: bool = False,  # v2 --shuffle_training_set: one
+        # sample-level permutation of the whole set at load (loads the bin
+        # into RAM, like the reference's in-memory datapipe,
+        # multi_hot_criteo.py:36-37)
     ):
         self.batch_size = batch_size
         self.max_ind_range = max_ind_range
@@ -279,6 +283,14 @@ class CriteoBinFile:
         self.shuffle_batches = shuffle_batches
         self._seed = seed
         self._epoch = 0
+        self._data = None
+        if shuffle_samples:
+            self.file.seek(0)
+            arr = np.frombuffer(
+                self.file.read(), dtype=np.int32
+            ).reshape(-1, TOT_FEA)
+            rng = np.random.default_rng(seed)
+            self._data = arr[rng.permutation(arr.shape[0])]
 
     def __len__(self) -> int:
         # round-robin batch -> rank assignment (multi_hot_criteo.py:262)
@@ -295,9 +307,14 @@ class CriteoBinFile:
         return list(rng.permutation(np.asarray(ids)))
 
     def read_batch(self, idx: int) -> HostBatch:
-        self.file.seek(idx * self.bytes_per_entry, 0)
-        raw = self.file.read(self.bytes_per_entry)
-        arr = np.frombuffer(raw, dtype=np.int32).reshape(-1, TOT_FEA)
+        if self._data is not None:  # sample-shuffled in-memory copy
+            arr = self._data[
+                idx * self.batch_size : (idx + 1) * self.batch_size
+            ]
+        else:
+            self.file.seek(idx * self.bytes_per_entry, 0)
+            raw = self.file.read(self.bytes_per_entry)
+            arr = np.frombuffer(raw, dtype=np.int32).reshape(-1, TOT_FEA)
         y = arr[:, 0].astype(np.float32).reshape(-1, 1)
         x_int = arr[:, 1 : 1 + NUM_DENSE]
         x_cat = arr[:, 1 + NUM_DENSE :]

@@ -235,6 +235,33 @@ class RandomDataset:
             yield self[i]
 
 
+def ragged_multihot_batch(
+    rng,
+    num_dense: int,
+    table_sizes,
+    hot_sizes,
+    batch_size: int,
+) -> "HostBatch":
+    """Ragged per-table multi-hot batch in the padded [T, B, Hmax] layout:
+    table t's first hot_sizes[t] columns are real hits (weight 1), the rest
+    weight-0 padding. The canonical layout shared by the benches, the
+    multichip dryrun, and the stream-butterfly tests."""
+    hmax = max(int(h) for h in hot_sizes)
+    t_ = len(table_sizes)
+    idx = np.zeros((t_, batch_size, hmax), np.int32)
+    wt = np.zeros((t_, batch_size, hmax), np.float32)
+    for t, n in enumerate(table_sizes):
+        h = int(hot_sizes[t])
+        idx[t, :, :h] = rng.integers(0, n, (batch_size, h))
+        wt[t, :, :h] = 1.0
+    return HostBatch(
+        dense=rng.normal(size=(batch_size, num_dense)).astype(np.float32),
+        idx=idx,
+        wt=wt,
+        labels=rng.integers(0, 2, (batch_size, 1)).astype(np.float32),
+    )
+
+
 def fixed_multihot_batch(
     rng: np.random.Generator,
     num_dense: int,

@@ -300,7 +300,11 @@ class Trainer:
             if stop:
                 break
         if tc.test_freq <= 0 and self.test_data is not None:
-            self._eval_and_maybe_stop(state, state.epoch, state.total_iter, state.total_iter)
+            # state.epoch was already advanced past the last epoch; pass the
+            # 0-based epoch index so epoch_num matches the in-loop formula
+            self._eval_and_maybe_stop(
+                state, state.epoch - 1, state.total_iter, state.total_iter
+            )
         # reference RUN_STOP semantics (dlrm_s_pytorch.py:1752-1781): SUCCESS
         # is emitted at the auc-threshold stop inside the loop; a run that
         # never clears the auc threshold ends ABORTED

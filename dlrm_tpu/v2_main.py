@@ -296,11 +296,31 @@ def main(argv: Optional[List[str]] = None) -> int:
                 drop_last=(
                     args.drop_last_training_batch if stage == "train" else False
                 ),
+                # --shuffle_batches permutes batch ORDER;
+                # --shuffle_training_set permutes SAMPLES across the whole
+                # set at load (multi_hot_criteo.py:36-37 semantics)
                 shuffle_batches=(
+                    args.shuffle_batches and stage == "train"
+                ),
+                shuffle_samples=(
                     args.shuffle_training_set and stage == "train"
                 ),
                 seed=args.seed,
             )
+            # the dataset's counts are authoritative: indices beyond the
+            # model's table sizes would wrap silently (same guard as the
+            # materialized path below)
+            over = [
+                (i, int(c), int(t))
+                for i, (c, t) in enumerate(zip(ds.counts, table_sizes))
+                if int(c) > int(t)
+            ]
+            if over:
+                raise SystemExit(
+                    f"ERROR: dataset counts exceed the model's table sizes "
+                    f"for columns {over[:4]}...; pass "
+                    "--num_embeddings_per_feature matching day_fea_count.npz"
+                )
             loader = ds
         else:
             tc = TrainConfig(

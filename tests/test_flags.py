@@ -234,3 +234,44 @@ def test_lr_policy_flags_change_training():
     l0, l1 = losses(out0), losses(out1)
     assert l0[0] == l1[0]  # first loss computed before any update differs
     assert l0[1:] != l1[1:], "warmup had no effect on training"
+
+
+def test_shuffle_samples_vs_shuffle_batches(tmp_path):
+    """v2 --shuffle_training_set = SAMPLE-level permutation (batch
+    composition changes, total sample multiset preserved);
+    --shuffle_batches = batch-ORDER permutation (composition fixed)."""
+    from dlrm_tpu.data import criteo
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 100, size=(64, 40), dtype=np.int32)
+    arr[:, 1] = np.arange(64)  # unique marker per sample (dense col 0)
+    bin_path = str(tmp_path / "t.bin")
+    arr.astype(np.int32).tofile(bin_path)
+    counts = str(tmp_path / "c.npz")
+    np.savez(counts, counts=np.full(26, 100, np.int64))
+
+    def sample_ids(bf):
+        out = []
+        for hb in bf:
+            out.append(np.expm1(hb.dense[:, 0]).round().astype(int))
+        return out
+
+    plain = criteo.CriteoBinFile(bin_path, counts, batch_size=8)
+    samp = criteo.CriteoBinFile(
+        bin_path, counts, batch_size=8, shuffle_samples=True, seed=3
+    )
+    ids_plain = sample_ids(plain)
+    ids_samp = sample_ids(samp)
+    # same total multiset of samples, different batch composition
+    assert sorted(np.concatenate(ids_plain)) == sorted(
+        np.concatenate(ids_samp)
+    )
+    assert any(
+        sorted(a) != sorted(b) for a, b in zip(ids_plain, ids_samp)
+    ), "sample shuffle did not cross batch boundaries"
+    # batch-order shuffle keeps each batch's composition intact
+    border = criteo.CriteoBinFile(
+        bin_path, counts, batch_size=8, shuffle_batches=True, seed=3
+    )
+    ids_border = sample_ids(border)
+    assert sorted(map(tuple, ids_border)) == sorted(map(tuple, ids_plain))

@@ -92,20 +92,9 @@ SKEW_HOTS = (4, 1, 3, 2, 4, 1)  # ragged per-table multi-hot
 
 
 def _ragged_batch(rng, cfg, hots, b):
-    """[T,B,Hmax] batch with per-table real hot sizes; wt 0 marks padding."""
-    hmax = max(hots)
-    t_ = cfg.num_tables
-    idx = np.zeros((t_, b, hmax), np.int32)
-    wt = np.zeros((t_, b, hmax), np.float32)
-    for t, n in enumerate(cfg.table_sizes):
-        h = hots[t]
-        idx[t, :, :h] = rng.integers(0, n, (b, h))
-        wt[t, :, :h] = 1.0
-    from dlrm_tpu.data.random_data import HostBatch
+    from dlrm_tpu.data.random_data import ragged_multihot_batch
 
-    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
-    labels = rng.integers(0, 2, (b, 1)).astype(np.float32)
-    return HostBatch(dense=dense, idx=idx, wt=wt, labels=labels)
+    return ragged_multihot_batch(rng, cfg.num_dense, cfg.table_sizes, hots, b)
 
 
 @pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])

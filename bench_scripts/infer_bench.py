@@ -48,15 +48,22 @@ def main():
         # into the HLO as a literal — see PERF_NOTES compile-payload rules)
         @jax.jit
         def many(p_, b_):
+            # the batch content ROTATES through the scan carry: any
+            # carry-independent subtree (the whole embedding lookup, most
+            # of the forward) gets hoisted out of the loop by XLA LICM and
+            # the "measurement" collapses to a single forward / ITERS
             def one(carry, _):
-                # feed the carry back into the inputs: an iteration-invariant
-                # body gets hoisted out of the loop by XLA LICM and the
-                # "measurement" collapses to ITERS scalar adds
-                b2 = b_._replace(dense=b_.dense + carry * 1e-30)
-                probs = model.apply(p_, b2)
-                return carry + jnp.sum(probs), None
+                acc, idx, dense = carry
+                probs = model.apply(p_, b_._replace(idx=idx, dense=dense))
+                return (
+                    acc + jnp.sum(probs),
+                    jnp.roll(idx, 1, axis=1),
+                    jnp.roll(dense, 1, axis=0),
+                ), None
 
-            s, _ = jax.lax.scan(one, jnp.float32(0), None, length=ITERS)
+            (s, _, _), _ = jax.lax.scan(
+                one, (jnp.float32(0), b_.idx, b_.dense), None, length=ITERS
+            )
             return s
 
         t0 = time.perf_counter()
@@ -83,13 +90,10 @@ def main():
                 jax.tree_util.tree_map(jnp.asarray, params), bits
             )
             bench(f"int{bits} rowwise tables", pq)
-        pq8 = model.quantize_mlps(
-            model.quantize_embeddings(
-                jax.tree_util.tree_map(jnp.asarray, params), 8
-            ),
-            8,
-        )
-        bench("int8 tables + int8 MLPs", pq8)
+        # (int8-MLP variant omitted: quantize_mlps stores a static 'mode'
+        # string in the tree, which cannot ride as a jit argument; MLP
+        # quantization correctness is covered by tests/test_quantized.py
+        # and the embedding lookup dominates serving anyway)
 
 
 if __name__ == "__main__":

@@ -7,12 +7,15 @@ affine-quantized with its own (scale, bias); lookups gather the quantized rows,
 dequantize, and sum-pool.
 
 TPU-native layout decisions:
-  * int8 rows stored as an [n, d] int8 array (the natural (32,128)-tileable
-    dtype); int4 packed two-per-byte into [n, d/2] uint8 and unpacked with
-    vector bit ops in-kernel — XLA fuses unpack+dequant+pool into the gather.
-  * scale/bias kept as separate fp32 [n] vectors rather than interleaved at
-    the end of each row (ATen's prepack layout) — interleaving would break the
-    dense-tile layout that the MXU/VPU want.
+  * int8 rows stored as uint8 bytes; int4 packed two-per-byte and unpacked
+    with vector bit ops in-kernel — XLA fuses unpack+dequant+pool into the
+    gather.
+  * scale/bias are INLINED as 8 trailing bytes per row (two fp32,
+    bitcast), exactly ATen's rowwise prepack layout. Measured rationale:
+    TPU row gathers are issue-rate bound (~12-18ns per gather regardless
+    of row width), so separate scale/bias vectors cost two EXTRA full
+    gathers per hit — the 3-gather layout ran 47ms per 8192-batch vs
+    ~21ms for one fused-row gather (bench_scripts/infer_bench.py).
 """
 
 from __future__ import annotations
@@ -43,13 +46,18 @@ def quantize_table(table: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
         if d % 2:
             raise ValueError("int4 packing requires an even embedding dim")
         q = (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)  # [n, d/2]
-    # bits are not stored: they are inferred from the packed width
-    # (int4 rows are d/2 bytes wide), keeping the pytree free of static leaves
-    return {"qvals": q, "scale": scale, "bias": lo.astype(np.float32)}
+    # prepack: [data bytes | fp32 scale | fp32 bias] per row — one gather
+    # fetches everything. bits are inferred from the packed width (int8
+    # rows are d+8 bytes, int4 rows d/2+8), keeping the pytree free of
+    # static leaves.
+    sb = np.empty((n, 8), np.uint8)
+    sb[:, :4] = scale.view(np.uint8).reshape(n, 4)
+    sb[:, 4:] = lo.astype(np.float32).view(np.uint8).reshape(n, 4)
+    return {"packed": np.concatenate([q, sb], axis=1)}
 
 
 def infer_bits(qtable: Dict, dim: int) -> int:
-    return 8 if qtable["qvals"].shape[-1] == dim else 4
+    return 8 if qtable["packed"].shape[-1] == dim + 8 else 4
 
 
 def _unpack_int4(q: jax.Array) -> jax.Array:
@@ -68,14 +76,19 @@ def quantized_embedding_bag(
     wt: Optional[jax.Array] = None,
     bits: int = 8,
 ) -> jax.Array:
-    """Gather + dequantize + weighted sum-pool. Pooling is distributive over
-    the affine dequant, but we dequantize per row (not per pooled bag) to
-    match the reference kernels' numerics exactly."""
-    q = jnp.take(qtable["qvals"], idx, axis=0)  # [..., H, d(/2)]
+    """ONE gather per hit fetches [data | scale | bias] (prepacked row),
+    then dequantize + weighted sum-pool in the fused epilogue. Dequant is
+    per row (not per pooled bag) to match the reference kernels' numerics
+    exactly."""
+    row = jnp.take(qtable["packed"], idx, axis=0)  # [..., H, bytes]
+    q = row[..., :-8]
     if bits == 4:
         q = _unpack_int4(q)
-    scale = jnp.take(qtable["scale"], idx, axis=0)[..., None]  # [..., H, 1]
-    bias = jnp.take(qtable["bias"], idx, axis=0)[..., None]
+    sb = jax.lax.bitcast_convert_type(
+        row[..., -8:].reshape(*row.shape[:-1], 2, 4), jnp.float32
+    )  # [..., H, 2]
+    scale = sb[..., 0:1]
+    bias = sb[..., 1:2]
     rows = q.astype(jnp.float32) * scale + bias
     if wt is None:
         return jnp.sum(rows, axis=-2)
@@ -83,15 +96,15 @@ def quantized_embedding_bag(
 
 
 def dequantize_table(qtable: Dict, bits: int) -> np.ndarray:
-    q = np.asarray(qtable["qvals"])
+    packed = np.asarray(qtable["packed"])
+    q = packed[:, :-8]
+    scale = np.ascontiguousarray(packed[:, -8:-4]).view(np.float32)[:, 0]
+    bias = np.ascontiguousarray(packed[:, -4:]).view(np.float32)[:, 0]
     if bits == 4:
         lo = q & 0xF
         hi = q >> 4
         q = np.stack([lo, hi], axis=-1).reshape(q.shape[0], -1)
-    return (
-        q.astype(np.float32) * np.asarray(qtable["scale"])[:, None]
-        + np.asarray(qtable["bias"])[:, None]
-    )
+    return q.astype(np.float32) * scale[:, None] + bias[:, None]
 
 
 # ---------------------------------------------------------------- MLPs

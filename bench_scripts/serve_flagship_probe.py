@@ -1,0 +1,136 @@
+"""Serve the reference's Terabyte config on ONE chip via int4 prepack.
+
+The standard Terabyte run caps tables at --max-ind-range 10M
+(bench/dlrm_s_criteo_terabyte.sh): 26 tables / ~54M rows / 128-dim =
+27.8 GiB fp32. int4 rowwise prepack (ops/quantized.py: 64 data bytes +
+8 inline scale/bias bytes) is logically 72 B/row, PHYSICALLY 128 B/row
+on the TPU's (32,128) u8 tile — still only 6.5 GiB, serving the whole
+model on a single 16 GiB v5e with >9 GiB headroom. (The UNCAPPED 40M
+MLPerf config is 204M rows = 26.1 GiB at the physical tile and needs 2
+chips — or a 16-rows-per-1152B group packing to reach the logical 72
+B/row; see PERF_NOTES.) The state is materialized ON DEVICE (chunked
+donated fills; the host/tunnel never touches it).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python bench_scripts/serve_flagship_probe.py
+"""
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS
+from dlrm_tpu.data.batch import Batch
+
+ITERS = 10
+BS = 8192
+
+
+def main():
+    max_ind_range = 10_000_000  # the terabyte preset's cap
+    cfg = DLRMConfig(
+        embedding_dim=128,
+        table_sizes=tuple(
+            min(int(n), max_ind_range) for n in CRITEO_1TB_COUNTS
+        ),
+        mlp_bot=(13, 512, 256, 128),
+        mlp_top=(1024, 1024, 512, 256, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=1,
+        compute_dtype="bfloat16",
+    )
+    from dlrm_tpu.models.dlrm import DLRMModel
+
+    model = DLRMModel(cfg)
+    n = model.total_rows
+    row_bytes = cfg.embedding_dim // 2 + 8  # int4 data + inline scale/bias
+    print(f"terabyte-config rows: {n} -> int4 prepacked "
+          f"{n * row_bytes / 2**30:.2f} GiB logical, "
+          f"{n * 128 / 2**30:.2f} GiB at the physical u8 tile "
+          f"(fp32 would be {n * 512 / 2**30:.1f} GiB)", flush=True)
+
+    # fixed scale/bias byte pattern (scale=0.01, bias=-1.0) for every row —
+    # representative dequant math without a host-side 104 GiB quantization
+    sb = np.concatenate([
+        np.frombuffer(np.float32(0.01).tobytes(), np.uint8),
+        np.frombuffer(np.float32(-1.0).tobytes(), np.uint8),
+    ])
+
+    chunk = 16_000_000
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, key, start):
+        data = jax.random.randint(
+            key, (chunk, cfg.embedding_dim // 2), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        rows = jnp.concatenate(
+            [data, jnp.broadcast_to(jnp.asarray(sb), (chunk, 8))], axis=1
+        )
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    t0 = time.perf_counter()
+    # exact-size buffer (slicing afterwards would COPY 14.7 GiB); the last
+    # chunk overlap-fills the tail
+    packed = jnp.zeros((n, row_bytes), jnp.uint8)
+    starts = list(range(0, n - chunk, chunk)) + [n - chunk]
+    for i, start in enumerate(starts):
+        packed = fill(packed, jax.random.PRNGKey(i), start)
+    print(f"materialized on device in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    # dense params from a tiny init (the tables above are the real state)
+    small = DLRMConfig(
+        embedding_dim=128, table_sizes=(8,) * 26, mlp_bot=cfg.mlp_bot,
+        mlp_top=cfg.mlp_top, interaction="dot", loss="bce",
+        num_indices_per_lookup=1, compute_dtype="bfloat16",
+    )
+    params = DLRMModel(small).init_params(jax.random.PRNGKey(0))
+    params["emb"] = {"quantized": {"packed": packed}}
+
+    rng = np.random.default_rng(0)
+    idx = np.stack(
+        [rng.integers(0, int(t), (BS, 1)) for t in cfg.table_sizes]
+    ).astype(np.int32)
+    batch = Batch(
+        dense=jnp.asarray(
+            rng.normal(size=(BS, 13)).astype(np.float32)
+        ),
+        idx=jnp.asarray(idx),
+        wt=None,
+        labels=None,
+    )
+
+    @jax.jit
+    def many(p, b):
+        def one(carry, _):
+            acc, bidx = carry
+            probs = model.apply(p, b._replace(idx=bidx))
+            # rotate idx through the carry so LICM cannot hoist the body
+            return (acc + jnp.sum(probs), jnp.roll(bidx, 1, axis=1)), None
+
+        (s, _), _ = jax.lax.scan(
+            one, (jnp.float32(0), b.idx), None, length=ITERS
+        )
+        return s
+
+    t0 = time.perf_counter()
+    s = float(many(params, batch))
+    print(f"compile+first {time.perf_counter()-t0:.1f}s sum={s:.1f}",
+          flush=True)
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    float(many(params, batch))
+    dt = (time.perf_counter() - t0) / ITERS
+    print(
+        f"terabyte int4 serving ({n} rows on ONE chip, bs {BS}, 1-hot): "
+        f"{dt*1e3:.2f} ms/batch, {BS/dt:.0f} examples/s/chip", flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,10 @@ chips — or a 16-rows-per-1152B group packing to reach the logical 72
 B/row; see PERF_NOTES.) The state is materialized ON DEVICE (chunked
 donated fills; the host/tunnel never touches it).
 
+FULL=1 serves the UNCAPPED 204M-row flagship via the group-16 layout
+(ops/quantized.py::pack_group16 — 16 rows per 1152-byte line, zero tile
+waste, one 2-D-start gather per hit): 13.7 GiB on one chip.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python bench_scripts/serve_flagship_probe.py
 """
 
@@ -31,11 +35,15 @@ BS = 8192
 
 
 def main():
-    max_ind_range = 10_000_000  # the terabyte preset's cap
+    import os
+
+    full = bool(os.environ.get("FULL"))
+    max_ind_range = None if full else 10_000_000  # terabyte preset's cap
     cfg = DLRMConfig(
         embedding_dim=128,
         table_sizes=tuple(
-            min(int(n), max_ind_range) for n in CRITEO_1TB_COUNTS
+            int(n) if max_ind_range is None else min(int(n), max_ind_range)
+            for n in CRITEO_1TB_COUNTS
         ),
         mlp_bot=(13, 512, 256, 128),
         mlp_top=(1024, 1024, 512, 256, 1),
@@ -74,12 +82,42 @@ def main():
         return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
     t0 = time.perf_counter()
-    # exact-size buffer (slicing afterwards would COPY 14.7 GiB); the last
-    # chunk overlap-fills the tail
-    packed = jnp.zeros((n, row_bytes), jnp.uint8)
-    starts = list(range(0, n - chunk, chunk)) + [n - chunk]
-    for i, start in enumerate(starts):
-        packed = fill(packed, jax.random.PRNGKey(i), start)
+    if full:
+        # group-16 lines: 16 rows per 72*16=1152-byte line, ZERO u8-tile
+        # waste -> the whole 204M-row state is 13.7 GiB physical
+        line_bytes = 16 * row_bytes
+        n_groups = -(-n // 16)
+        gchunk = 1_000_000  # lines per fill (1.07 GiB temp)
+        cols = np.arange(line_bytes)
+        sb_line = np.zeros(line_bytes, np.uint8)
+        mask_line = (cols % row_bytes) >= row_bytes - 8
+        sb_line[mask_line] = np.tile(sb, 16)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def gfill(buf, key, start):
+            r = jax.random.randint(
+                key, (gchunk, line_bytes), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
+            r = jnp.where(
+                jnp.asarray(mask_line)[None, :], jnp.asarray(sb_line)[None, :], r
+            )
+            return jax.lax.dynamic_update_slice(buf, r, (start, 0))
+
+        packed = jnp.zeros((n_groups, line_bytes), jnp.uint8)
+        gstarts = list(range(0, n_groups - gchunk, gchunk)) + [
+            n_groups - gchunk
+        ]
+        for i, start in enumerate(gstarts):
+            packed = gfill(packed, jax.random.PRNGKey(i), start)
+        print(f"group-16 lines [{n_groups}, {line_bytes}] = "
+              f"{n_groups * line_bytes / 2**30:.2f} GiB physical", flush=True)
+    else:
+        # exact-size buffer (slicing afterwards would COPY it); the last
+        # chunk overlap-fills the tail
+        packed = jnp.zeros((n, row_bytes), jnp.uint8)
+        starts = list(range(0, n - chunk, chunk)) + [n - chunk]
+        for i, start in enumerate(starts):
+            packed = fill(packed, jax.random.PRNGKey(i), start)
     print(f"materialized on device in {time.perf_counter()-t0:.1f}s",
           flush=True)
 
@@ -91,6 +129,26 @@ def main():
     )
     params = DLRMModel(small).init_params(jax.random.PRNGKey(0))
     params["emb"] = {"quantized": {"packed": packed}}
+    row_offsets = jnp.asarray(model.row_offsets)
+
+    if full:
+        from dlrm_tpu.ops.quantized import quantized_embedding_bag_group16
+
+        def forward(p, bidx, dense):
+            flat = bidx + row_offsets[:, None, None]
+            pooled = quantized_embedding_bag_group16(
+                p["emb"]["quantized"]["packed"], flat, None, 128, 4
+            )  # [T, B, d]
+            dp = {k: v for k, v in p.items() if k != "emb"}
+            probs, _ = model.forward_from_pooled(
+                dp, dense, jnp.transpose(pooled, (1, 0, 2))
+            )
+            return probs
+    else:
+        def forward(p, bidx, dense):
+            return model.apply(
+                p, Batch(dense=dense, idx=bidx, wt=None, labels=None)
+            )
 
     rng = np.random.default_rng(0)
     idx = np.stack(
@@ -109,7 +167,7 @@ def main():
     def many(p, b):
         def one(carry, _):
             acc, bidx = carry
-            probs = model.apply(p, b._replace(idx=bidx))
+            probs = forward(p, bidx, b.dense)
             # rotate idx through the carry so LICM cannot hoist the body
             return (acc + jnp.sum(probs), jnp.roll(bidx, 1, axis=1)), None
 
@@ -127,7 +185,8 @@ def main():
     float(many(params, batch))
     dt = (time.perf_counter() - t0) / ITERS
     print(
-        f"terabyte int4 serving ({n} rows on ONE chip, bs {BS}, 1-hot): "
+        f"{'FULL-flagship' if full else 'terabyte'} int4 serving "
+        f"({n} rows on ONE chip, bs {BS}, 1-hot): "
         f"{dt*1e3:.2f} ms/batch, {BS/dt:.0f} examples/s/chip", flush=True,
     )
 

@@ -100,3 +100,31 @@ def test_quantized_mlp_through_model():
     qp = model.quantize_mlps(params, 8)
     got = np.asarray(model.apply(qp, batch))
     assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_group16_lookup_matches_rowwise(bits):
+    """The zero-tile-waste group-16 layout must produce identical lookups
+    to the row-addressable prepacked layout."""
+    from dlrm_tpu.ops import quantized as Q
+
+    rng = np.random.default_rng(0)
+    n, d = 100, 16
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    qt = Q.quantize_table(table, bits)
+    # group16 needs 16*row_bytes % 128 == 0: row_bytes = d(+8)=24 (int8) /
+    # d/2+8=16 (int4) -> 16*24=384, 16*16=256 both fine
+    lines = Q.pack_group16(qt["packed"])
+    idx = rng.integers(0, n, (7, 5)).astype(np.int32)
+    wt = rng.uniform(0.5, 1.5, (7, 5)).astype(np.float32)
+    import jax.numpy as jnp
+
+    want = Q.quantized_embedding_bag(
+        jax.tree_util.tree_map(jnp.asarray, qt), jnp.asarray(idx),
+        jnp.asarray(wt), bits=bits,
+    )
+    got = Q.quantized_embedding_bag_group16(
+        jnp.asarray(lines), jnp.asarray(idx), jnp.asarray(wt), d, bits
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inference-only", action="store_true", default=False)
     p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
     p.add_argument("--quantize-emb-with-bit", type=int, default=32)
+    # TPU extension: pack 16 quantized rows per tile line (zero u8-tile
+    # waste -> 1.78x int4 serving capacity; ops/quantized.py pack_group16)
+    p.add_argument("--quantize-group16", action="store_true", default=False)
     # portable serialized-model export: the reference's --save-onnx writes
     # dlrm_s_pytorch.onnx (dlrm_s_pytorch.py:987, 1828+); the TPU-native
     # interchange format is a serialized StableHLO module (jax.export)
@@ -446,7 +449,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     state = trainer.init_state()
     if args.quantize_emb_with_bit in (4, 8) and args.inference_only:
         state.params = model.quantize_embeddings(
-            state.params, args.quantize_emb_with_bit
+            state.params, args.quantize_emb_with_bit,
+            group16=args.quantize_group16,
         )
     if args.quantize_mlp_with_bit in (8, 16) and args.inference_only:
         state.params = model.quantize_mlps(

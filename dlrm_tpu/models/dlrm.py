@@ -249,16 +249,23 @@ class DLRMModel:
         out["top"] = quantize_mlp(params["top"], bits)
         return out
 
-    def quantize_embeddings(self, params: Params, bits: int) -> Params:
+    def quantize_embeddings(
+        self, params: Params, bits: int, group16: bool = False
+    ) -> Params:
         """Post-training row-wise quantization for inference
         (quantize_embedding, dlrm_s_pytorch.py:465-481): replaces the fp32
-        tables with int8/int4 rows + per-row scale/bias; the fp32 tables are
-        dropped (like the reference sets emb_l = None)."""
-        from dlrm_tpu.ops.quantized import quantize_table
+        tables with int8/int4 prepacked rows (inline per-row scale/bias);
+        the fp32 tables are dropped (like the reference sets emb_l = None).
+        group16=True additionally packs 16 rows per tile line (zero u8-tile
+        waste — 1.78x more table capacity per chip for int4; see
+        ops/quantized.py), fused-stacked tables only."""
+        from dlrm_tpu.ops.quantized import pack_group16, quantize_table
 
         out = dict(params)
         if self.fused:
             q = quantize_table(np.asarray(params["emb"]["stacked"]), bits)
+            if group16:
+                q = {"packed_g16": pack_group16(q["packed"])}
             out["emb"] = {"quantized": jax.tree_util.tree_map(jnp.asarray, q)}
         else:
             entries = []
@@ -306,9 +313,21 @@ class DLRMModel:
             if "v_w" in params:
                 vw = jnp.take(self.pooling_weights(params), flat_idx, axis=0)
                 wt = vw if wt is None else wt * vw
-            pooled = quantized_embedding_bag(
-                qt, flat_idx, wt, bits=infer_bits(qt, cfg.embedding_dim)
-            )  # [T, B, d]
+            if "packed_g16" in qt:
+                from dlrm_tpu.ops.quantized import (
+                    quantized_embedding_bag_group16,
+                )
+
+                d = cfg.embedding_dim
+                lw = qt["packed_g16"].shape[-1] // 16
+                bits = 8 if lw == d + 8 else 4
+                pooled = quantized_embedding_bag_group16(
+                    qt["packed_g16"], flat_idx, wt, d, bits
+                )
+            else:
+                pooled = quantized_embedding_bag(
+                    qt, flat_idx, wt, bits=infer_bits(qt, cfg.embedding_dim)
+                )  # [T, B, d]
             return jnp.transpose(pooled, (1, 0, 2))
         if self.fused:
             if "v_w" in params:

@@ -128,3 +128,27 @@ def test_group16_lookup_matches_rowwise(bits):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_model_group16_inference_matches_rowwise():
+    """model.quantize_embeddings(group16=True) must produce the same
+    inference probabilities as the row-addressable quantized layout."""
+    from dlrm_tpu.config import DLRMConfig, TrainConfig
+    from dlrm_tpu.data.random_data import RandomDataset
+    from dlrm_tpu.models.dlrm import DLRMModel
+
+    cfg = DLRMConfig(
+        embedding_dim=16, table_sizes=(60, 30, 40), mlp_bot=(4, 8, 16),
+        mlp_top=(8, 4, 1), loss="bce", num_indices_per_lookup=4,
+    )
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    hb = RandomDataset(cfg, TrainConfig(mini_batch_size=16, num_batches=1))[0]
+    b = hb.to_device()
+    p_row = model.quantize_embeddings(params, 4)
+    p_g16 = model.quantize_embeddings(params, 4, group16=True)
+    assert "packed_g16" in p_g16["emb"]["quantized"]
+    np.testing.assert_allclose(
+        np.asarray(model.apply(p_g16, b)), np.asarray(model.apply(p_row, b)),
+        rtol=1e-6, atol=1e-6,
+    )

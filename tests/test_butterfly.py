@@ -269,3 +269,44 @@ def test_mixed_butterfly_eval_matches_single_device():
     ev = bf.make_eval_step(p2)
     probs2 = np.asarray(ev(p2, bf.shard_batch(batches[0].to_device())))
     np.testing.assert_allclose(probs1, probs2, atol=1e-5)
+
+
+def test_all_row_wise_butterfly_matches_single_device():
+    """Degenerate mixed plan: a capacity budget tight enough to stripe
+    EVERY table (all slots become dummies, the whole model runs through
+    the psum_scatter path) must still match single-device training."""
+    from dlrm_tpu.parallel.planner import plan_tables
+
+    model = DLRMModel(MIXED_CFG)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    batches, tc = _mixed_data(n_batches=2)
+
+    step1 = make_train_step(model, "sgd")
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state("sgd", p1)
+    for hb in batches:
+        p1, s1, loss1, _ = step1(p1, s1, hb.to_device(), 0.05)
+
+    mesh = make_mesh(data=2, model=4)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # best-effort capacity warning ok
+        bf = ButterflyDLRM(model, mesh, strategy="mixed", capacity_rows=8)
+    assert bf.num_rw == len(MIXED_CFG.table_sizes), (
+        bf.num_rw, bf.placement.table_shard,
+    )
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state("sgd", p2)
+    step2 = bf.make_train_step("sgd", tc.mini_batch_size, p2, s2)
+    for hb in batches:
+        p2, s2, loss2, _ = step2(p2, s2, bf.shard_batch(hb.to_device()), 0.05)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p2u = bf.unshard_params(p2)
+    np.testing.assert_allclose(
+        np.asarray(p1["emb"]["stacked"]),
+        np.asarray(p2u["emb"]["stacked"]),
+        atol=2e-5,
+    )

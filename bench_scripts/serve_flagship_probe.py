@@ -2,18 +2,18 @@
 
 The standard Terabyte run caps tables at --max-ind-range 10M
 (bench/dlrm_s_criteo_terabyte.sh): 26 tables / ~54M rows / 128-dim =
-27.8 GiB fp32. int4 rowwise prepack (ops/quantized.py: 64 data bytes +
+25.8 GiB fp32. int4 rowwise prepack (ops/quantized.py: 64 data bytes +
 8 inline scale/bias bytes) is logically 72 B/row, PHYSICALLY 128 B/row
 on the TPU's (32,128) u8 tile — still only 6.5 GiB, serving the whole
 model on a single 16 GiB v5e with >9 GiB headroom. (The UNCAPPED 40M
 MLPerf config is 204M rows = 26.1 GiB at the physical tile and needs 2
-chips — or a 16-rows-per-1152B group packing to reach the logical 72
-B/row; see PERF_NOTES.) The state is materialized ON DEVICE (chunked
+chips — or the group-16 packing below; see PERF_NOTES.) The state is materialized ON DEVICE (chunked
 donated fills; the host/tunnel never touches it).
 
 FULL=1 serves the UNCAPPED 204M-row flagship via the group-16 layout
 (ops/quantized.py::pack_group16 — 16 rows per 1152-byte line, zero tile
-waste, one 2-D-start gather per hit): 13.7 GiB on one chip.
+waste; one lane-aligned whole-line gather per hit + a 16-way select):
+13.7 GiB on one chip.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python bench_scripts/serve_flagship_probe.py
 """
@@ -37,7 +37,7 @@ BS = 8192
 def main():
     import os
 
-    full = bool(os.environ.get("FULL"))
+    full = os.environ.get("FULL", "0") not in ("", "0")
     max_ind_range = None if full else 10_000_000  # terabyte preset's cap
     cfg = DLRMConfig(
         embedding_dim=128,
@@ -165,14 +165,20 @@ def main():
 
     @jax.jit
     def many(p, b):
+        # BOTH inputs rotate through the carry: anything loop-invariant
+        # (e.g. the bottom MLP on a fixed dense) gets LICM-hoisted out of
+        # the timed loop
         def one(carry, _):
-            acc, bidx = carry
-            probs = forward(p, bidx, b.dense)
-            # rotate idx through the carry so LICM cannot hoist the body
-            return (acc + jnp.sum(probs), jnp.roll(bidx, 1, axis=1)), None
+            acc, bidx, bdense = carry
+            probs = forward(p, bidx, bdense)
+            return (
+                acc + jnp.sum(probs),
+                jnp.roll(bidx, 1, axis=1),
+                jnp.roll(bdense, 1, axis=0),
+            ), None
 
-        (s, _), _ = jax.lax.scan(
-            one, (jnp.float32(0), b.idx), None, length=ITERS
+        (s, _, _), _ = jax.lax.scan(
+            one, (jnp.float32(0), b.idx, b.dense), None, length=ITERS
         )
         return s
 

@@ -286,6 +286,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     mlperf.event(obs.CACHE_CLEAR, value=True)
     mlperf.start(obs.INIT_START)
 
+    if args.quantize_group16 and not (
+        args.quantize_emb_with_bit in (4, 8) and args.inference_only
+    ):
+        sys.exit(
+            "ERROR: --quantize-group16 requires --quantize-emb-with-bit 4|8 "
+            "AND --inference-only (it would otherwise be a silent no-op)"
+        )
+
     if not args.sync_dense_params:
         print(
             "NOTE: --sync-dense-params=False has no effect on TPU — the "

@@ -268,6 +268,11 @@ class DLRMModel:
                 q = {"packed_g16": pack_group16(q["packed"])}
             out["emb"] = {"quantized": jax.tree_util.tree_map(jnp.asarray, q)}
         else:
+            if group16:
+                raise NotImplementedError(
+                    "group16 quantized packing requires the fused stacked "
+                    "layout (plain uniform-width tables)"
+                )
             entries = []
             for entry in params["emb"]["tables"]:
                 if "w" not in entry:
@@ -319,10 +324,8 @@ class DLRMModel:
                 )
 
                 d = cfg.embedding_dim
-                lw = qt["packed_g16"].shape[-1] // 16
-                bits = 8 if lw == d + 8 else 4
                 pooled = quantized_embedding_bag_group16(
-                    qt["packed_g16"], flat_idx, wt, d, bits
+                    qt["packed_g16"], flat_idx, wt, d, infer_bits(qt, d)
                 )
             else:
                 pooled = quantized_embedding_bag(

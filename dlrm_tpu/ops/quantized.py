@@ -57,6 +57,8 @@ def quantize_table(table: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
 
 
 def infer_bits(qtable: Dict, dim: int) -> int:
+    if "packed_g16" in qtable:
+        return 8 if qtable["packed_g16"].shape[-1] // 16 == dim + 8 else 4
     return 8 if qtable["packed"].shape[-1] == dim + 8 else 4
 
 
@@ -70,6 +72,22 @@ def _unpack_int4(q: jax.Array) -> jax.Array:
     return out
 
 
+def _dequant_pool(row: jax.Array, wt: Optional[jax.Array], bits: int):
+    """Shared epilogue over gathered prepacked rows [..., H, bytes]:
+    slice off the 8 trailing scale/bias bytes, dequantize per row (not
+    per pooled bag, matching the reference kernels' numerics), pool."""
+    q = row[..., :-8]
+    if bits == 4:
+        q = _unpack_int4(q)
+    sb = jax.lax.bitcast_convert_type(
+        row[..., -8:].reshape(*row.shape[:-1], 2, 4), jnp.float32
+    )  # [..., H, 2]
+    rows = q.astype(jnp.float32) * sb[..., 0:1] + sb[..., 1:2]
+    if wt is None:
+        return jnp.sum(rows, axis=-2)
+    return jnp.einsum("...hd,...h->...d", rows, wt.astype(rows.dtype))
+
+
 def quantized_embedding_bag(
     qtable: Dict,
     idx: jax.Array,  # [B, H] (or [T, B, H] when stacked/flattened upstream)
@@ -77,22 +95,9 @@ def quantized_embedding_bag(
     bits: int = 8,
 ) -> jax.Array:
     """ONE gather per hit fetches [data | scale | bias] (prepacked row),
-    then dequantize + weighted sum-pool in the fused epilogue. Dequant is
-    per row (not per pooled bag) to match the reference kernels' numerics
-    exactly."""
+    then dequantize + weighted sum-pool in the fused epilogue."""
     row = jnp.take(qtable["packed"], idx, axis=0)  # [..., H, bytes]
-    q = row[..., :-8]
-    if bits == 4:
-        q = _unpack_int4(q)
-    sb = jax.lax.bitcast_convert_type(
-        row[..., -8:].reshape(*row.shape[:-1], 2, 4), jnp.float32
-    )  # [..., H, 2]
-    scale = sb[..., 0:1]
-    bias = sb[..., 1:2]
-    rows = q.astype(jnp.float32) * scale + bias
-    if wt is None:
-        return jnp.sum(rows, axis=-2)
-    return jnp.einsum("...hd,...h->...d", rows, wt.astype(rows.dtype))
+    return _dequant_pool(row, wt, bits)
 
 
 def dequantize_table(qtable: Dict, bits: int) -> np.ndarray:
@@ -174,8 +179,9 @@ def apply_mlp_quantized(layers, x: jax.Array, sigmoid_layer: int = -1):
 # bytes per row, inflating int4's 72-byte prepacked rows 1.78x. Packing 16
 # rows per 1152-byte line (72*16 = 9*128) eliminates the tile waste — the
 # layout that fits the UNCAPPED 204M-row flagship's int4 state (13.7 GiB)
-# on a single 16 GiB chip. Lookup stays ONE gather per hit: an XLA gather
-# with 2-D start indices (group, byte offset) and slice size row_bytes.
+# on a single 16 GiB chip. Lookup stays ONE lane-aligned whole-line
+# gather per hit + a vectorized 16-way select (an unaligned 2-D-start
+# sliced gather lowers ~100x slower — see take_group16).
 
 
 def pack_group16(packed: np.ndarray) -> np.ndarray:
@@ -217,13 +223,4 @@ def quantized_embedding_bag_group16(
 ) -> jax.Array:
     row_bytes = (dim if bits == 8 else dim // 2) + 8
     row = take_group16(lines, idx, row_bytes)
-    q = row[..., :-8]
-    if bits == 4:
-        q = _unpack_int4(q)
-    sb = jax.lax.bitcast_convert_type(
-        row[..., -8:].reshape(*row.shape[:-1], 2, 4), jnp.float32
-    )
-    rows = q.astype(jnp.float32) * sb[..., 0:1] + sb[..., 1:2]
-    if wt is None:
-        return jnp.sum(rows, axis=-2)
-    return jnp.einsum("...hd,...h->...d", rows, wt.astype(rows.dtype))
+    return _dequant_pool(row, wt, bits)

@@ -275,8 +275,6 @@ def test_all_row_wise_butterfly_matches_single_device():
     """Degenerate mixed plan: a capacity budget tight enough to stripe
     EVERY table (all slots become dummies, the whole model runs through
     the psum_scatter path) must still match single-device training."""
-    from dlrm_tpu.parallel.planner import plan_tables
-
     model = DLRMModel(MIXED_CFG)
     params0 = jax.tree_util.tree_map(
         np.asarray, model.init_params(jax.random.PRNGKey(3))

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from dlrm_tpu.config import DLRMConfig
-from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS
+from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS, MULTI_HOT_SIZES
 from dlrm_tpu.data.batch import Batch
 
 ITERS = 10
@@ -38,6 +38,12 @@ def main():
     import os
 
     full = os.environ.get("FULL", "0") not in ("", "0")
+    # MULTIHOT=1: serve with the REAL ragged v2 hot sizes (1..100, 214
+    # hits/sample) instead of 1-hot — tables grouped by hot size so no
+    # padding gathers are paid (the grouped_embedding_bag pattern)
+    multihot = os.environ.get("MULTIHOT", "0") not in ("", "0")
+    hots = MULTI_HOT_SIZES if multihot else (1,) * 26
+    hmax = max(hots)
     max_ind_range = None if full else 10_000_000  # terabyte preset's cap
     cfg = DLRMConfig(
         embedding_dim=128,
@@ -49,7 +55,7 @@ def main():
         mlp_top=(1024, 1024, 512, 256, 1),
         interaction="dot",
         loss="bce",
-        num_indices_per_lookup=1,
+        num_indices_per_lookup=max(MULTI_HOT_SIZES) if multihot else 1,
         compute_dtype="bfloat16",
     )
     from dlrm_tpu.models.dlrm import DLRMModel
@@ -128,31 +134,54 @@ def main():
         num_indices_per_lookup=1, compute_dtype="bfloat16",
     )
     params = DLRMModel(small).init_params(jax.random.PRNGKey(0))
-    params["emb"] = {"quantized": {"packed": packed}}
+    params["emb"] = {
+        "quantized": {("packed_g16" if full else "packed"): packed}
+    }
     row_offsets = jnp.asarray(model.row_offsets)
 
+    # tables grouped by hot size: each group gathers its REAL hits only
+    # (ragged-aware, the grouped_embedding_bag pattern); trivially one
+    # group of hot=1 in the default mode
+    groups = {}
+    for t, h in enumerate(hots):
+        groups.setdefault(int(h), []).append(t)
     if full:
         from dlrm_tpu.ops.quantized import quantized_embedding_bag_group16
 
-        def forward(p, bidx, dense):
-            flat = bidx + row_offsets[:, None, None]
-            pooled = quantized_embedding_bag_group16(
-                p["emb"]["quantized"]["packed"], flat, None, 128, 4
-            )  # [T, B, d]
-            dp = {k: v for k, v in p.items() if k != "emb"}
-            probs, _ = model.forward_from_pooled(
-                dp, dense, jnp.transpose(pooled, (1, 0, 2))
-            )
-            return probs
+        def bag(lines, flat, h):
+            return quantized_embedding_bag_group16(lines, flat, None, 128, 4)
     else:
-        def forward(p, bidx, dense):
-            return model.apply(
-                p, Batch(dense=dense, idx=bidx, wt=None, labels=None)
+        from dlrm_tpu.ops.quantized import quantized_embedding_bag
+
+        def bag(packed, flat, h):
+            return quantized_embedding_bag(
+                {"packed": packed}, flat, None, bits=4
             )
+
+    def forward(p, bidx, dense):
+        store = p["emb"]["quantized"][
+            "packed_g16" if full else "packed"
+        ]
+        parts, order = [], []
+        for h, tabs in sorted(groups.items()):
+            sel = jnp.asarray(tabs, jnp.int32)
+            g_idx = jnp.take(bidx, sel, axis=0)[:, :, :h]
+            flat = g_idx + jnp.take(row_offsets, sel)[:, None, None]
+            parts.append(bag(store, flat, h))  # [Tg, B, d]
+            order += tabs
+        pooled = jnp.concatenate(parts, axis=0)
+        inv = np.zeros(len(order), np.int32)
+        inv[np.asarray(order)] = np.arange(len(order))
+        pooled = jnp.take(pooled, jnp.asarray(inv), axis=0)
+        dp = {k: v for k, v in p.items() if k != "emb"}
+        probs, _ = model.forward_from_pooled(
+            dp, dense, jnp.transpose(pooled, (1, 0, 2))
+        )
+        return probs
 
     rng = np.random.default_rng(0)
     idx = np.stack(
-        [rng.integers(0, int(t), (BS, 1)) for t in cfg.table_sizes]
+        [rng.integers(0, int(t), (BS, hmax)) for t in cfg.table_sizes]
     ).astype(np.int32)
     batch = Batch(
         dense=jnp.asarray(
@@ -192,7 +221,8 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     print(
         f"{'FULL-flagship' if full else 'terabyte'} int4 serving "
-        f"({n} rows on ONE chip, bs {BS}, 1-hot): "
+        f"({n} rows on ONE chip, bs {BS}, "
+        f"{'REAL ragged multi-hot' if multihot else '1-hot'}): "
         f"{dt*1e3:.2f} ms/batch, {BS/dt:.0f} examples/s/chip", flush=True,
     )
 

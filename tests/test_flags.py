@@ -275,3 +275,21 @@ def test_shuffle_samples_vs_shuffle_batches(tmp_path):
     )
     ids_border = sample_ids(border)
     assert sorted(map(tuple, ids_border)) == sorted(map(tuple, ids_plain))
+
+
+def test_enable_profiling_writes_trace(tmp_path):
+    """--enable-profiling must write a jax profiler trace directory (the
+    chrome-trace artifact of dlrm_s_pytorch.py:1794-1806)."""
+    prefix = str(tmp_path / "prof")
+    rc, out = _run_cli(
+        ["--mini-batch-size=2", "--data-size=4", "--enable-profiling",
+         f"--tensor-board-filename={prefix}"]
+    )
+    assert rc == 0
+    assert "profiler trace written" in out
+    assert os.path.isdir(prefix)
+    # a plugin/profile subtree with at least one trace artifact
+    found = []
+    for root, _, files in os.walk(prefix):
+        found += files
+    assert found, f"no trace files under {prefix}"

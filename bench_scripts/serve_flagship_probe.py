@@ -75,7 +75,7 @@ def main():
         np.frombuffer(np.float32(-1.0).tobytes(), np.uint8),
     ])
 
-    chunk = 16_000_000
+    chunk = min(16_000_000, n)  # clamp: small table configs fit one fill
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def fill(buf, key, start):
@@ -93,7 +93,7 @@ def main():
         # waste -> the whole 204M-row state is 13.7 GiB physical
         line_bytes = 16 * row_bytes
         n_groups = -(-n // 16)
-        gchunk = 1_000_000  # lines per fill (1.07 GiB temp)
+        gchunk = min(1_000_000, n_groups)  # lines per fill (1.07 GiB temp)
         cols = np.arange(line_bytes)
         sb_line = np.zeros(line_bytes, np.uint8)
         mask_line = (cols % row_bytes) >= row_bytes - 8
@@ -111,7 +111,7 @@ def main():
 
         packed = jnp.zeros((n_groups, line_bytes), jnp.uint8)
         gstarts = list(range(0, n_groups - gchunk, gchunk)) + [
-            n_groups - gchunk
+            max(0, n_groups - gchunk)
         ]
         for i, start in enumerate(gstarts):
             packed = gfill(packed, jax.random.PRNGKey(i), start)
@@ -121,7 +121,7 @@ def main():
         # exact-size buffer (slicing afterwards would COPY it); the last
         # chunk overlap-fills the tail
         packed = jnp.zeros((n, row_bytes), jnp.uint8)
-        starts = list(range(0, n - chunk, chunk)) + [n - chunk]
+        starts = list(range(0, n - chunk, chunk)) + [max(0, n - chunk)]
         for i, start in enumerate(starts):
             packed = fill(packed, jax.random.PRNGKey(i), start)
     print(f"materialized on device in {time.perf_counter()-t0:.1f}s",

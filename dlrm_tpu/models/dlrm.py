@@ -400,7 +400,7 @@ class DLRMModel:
 
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        quantized = bool(params["bot"]) and "mode" in params["bot"][0]
+        quantized = bool(params["bot"]) and "qw" in params["bot"][0]
         if quantized:
             from dlrm_tpu.ops.quantized import (
                 apply_mlp_quantized,

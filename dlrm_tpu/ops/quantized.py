@@ -130,7 +130,6 @@ def quantize_mlp(layers, bits: int = 8):
             out.append({
                 "qw": jnp.asarray(w, jnp.bfloat16),
                 "b": jnp.asarray(b),
-                "mode": "bf16",
             })
         elif bits == 8:
             scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0  # [out]
@@ -139,7 +138,6 @@ def quantize_mlp(layers, bits: int = 8):
                 "qw": jnp.asarray(q),
                 "w_scale": jnp.asarray(scale, jnp.float32),
                 "b": jnp.asarray(b),
-                "mode": "int8",
             })
         else:
             raise ValueError(f"quantize_mlp bits must be 8 or 16, got {bits}")
@@ -149,8 +147,10 @@ def quantize_mlp(layers, bits: int = 8):
 def quantized_linear(layer, x: jax.Array) -> jax.Array:
     """One quantize_mlp() layer, no activation. int8 mode dynamically
     quantizes the activations per batch (symmetric per-tensor, like torch's
-    dynamic qint8 Linear) and runs the matmul in int8 on the MXU."""
-    if layer["mode"] == "bf16":
+    dynamic qint8 Linear) and runs the matmul in int8 on the MXU. The mode
+    is inferred structurally (int8 layers carry "w_scale") so the pytree
+    holds only arrays and stays jittable."""
+    if "w_scale" not in layer:
         return jnp.dot(
             x.astype(jnp.bfloat16), layer["qw"],
             preferred_element_type=jnp.float32,

@@ -234,27 +234,38 @@ class ButterflyDLRM:
     def shard_batch(self, batch: Batch) -> Batch:
         """idx/wt: [T_pad, B, H] tables sharded over model, batch over data;
         dense/labels: batch sharded over (data, model); row-wise tables'
-        idx/wt replicated over model (every shard masks its row range)."""
-        num_t, b, h = batch.idx.shape
+        idx/wt replicated over model (every shard masks its row range).
+
+        Grad-accumulation groups arrive stacked on a leading axis
+        ([k, T, B, H] — built by harness._group_batches); the group axis
+        stays unsharded and every spec shifts right by one."""
+        grouped = batch.idx.ndim == 4
+        num_t, b, h = batch.idx.shape[-3:]
         idx = np.asarray(batch.idx)
         wt = (
             np.asarray(batch.wt)
             if batch.wt is not None
-            else np.ones((num_t, b, h), np.float32)
+            else np.ones(idx.shape, np.float32)
         )
+        tax = 1 if grouped else 0  # table axis
+        g = (None,) if grouped else ()
         kw = {}
         if self.num_rw:
             kw = dict(
-                idx_rw=self._put(idx[self.rw_ids], P(None, "data")),
-                wt_rw=self._put(wt[self.rw_ids], P(None, "data")),
+                idx_rw=self._put(
+                    np.take(idx, self.rw_ids, axis=tax), P(*g, None, "data")
+                ),
+                wt_rw=self._put(
+                    np.take(wt, self.rw_ids, axis=tax), P(*g, None, "data")
+                ),
             )
         # shard-major table order so P("model") slices line up with ownership
-        idx, wt = self._pad_reorder_sparse(idx, wt, num_t, b, h)
+        idx, wt = self._pad_reorder_sparse(idx, wt, num_t, axis=tax)
         return Batch(
-            dense=self._put(batch.dense, P(("data", "model"))),
-            idx=self._put(idx, P("model", "data")),
-            wt=self._put(wt, P("model", "data")),
-            labels=self._put(batch.labels, P(("data", "model"))),
+            dense=self._put(batch.dense, P(*g, ("data", "model"))),
+            idx=self._put(idx, P(*g, "model", "data")),
+            wt=self._put(wt, P(*g, "model", "data")),
+            labels=self._put(batch.labels, P(*g, ("data", "model"))),
             **kw,
         )
 
@@ -380,14 +391,21 @@ class ButterflyDLRM:
         )
         return loss, probs, dpooled, new_dense, new_dense_state
 
-    def _pad_reorder_sparse(self, idx, wt, num_t, b, h):
-        """Pad [T,B,H] idx/wt with dummy tables and reorder shard-major.
+    def _pad_reorder_sparse(self, idx, wt, num_t, axis: int = 0):
+        """Pad idx/wt with dummy tables (on `axis`) and reorder shard-major.
         Row-wise tables (never referenced by shard_major_order) drop out."""
         pad_t = self.num_ids - num_t
         if pad_t:
-            idx = np.concatenate([idx, np.zeros((pad_t, b, h), idx.dtype)])
-            wt = np.concatenate([wt, np.zeros((pad_t, b, h), wt.dtype)])
-        return idx[self.shard_major_order], wt[self.shard_major_order]
+            shape = list(idx.shape)
+            shape[axis] = pad_t
+            idx = np.concatenate(
+                [idx, np.zeros(shape, idx.dtype)], axis=axis
+            )
+            wt = np.concatenate([wt, np.zeros(shape, wt.dtype)], axis=axis)
+        return (
+            np.take(idx, self.shard_major_order, axis=axis),
+            np.take(wt, self.shard_major_order, axis=axis),
+        )
 
     def make_train_step(
         self, optimizer: str, global_batch: int, params, opt_state,
@@ -551,6 +569,210 @@ class ButterflyDLRM:
             mesh=mesh,
             in_specs=tuple(in_specs),
             out_specs=(pspec, ospec, P(), P(("data", "model"))),
+            check_vma=False,
+        )
+        local_off = self._put(self.local_offsets_shard_major, P("model"))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch: Batch, lr):
+            rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            return step(
+                params, opt_state, batch.dense, batch.idx, batch.wt,
+                batch.labels, local_off, jnp.float32(lr), *rw,
+            )
+
+        return train_step
+
+    def make_grad_accum_train_step(
+        self, optimizer: str, global_batch: int, accum_iters: int,
+        params, opt_state, eps: float = None,
+    ):
+        """Gradient accumulation COMPOSED with the sharded butterfly step
+        (--sharded --mlperf-grad-accum-iter N; reference composes these at
+        dlrm_s_pytorch.py:1017, 1604-1621 under distributed_forward).
+
+        Micro-batches arrive stacked on a leading axis (shard_batch grouped
+        layout). Inside the shard_map a lax.scan runs the forward + dense
+        backward per micro-batch, accumulating dense grads and collecting the
+        pooled-activation cotangents; then ONE coalesced sparse update
+        applies all micro-batches' hits — mirroring
+        fused_step.make_fused_grad_accum_train_step so sharded == single-
+        device numerics (same mean-over-accum scaling, accumulator advances
+        once per optimizer step). `global_batch` is the PER-MICRO-BATCH
+        global size."""
+        cfg = self.cfg
+        mesh = self.mesh
+        has_rw = self.num_rw > 0
+        if "v_w" in params or optimizer not in (
+            "sgd", "adagrad", "rwsadagrad",
+        ):
+            raise NotImplementedError(
+                "sharded grad accumulation requires the fused sparse path "
+                "(plain tables without learned pooling; sgd/adagrad/"
+                "rwsadagrad)"
+            )
+
+        from dlrm_tpu.ops.sparse_update import (
+            apply_sparse_adagrad,
+            apply_sparse_rowwise_adagrad,
+            apply_sparse_sgd,
+            per_hit_gradients,
+        )
+        from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
+        eps_v = ADAGRAD_EPS if eps is None else float(eps)
+
+        def device_fn(params, opt_state, dense_k, idx_k, wt_k, labels_k,
+                      off_l, lr, *rw):
+            idx_rw_k, wt_rw_k = rw if has_rw else (None, None)
+            emb_l = params["emb"]["stacked"]
+            dense_params = {k: v for k, v in params.items() if k != "emb"}
+
+            def one(dgsum, micro):
+                dense_l, idx_l, wt_l, labels_l = micro[:4]
+                flat_idx = idx_l + off_l[:, None, None]
+                rows_v = jnp.take(emb_l, flat_idx, axis=0)
+                pooled = jnp.einsum(
+                    "tbhd,tbh->tbd", rows_v, wt_l.astype(rows_v.dtype)
+                )
+                if has_rw:
+                    idx_rw_l, wt_rw_l = micro[4:]
+                    loc_rw, wt_rw_eff = self._rw_local_hits(
+                        params, idx_rw_l, wt_rw_l
+                    )
+                    rows_rw = jnp.take(emb_l, loc_rw, axis=0)
+                    pooled_rw = jnp.einsum(
+                        "tbhd,tbh->tbd", rows_rw,
+                        wt_rw_eff.astype(rows_rw.dtype),
+                    )
+                    pooled = (pooled, pooled_rw)
+
+                def rest(dp, pooled_in):
+                    probs, logits = self._tail_from_pooled(
+                        {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
+                    )
+                    per = per_example_loss(cfg, probs, labels_l, logits)
+                    return jnp.sum(per) / global_batch, probs
+
+                (loss_local, _), (dgrads, dpooled) = jax.value_and_grad(
+                    rest, argnums=(0, 1), has_aux=True
+                )(dense_params, pooled)
+                dgsum = jax.tree_util.tree_map(jnp.add, dgsum, dgrads)
+                return dgsum, (loss_local, dpooled, flat_idx)
+
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), dense_params
+            )
+            xs = (dense_k, idx_k, wt_k, labels_k)
+            if has_rw:
+                xs = xs + (idx_rw_k, wt_rw_k)
+            dgsum, (loss_locals, dpooleds, flat_idxs) = jax.lax.scan(
+                one, zero, xs
+            )
+            loss = jax.lax.psum(
+                jnp.mean(loss_locals), ("data", "model")
+            )
+            dgrads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ("data", "model")) / accum_iters,
+                dgsum,
+            )
+            if optimizer == "sgd":
+                dense_state = {"step": opt_state["step"]}
+            else:
+                dense_state = {
+                    "step": opt_state["step"],
+                    "accum": {
+                        k: v
+                        for k, v in opt_state["accum"].items()
+                        if k != "emb"
+                    },
+                }
+            new_dense, new_dense_state = apply_updates(
+                optimizer, dense_params, dgrads, dense_state, lr, eps=eps_v
+            )
+
+            # ---- one coalesced sparse update over ALL micro-batches' hits:
+            # merge the group axis into the batch axis, then the same
+            # all-gather + masked-scatter tail as the non-accum fused step
+            def merge_k(x):  # [k, t, b, ...] -> [t, k*b, ...]
+                x = jnp.moveaxis(x, 0, 1)
+                return x.reshape(x.shape[0], -1, *x.shape[3:])
+
+            if has_rw:
+                dpooleds, dpooleds_rw = dpooleds
+            dp_all = jax.lax.all_gather(
+                merge_k(dpooleds) / accum_iters, "data", axis=1, tiled=True
+            )  # [t_local, k*B, d]
+            idx_all = jax.lax.all_gather(
+                merge_k(flat_idxs), "data", axis=1, tiled=True
+            )
+            wt_all = jax.lax.all_gather(
+                merge_k(wt_k), "data", axis=1, tiled=True
+            )
+            if has_rw:
+                dp_rw_all = jax.lax.all_gather(
+                    merge_k(dpooleds_rw) / accum_iters, "data", axis=1,
+                    tiled=True,
+                )
+                idx_rw_all = jax.lax.all_gather(
+                    merge_k(idx_rw_k), "data", axis=1, tiled=True
+                )
+                wt_rw_all = jax.lax.all_gather(
+                    merge_k(wt_rw_k), "data", axis=1, tiled=True
+                )
+                loc_all, wt_rw_eff_all = self._rw_local_hits(
+                    params, idx_rw_all, wt_rw_all
+                )
+                dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
+                idx_all = jnp.concatenate([idx_all, loc_all], axis=0)
+                wt_all = jnp.concatenate([wt_all, wt_rw_eff_all], axis=0)
+            rows, g = per_hit_gradients(
+                jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
+                jnp.zeros((idx_all.shape[0],), jnp.int32),
+            )
+            if optimizer == "sgd":
+                new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
+                new_state = {"step": new_dense_state["step"]}
+            else:
+                acc_l = opt_state["accum"]["emb"]["stacked"]
+                fn = (
+                    apply_sparse_rowwise_adagrad
+                    if optimizer == "rwsadagrad"
+                    else apply_sparse_adagrad
+                )
+                new_emb, new_acc = fn(
+                    emb_l, acc_l, rows, g, lr, eps=eps_v
+                )
+                new_state = {
+                    "step": new_dense_state["step"],
+                    "accum": {
+                        **new_dense_state["accum"],
+                        "emb": {"stacked": new_acc},
+                    },
+                }
+            new_params = dict(new_dense)
+            new_params["emb"] = {"stacked": new_emb}
+            return new_params, new_state, loss, None
+
+        pspec = _tree_specs(params)
+        ospec = _tree_specs(opt_state)
+        in_specs = [
+            pspec,
+            ospec,
+            P(None, ("data", "model")),
+            P(None, "model", "data"),
+            P(None, "model", "data"),
+            P(None, ("data", "model")),
+            P("model"),
+            P(),
+        ]
+        if has_rw:
+            in_specs += [P(None, None, "data"), P(None, None, "data")]
+        step = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(pspec, ospec, P(), None),
             check_vma=False,
         )
         local_off = self._put(self.local_offsets_shard_major, P("model"))

@@ -59,14 +59,17 @@ class GspmdDLRM:
 
     def _shard_tree(self, tree):
         rep = NamedSharding(self.mesh, P())
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: (
-                self._put_row_sharded(leaf)
-                if _is_row_shardable(path, leaf)
-                else jax.device_put(leaf, rep)
-            ),
-            tree,
-        )
+
+        def put(path, leaf):
+            if not hasattr(leaf, "ndim") and not isinstance(
+                leaf, (int, float, complex, bool)
+            ):
+                return leaf  # static leaves (e.g. quantized-MLP mode tags)
+            if _is_row_shardable(path, leaf):
+                return self._put_row_sharded(leaf)
+            return jax.device_put(leaf, rep)
+
+        return jax.tree_util.tree_map_with_path(put, tree)
 
     def shard_params(self, params):
         return self._shard_tree(params)

@@ -238,7 +238,7 @@ class StreamButterfly(ButterflyDLRM):
                 item_row0=self._put(stack("item_row0"), spec_m),
                 item_u=self._put(stack("item_u"), spec_m),
             )
-        idx, wt = self._pad_reorder_sparse(idx, wt, num_t, b, h)
+        idx, wt = self._pad_reorder_sparse(idx, wt, num_t)
         return Batch(
             dense=self._put(hb.dense, P(("data", "model"))),
             idx=self._put(idx, P("model", "data")),

@@ -27,10 +27,13 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
+
+SAVE_ID_KEY = "__save_id__"
 
 
 def _flatten_with_paths(tree, to_numpy: bool = True) -> Dict[str, Any]:
@@ -118,10 +121,32 @@ def save_checkpoint(
             rank = start // block
             per_shard.setdefault(rank, {})[key] = np.asarray(sh.data)
 
+    # ---- crash consistency: a checkpoint directory is rewritten in place on
+    # every save-on-best, and its files (arrays.npz + per-shard npz) replace
+    # independently — so a crash mid-save could otherwise leave a silently
+    # loadable mix of two optimizer steps. Every file is stamped with one
+    # save id; meta.json (carrying the id) is written LAST, after a global
+    # barrier, and load_checkpoint verifies every file it reads against it.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        seed = np.frombuffer(uuid.uuid4().bytes[:8], np.int64)
+        seed = multihost_utils.broadcast_one_to_all(seed)
+        save_id = f"{int(seed[0]) & (2**63 - 1):016x}"
+    else:
+        save_id = uuid.uuid4().hex
+    stamp = np.frombuffer(save_id.encode(), np.uint8)
+
+    def _atomic_json(name: str, obj) -> None:
+        tmp = os.path.join(path, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, os.path.join(path, name))
+
     def _atomic_npz(name: str, arrays: Dict[str, np.ndarray]) -> None:
         tmp = os.path.join(path, f".{name}.tmp")
         with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
+            np.savez(f, **{SAVE_ID_KEY: stamp}, **arrays)
         os.replace(tmp, os.path.join(path, name))
 
     # replicated files get a single writer too (process 0) — on a shared
@@ -129,17 +154,42 @@ def save_checkpoint(
     if jax.process_index() == 0:
         _atomic_npz("arrays.npz", replicated)
         if manifest:
-            with open(os.path.join(path, "sharding.json"), "w") as f:
-                json.dump(manifest, f, indent=1)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta or {}, f, indent=1)
+            _atomic_json("sharding.json", manifest)
     for rank, arrays in per_shard.items():
         _atomic_npz(f"shard_{rank:05d}.npz", arrays)
+    if jax.process_count() > 1:
+        from dlrm_tpu.parallel.multihost import barrier
+
+        barrier("ckpt_save")  # every writer's files durable before commit
+    if jax.process_index() == 0:
+        _atomic_json("meta.json", {**(meta or {}), "save_id": save_id})
 
 
-def _load_flat(path: str) -> Tuple[Dict[str, Any], Dict[str, int]]:
+def _check_save_id(z, fname: str, expect_id: Optional[str]) -> None:
+    if expect_id is None:
+        return  # pre-save-id checkpoint format
+    got = (
+        bytes(np.asarray(z[SAVE_ID_KEY])).decode()
+        if SAVE_ID_KEY in z.files
+        else None
+    )
+    if got != expect_id:
+        raise ValueError(
+            f"checkpoint is inconsistent: {fname} carries save id {got!r} "
+            f"but meta.json committed {expect_id!r} — the directory mixes "
+            "files from different saves (interrupted save?); restore from "
+            "a complete checkpoint"
+        )
+
+
+def _load_flat(
+    path: str, expect_id: Optional[str] = None
+) -> Tuple[Dict[str, Any], Dict[str, int]]:
     with np.load(os.path.join(path, "arrays.npz")) as z:
-        flat: Dict[str, Any] = {k: z[k] for k in z.files}
+        _check_save_id(z, "arrays.npz", expect_id)
+        flat: Dict[str, Any] = {
+            k: z[k] for k in z.files if k != SAVE_ID_KEY
+        }
     manifest: Dict[str, int] = {}
     mpath = os.path.join(path, "sharding.json")
     if os.path.exists(mpath):
@@ -151,10 +201,12 @@ def _load_flat(path: str) -> Tuple[Dict[str, Any], Dict[str, int]]:
 class _ShardedEntry:
     """Lazy per-block view of one sharded checkpoint array."""
 
-    def __init__(self, path: str, key: str, num_shards: int):
+    def __init__(self, path: str, key: str, num_shards: int,
+                 expect_id: Optional[str] = None):
         self.path = path
         self.key = key
         self.num_shards = num_shards
+        self.expect_id = expect_id
         self._blocks: Dict[int, np.ndarray] = {}
         # probe block 0 for geometry
         b0 = self.block(0)
@@ -166,6 +218,7 @@ class _ShardedEntry:
         if rank not in self._blocks:
             fname = os.path.join(self.path, f"shard_{rank:05d}.npz")
             with np.load(fname) as z:
+                _check_save_id(z, os.path.basename(fname), self.expect_id)
                 self._blocks[rank] = z[self.key]
         return self._blocks[rank]
 
@@ -183,9 +236,16 @@ def load_checkpoint(
     """Templates may be host arrays (leaves load as numpy; sharded entries
     concatenate) or sharded jax.Arrays (sharded entries assemble in place
     via make_array_from_callback — no host-full copy)."""
-    flat, manifest = _load_flat(path)
+    meta_path = os.path.join(path, "meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    expect_id = meta.pop("save_id", None)  # internal; not part of caller meta
+    flat, manifest = _load_flat(path, expect_id)
     entries = {
-        key: _ShardedEntry(path, key, int(m)) for key, m in manifest.items()
+        key: _ShardedEntry(path, key, int(m), expect_id)
+        for key, m in manifest.items()
     }
 
     def _resolve(template):
@@ -228,9 +288,4 @@ def load_checkpoint(
         }
         if oresolved:
             opt_state = _unflatten_like(opt_state_template, oresolved)
-    meta_path = os.path.join(path, "meta.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
     return params, opt_state, meta

@@ -189,7 +189,17 @@ class Trainer:
         tc = self.tc
         state = state or self.init_state()
         if tc.inference_only:
-            self.evaluate(state)
+            # the reference's inference-only run prints the accuracy line
+            # via inference() (dlrm_s_pytorch.py:873-898, invoked at :1458)
+            results = self.evaluate(state)
+            acc = results.get("accuracy", 0.0)
+            line = (
+                f"Testing at - {state.total_iter}/{state.total_iter} of "
+                f"epoch {state.epoch}, accuracy {acc * 100:.3f} %"
+            )
+            if tc.mlperf_logging and "roc_auc" in results:
+                line += f", auc {results['roc_auc']:.6f}"
+            print(line)
             return state
         # the INIT block opened by the CLI (CACHE_CLEAR + INIT_START,
         # dlrm_s_pytorch.py:1036-1040) closes when training begins; then the

@@ -242,3 +242,34 @@ def test_sharded_checkpoint_no_host_gather(tmp_path):
         np.asarray(params0["emb"]["stacked"]),
         atol=0,
     )
+
+
+def test_mixed_save_detected(tmp_path):
+    """A directory mixing files from two different saves must refuse to load
+    (ADVICE r2: independent per-file replacement is not atomic as a unit)."""
+    import shutil
+
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(str(tmp_path / "a"), params, meta={"epoch": 1})
+    ckpt.save_checkpoint(str(tmp_path / "b"), params, meta={"epoch": 2})
+    # simulate a crash between arrays.npz and meta.json: arrays from save a,
+    # committed meta from save b
+    shutil.copy(tmp_path / "a" / "arrays.npz", tmp_path / "b" / "arrays.npz")
+    with pytest.raises(ValueError, match="inconsistent"):
+        ckpt.load_checkpoint(str(tmp_path / "b"), params)
+
+
+def test_pre_save_id_checkpoint_still_loads(tmp_path):
+    """Old checkpoints (no save_id in meta.json) load without the check."""
+    import json as _json
+
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(str(tmp_path / "ck"), params, meta={"epoch": 3})
+    mpath = tmp_path / "ck" / "meta.json"
+    meta = _json.loads(mpath.read_text())
+    del meta["save_id"]
+    mpath.write_text(_json.dumps(meta))
+    p2, _, meta2 = ckpt.load_checkpoint(str(tmp_path / "ck"), params)
+    assert meta2["epoch"] == 3

@@ -200,31 +200,86 @@ def plan_tables(
         # the stream butterfly pays for its common per-slot plan geometry
         # (every shard's slot j is sized for the largest table in that
         # slot across shards).
-        order = sorted(range(num_t), key=lambda t: (-sizes[t], t))
-        slot_lists: List[List[int]] = [[] for _ in range(num_shards)]
-        assign = [0] * num_t
-        for rank, t in enumerate(order):
-            s = rank % num_shards
-            assign[t] = s
-            slot_lists[s].append(t)
-        local_off = [0] * num_t
-        shard_fill = [0] * num_shards
-        for s in range(num_shards):
-            for t in slot_lists[s]:
-                local_off[t] = shard_fill[s]
-                shard_fill[s] += _round_up(sizes[t], _ROW_ALIGN)
-        shard_rows = _round_up(
-            max(shard_fill) if shard_fill else _ROW_ALIGN, _ROW_ALIGN
-        )
+        #
+        # With rw_threshold / capacity_rows the plan composes with row-wise
+        # striping exactly like "mixed": over-budget tables get an equal
+        # slice on every shard (rw region first), the rest are size_rr
+        # slotted — this is what lets the STREAM butterfly hold the 40M-row
+        # flagship outliers (torchrec_dlrm/README.MD:45-53) as striped
+        # stream slots instead of excluding them.
+        is_rw = [False] * num_t
+        if rw_threshold is not None:
+            thr = int(rw_threshold)
+            is_rw = [n > thr and n >= num_shards for n in sizes]
+
+        def _layout_rr(is_rw):
+            rw_slice = [0] * num_t
+            rw_off = [0] * num_t
+            fill = 0
+            for t in range(num_t):
+                if not is_rw[t]:
+                    continue
+                rw_slice[t] = int(np.ceil(sizes[t] / num_shards))
+                rw_off[t] = fill
+                fill += _round_up(rw_slice[t], _ROW_ALIGN)
+            rw_region = fill
+            tw = [t for t in range(num_t) if not is_rw[t]]
+            order = sorted(tw, key=lambda t: (-sizes[t], t))
+            slot_lists: List[List[int]] = [[] for _ in range(num_shards)]
+            assign = [-1] * num_t
+            for rank, t in enumerate(order):
+                s = rank % num_shards
+                assign[t] = s
+                slot_lists[s].append(t)
+            local_off = [0] * num_t
+            shard_fill = [0] * num_shards
+            for s in range(num_shards):
+                for t in slot_lists[s]:
+                    local_off[t] = rw_region + shard_fill[s]
+                    shard_fill[s] += _round_up(sizes[t], _ROW_ALIGN)
+            shard_rows = _round_up(
+                max(rw_region + (max(shard_fill) if shard_fill else 0),
+                    _ROW_ALIGN),
+                _ROW_ALIGN,
+            )
+            return (rw_slice, rw_off, assign, local_off, shard_rows,
+                    slot_lists)
+
+        out = _layout_rr(is_rw)
+        if capacity_rows is not None:
+            while out[4] > int(capacity_rows) and not all(
+                is_rw[t] or sizes[t] < num_shards for t in range(num_t)
+            ):
+                cand = max(
+                    (t for t in range(num_t)
+                     if not is_rw[t] and sizes[t] >= num_shards),
+                    key=lambda t: sizes[t],
+                )
+                is_rw[cand] = True
+                out = _layout_rr(is_rw)
+            if out[4] > int(capacity_rows):
+                import warnings
+
+                warnings.warn(
+                    f"size_rr plan cannot meet capacity_rows="
+                    f"{capacity_rows}: best-effort shard_rows={out[4]} even "
+                    "with every eligible table row-wise striped",
+                    stacklevel=2,
+                )
+        rw_slice, rw_off, assign, local_off, shard_rows, slot_lists = out
         return TablePlacement(
             table_sizes=tuple(sizes),
             num_shards=num_shards,
             strategy="size_rr",
             table_shard=tuple(assign),
             global_offsets=tuple(
-                assign[t] * shard_rows + local_off[t] for t in range(num_t)
+                rw_off[t]
+                if is_rw[t]
+                else assign[t] * shard_rows + local_off[t]
+                for t in range(num_t)
             ),
             shard_rows=int(shard_rows),
+            rw_slice=tuple(rw_slice) if any(is_rw) else (),
             slots=tuple(tuple(x) for x in slot_lists),
         )
 
@@ -273,7 +328,7 @@ def build_stacked(
     for t, w in enumerate(tables):
         n = w.shape[0]
         if placement.strategy == "row_wise" or (
-            placement.strategy == "mixed" and placement.rw_slice[t] > 0
+            placement.rw_slice and placement.rw_slice[t] > 0
         ):
             rows_per = placement.slice_len(t)
             for s in range(S):
@@ -295,7 +350,7 @@ def extract_table(
     """Recover table t's rows from the stacked layout (checkpoint export)."""
     n = placement.table_sizes[t]
     if placement.strategy == "row_wise" or (
-        placement.strategy == "mixed" and placement.rw_slice[t] > 0
+        placement.rw_slice and placement.rw_slice[t] > 0
     ):
         S = placement.num_shards
         rows_per = placement.slice_len(t)
@@ -315,7 +370,7 @@ def extract_table(
 def global_index_map(placement: TablePlacement):
     """Returns f(table_id, local_idx)->global_row as numpy arrays, usable both
     host-side and (as static constants) inside jit."""
-    if placement.strategy in ("row_wise", "mixed"):
+    if placement.strategy == "row_wise" or placement.rw_slice:
         S = placement.num_shards
         rows_per = np.asarray(
             [max(1, placement.slice_len(t)) for t in range(len(placement.table_sizes))],

@@ -24,8 +24,17 @@ size rank (size_rr — slot j holds comparably-sized tables on every shard)
 and each slot is sized/hotted for the largest table occupying it anywhere;
 smaller tables fill the extra hot columns with weight-0 hits, which are
 exact no-ops through pooling and the update kernels. Skewed table sizes
-and ragged per-table hot sizes are therefore supported; the remaining
-restriction is learned pooling weights (v_w -> fused butterfly).
+and ragged per-table hot sizes are therefore supported.
+
+Tables too big for one shard (rw_threshold / capacity_rows) are ROW-WISE
+STRIPED: each shard holds an equal row slice as an extra stream slot after
+the table-wise ones. Forward masks hits to the shard's row range and
+reduces partial pools with psum_scatter (exactly the fused mixed plan,
+butterfly.py); backward streams only the slice — the host U-layout build
+masks each shard's work to its own rows, so per-shard update cost scales
+down with the stripe. This is what trains the 40M-row flagship outliers
+(torchrec_dlrm/README.MD:45-53) on the streamed (fastest) path. The
+remaining restriction is learned pooling weights (v_w -> fused butterfly).
 """
 
 from __future__ import annotations
@@ -55,11 +64,19 @@ class StreamButterfly(ButterflyDLRM):
                  batch_size: int, table_dtype=jnp.float32,
                  stochastic_round: Optional[bool] = None,
                  mm_dtype=jnp.bfloat16, interpret: bool = False,
-                 hot_sizes=None):
+                 hot_sizes=None, rw_threshold: Optional[int] = None,
+                 capacity_rows: Optional[int] = None):
         # size_rr assignment: slot j holds comparably-sized tables on every
         # shard, so the common per-slot plan geometry (max size / max hot
-        # per slot) pays minimal padding on skewed configs
-        super().__init__(model, mesh, strategy="size_rr")
+        # per slot) pays minimal padding on skewed configs.
+        # rw_threshold / capacity_rows additionally stripe over-budget
+        # tables ROW-WISE across the model shards: each shard holds (and
+        # streams) only its row slice as an extra stream slot — the layout
+        # that trains the 40M-row flagship outliers on the streamed path
+        # (torchrec_dlrm/README.MD:45-53; VERDICT r2 next-round #1).
+        super().__init__(model, mesh, strategy="size_rr",
+                         rw_threshold=rw_threshold,
+                         capacity_rows=capacity_rows)
         cfg = model.cfg
         if cfg.weighted_pooling is not None:
             raise NotImplementedError(
@@ -105,12 +122,31 @@ class StreamButterfly(ButterflyDLRM):
             slot_hots.append(
                 max(self.hots_all[t] for t in real) if real else 1
             )
+        # row-wise striped tables become EXTRA stream slots after the
+        # table-wise ones: slot t_local+i holds table rw_ids[i]'s per-shard
+        # row slice — identical geometry on every shard (equal slices), so
+        # the common plan still holds. Forward masks hits to the shard's
+        # row range (+psum_scatter); the update streams only the slice.
+        for i, t in enumerate(self.rw_ids):
+            slot_sizes.append(int(self.rw_slice[i]))
+            slot_hots.append(self.hots_all[int(t)])
         self.local_sizes = tuple(slot_sizes)
         self.slot_hots = tuple(slot_hots)
+        self.n_slots = self.t_local + self.num_rw
         self.plan = make_stream_plan(
             self.local_sizes, cfg.embedding_dim, batch_size,
             self.slot_hots, block_rows=block_rows,
         )
+        if self.num_rw:
+            # the forward's masked lookup addresses rw slices at their
+            # STREAM offsets, not the parent placement's
+            self.rw_off = np.asarray(
+                [
+                    self.plan.padded_offsets[self.t_local + i]
+                    for i in range(self.num_rw)
+                ],
+                dtype=np.int32,
+            )
 
     # --------------------------------------------------------------- layout
 
@@ -132,6 +168,16 @@ class StreamButterfly(ButterflyDLRM):
                     self.plan.padded_offsets[j] : self.plan.padded_offsets[j]
                     + n
                 ] = stacked[off : off + n]
+            for i, t in enumerate(self.rw_ids):
+                t = int(t)
+                off = int(self.model.row_offsets[t])
+                n = cfg.table_sizes[t]
+                sl = int(self.rw_slice[i])
+                lo, hi = s * sl, min(n, (s + 1) * sl)
+                if lo >= hi:
+                    continue
+                dst = self.plan.padded_offsets[self.t_local + i]
+                buf[dst : dst + (hi - lo)] = stacked[off + lo : off + hi]
             shards.append(buf)
         relaid = np.concatenate(shards, axis=0).astype(self.table_dtype)
         out = dict(params)
@@ -162,6 +208,19 @@ class StreamButterfly(ButterflyDLRM):
                 n = cfg.table_sizes[t]
                 off = self.plan.padded_offsets[j]
                 out_tables[t] = buf[off : off + n]
+        for i, t in enumerate(self.rw_ids):
+            t = int(t)
+            n = cfg.table_sizes[t]
+            sl = int(self.rw_slice[i])
+            off = self.plan.padded_offsets[self.t_local + i]
+            parts = []
+            for s in range(self.msize):
+                lo, hi = s * sl, min(n, (s + 1) * sl)
+                if lo >= hi:
+                    break
+                base = s * self.plan.padded_rows + off
+                parts.append(stacked[base : base + (hi - lo)])
+            out_tables[t] = np.concatenate(parts, axis=0)
         out = dict(params)
         out["emb"] = {
             "stacked": jnp.asarray(np.concatenate(out_tables, axis=0))
@@ -212,8 +271,8 @@ class StreamButterfly(ButterflyDLRM):
             hmax = max(max(self.slot_hots), h)
             works = []
             for s in range(self.msize):
-                idx_s = np.zeros((self.t_local, b, hmax), np.int32)
-                wt_s = np.zeros((self.t_local, b, hmax), np.float32)
+                idx_s = np.zeros((self.n_slots, b, hmax), np.int32)
+                wt_s = np.zeros((self.n_slots, b, hmax), np.float32)
                 for j, t in enumerate(self.shard_tables[s]):
                     if t >= num_t:
                         continue
@@ -221,6 +280,21 @@ class StreamButterfly(ButterflyDLRM):
                     wt_s[j, :, :h] = wt[t]
                     # a table smaller-hotted than its slot pads the extra
                     # columns with weight-0 hits (exact no-ops)
+                    ht = self.hots_all[t]
+                    if ht < hmax:
+                        wt_s[j, :, ht:] = 0.0
+                # row-wise striped slots: each shard streams only the hits
+                # landing in ITS row slice; foreign hits are localized to
+                # row 0 with weight 0 (exact no-ops through the kernels),
+                # so the global update covers every hit exactly once
+                for i, t in enumerate(self.rw_ids):
+                    t = int(t)
+                    sl = int(self.rw_slice[i])
+                    lo = s * sl
+                    own = (idx[t] >= lo) & (idx[t] < lo + sl)
+                    j = self.t_local + i
+                    idx_s[j, :, :h] = np.where(own, idx[t] - lo, 0)
+                    wt_s[j, :, :h] = wt[t] * own
                     ht = self.hots_all[t]
                     if ht < hmax:
                         wt_s[j, :, ht:] = 0.0
@@ -238,6 +312,15 @@ class StreamButterfly(ButterflyDLRM):
                 item_row0=self._put(stack("item_row0"), spec_m),
                 item_u=self._put(stack("item_u"), spec_m),
             )
+        kw = {}
+        if self.num_rw:
+            # the forward's view of the striped tables: hits replicated over
+            # "model" (every shard masks its own row range, like the fused
+            # mixed plan)
+            kw = dict(
+                idx_rw=self._put(idx[self.rw_ids], P(None, "data")),
+                wt_rw=self._put(wt[self.rw_ids], P(None, "data")),
+            )
         idx, wt = self._pad_reorder_sparse(idx, wt, num_t)
         return Batch(
             dense=self._put(hb.dense, P(("data", "model"))),
@@ -245,13 +328,18 @@ class StreamButterfly(ButterflyDLRM):
             wt=self._put(wt, P("model", "data")),
             labels=self._put(hb.labels, P(("data", "model"))),
             stream=stream,
+            **kw,
         )
 
     # ----------------------------------------------------------------- steps
 
     def _local_offsets(self):
-        # table j of every shard starts at the same (uniform) plan offset
-        offs = np.asarray(self.plan.padded_offsets, np.int32)
+        # table j of every shard starts at the same (uniform) plan offset;
+        # only the TABLE-WISE slots — the forward addresses rw slices
+        # through self.rw_off (_rw_local_hits)
+        offs = np.asarray(
+            self.plan.padded_offsets[: self.t_local], np.int32
+        )
         return self._put(np.tile(offs, self.msize), P("model"))
 
     def make_train_step(self, optimizer: str, global_batch: int, params,
@@ -259,11 +347,13 @@ class StreamButterfly(ButterflyDLRM):
         cfg = self.cfg
         mesh = self.mesh
         plan = self.plan
+        has_rw = self.num_rw > 0
         if optimizer not in ("sgd", "adagrad", "rwsadagrad"):
             raise ValueError(f"optimizer {optimizer!r} not supported")
 
         def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
-                      off_l, sw, lr):
+                      off_l, sw, lr, *rw):
+            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
             emb_l = params["emb"]["stacked"]  # [padded_rows, d] local shard
             flat_idx = idx_l + off_l[:, None, None]
             rows_v = jnp.take(emb_l, flat_idx, axis=0)
@@ -271,18 +361,40 @@ class StreamButterfly(ButterflyDLRM):
                 rows_v * wt_l[..., None].astype(rows_v.dtype), axis=2,
                 dtype=jnp.float32,
             ).astype(rows_v.dtype)  # [t_local, b_d, d]
+            if has_rw:
+                loc_rw, wt_rw_eff = self._rw_local_hits(
+                    params, idx_rw_l, wt_rw_l
+                )
+                rows_rw = jnp.take(emb_l, loc_rw, axis=0)
+                pooled_rw = jnp.einsum(
+                    "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
+                )  # partial sums (this shard's rows only)
+                pooled = (pooled, pooled_rw)
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
                     optimizer, global_batch, params, opt_state, emb_l,
                     pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )
+            if has_rw:
+                # AD through psum_scatter all-gathers the cotangent over
+                # "model": every shard sees the striped tables' FULL pooled
+                # grad for its data slice
+                dpooled, dpooled_rw = dpooled
 
             # every table replica sees every data group's hits (same
             # exchange as the fused path), then streams its local shard
             dp_all = jax.lax.all_gather(
                 dpooled, "data", axis=1, tiled=True
             )  # [t_local, B, d]
+            if has_rw:
+                dp_rw_all = jax.lax.all_gather(
+                    dpooled_rw, "data", axis=1, tiled=True
+                )  # [T_rw, B, d]
+                # striped slots follow the tw slots in the stream plan; the
+                # host-built U-layout masked their hits to this shard's row
+                # slice, so the streamed update touches each hit once
+                dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
             g_u = gather_grads(
                 dp_all.astype(jnp.float32), sw.vals_u[0], sw.wts_u[0],
                 sw.w2t[0],
@@ -319,20 +431,23 @@ class StreamButterfly(ButterflyDLRM):
         pspec = _tree_specs(params)
         ospec = _tree_specs(opt_state)
         sspec = StreamArrays(*([P("model")] * len(StreamArrays._fields)))
+        in_specs = [
+            pspec,
+            ospec,
+            P(("data", "model")),
+            P("model", "data"),
+            P("model", "data"),
+            P(("data", "model")),
+            P("model"),
+            sspec,
+            P(),
+        ]
+        if has_rw:
+            in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(
-                pspec,
-                ospec,
-                P(("data", "model")),
-                P("model", "data"),
-                P("model", "data"),
-                P(("data", "model")),
-                P("model"),
-                sspec,
-                P(),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=(pspec, ospec, P(), P(("data", "model"))),
             check_vma=False,
         )
@@ -340,30 +455,38 @@ class StreamButterfly(ButterflyDLRM):
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
+            rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
             return step(
                 params, opt_state, batch.dense, batch.idx, batch.wt,
-                batch.labels, local_off, batch.stream, jnp.float32(lr),
+                batch.labels, local_off, batch.stream, jnp.float32(lr), *rw,
             )
 
         return train_step
 
     def make_eval_step(self, params):
         mesh = self.mesh
+        has_rw = self.num_rw > 0
 
-        def device_fn(params, dense_l, idx_l, wt_l, off_l):
-            return self._forward_local(params, dense_l, idx_l, wt_l, off_l)[0]
+        def device_fn(params, dense_l, idx_l, wt_l, off_l, *rw):
+            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+            return self._forward_local(
+                params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
+            )[0]
 
         pspec = _tree_specs(params)
+        in_specs = [
+            pspec,
+            P(("data", "model")),
+            P("model", "data"),
+            P("model", "data"),
+            P("model"),
+        ]
+        if has_rw:
+            in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(
-                pspec,
-                P(("data", "model")),
-                P("model", "data"),
-                P("model", "data"),
-                P("model"),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=P(("data", "model")),
             check_vma=False,
         )
@@ -371,6 +494,9 @@ class StreamButterfly(ButterflyDLRM):
 
         @jax.jit
         def eval_step(params, batch: Batch):
-            return step(params, batch.dense, batch.idx, batch.wt, local_off)
+            rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            return step(
+                params, batch.dense, batch.idx, batch.wt, local_off, *rw
+            )
 
         return eval_step

@@ -8,6 +8,12 @@ multi-hot sparse features, 128-dim embeddings, rowwise Adagrad fused into
 the embedding backward — the config of the best published A100 number
 (~148.8k examples/s/chip, torchrec_dlrm/README.MD:51-53, see BASELINE.md).
 
+HEADLINE = the REAL MLPerf v2 multi-hot distribution (per-table hot sizes
+1..100, 215 hits/sample — torchrec_dlrm's Criteo config), not the uniform
+8-hot shape: VERDICT r2 weak #3 called the uniform number the less honest
+one. The uniform H=8 rate is measured in the same run and reported inside
+the metric text for continuity with BENCH_r01/r02.
+
 Path under test: the streamed U-layout kernels (ops/stream_kernels.py) with
 bfloat16 tables + stochastic-rounding updates, XLA gather forward/grads,
 local batch 16384 — the SAME local batch as the reference's best number
@@ -22,14 +28,34 @@ import numpy as np
 
 BASELINE_EXAMPLES_PER_SEC_PER_CHIP = 148_800.0  # best 8xA100 v2 number / 8
 
+# the real MLPerf v2 Criteo multi-hot sizes (torchrec_dlrm README/config)
+V2_HOT_SIZES = (3, 2, 1, 2, 6, 1, 1, 1, 1, 7, 3, 8, 1, 6, 9, 5, 1, 1, 1,
+                12, 100, 27, 10, 3, 1, 1)
 
-def main():
+BATCH = 16384
+ITERS = 102  # 34 cycles over the 3 staged batch contents
+WARMUP = 3
+K_STAGED = 3
+
+
+def _measure(hot_sizes) -> float:
+    """Sustained examples/s/chip for one hot-size shape (uniform int or
+    per-table tuple): individually dispatched steps with loop-carried
+    params, and in every dispatch gap the host builds a fresh batch's
+    U-layout with the native builder (native/stream_work.cc) — the
+    producer-side work DevicePrefetcher overlaps with device compute.
+    Completion is forced by fetching the last step's scalar loss, which
+    transitively depends on every step."""
     import jax
     import jax.numpy as jnp
 
     from dlrm_tpu.config import DLRMConfig
-    from dlrm_tpu.data.random_data import fixed_multihot_batch
+    from dlrm_tpu.data.random_data import (
+        fixed_multihot_batch,
+        ragged_multihot_batch,
+    )
     from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.ops.stream_plan import build_stream_work
     from dlrm_tpu.train.stream_step import (
         cast_emb,
         init_stream_opt_state,
@@ -38,7 +64,8 @@ def main():
         plan_for_model,
     )
 
-    batch_size = 16384
+    ragged = isinstance(hot_sizes, tuple)
+    hmax = max(hot_sizes) if ragged else hot_sizes
     cfg = DLRMConfig(
         embedding_dim=128,
         # 26 Criteo-like tables; sizes capped so tables + optimizer state fit
@@ -48,11 +75,14 @@ def main():
         mlp_top=(1024, 1024, 512, 256, 1),
         interaction="dot",
         loss="bce",
-        num_indices_per_lookup=8,
+        num_indices_per_lookup=hmax,
         compute_dtype="bfloat16",
     )
     model = DLRMModel(cfg)
-    plan = plan_for_model(model, batch_size, block_rows=2048)
+    plan = plan_for_model(
+        model, BATCH, block_rows=2048,
+        hot_sizes=hot_sizes if ragged else None,
+    )
     params = cast_emb(
         pad_params(model.init_params(jax.random.PRNGKey(0)), model, plan),
         jnp.bfloat16,
@@ -64,9 +94,6 @@ def main():
         mm_dtype=jnp.bfloat16, stochastic_round=True,
     )
 
-    from dlrm_tpu.ops.stream_plan import build_stream_work
-
-    rng = np.random.default_rng(0)
     # K distinct device-resident batches (the tunnel in this environment
     # caps H2D at ~39 MB/s — a pure artifact; a co-located host moves the
     # ~45 MB/step over PCIe DMA in ~2 ms — so batches are staged up
@@ -74,75 +101,82 @@ def main():
     # unit_weights: wts_u is never built or shipped — the step derives it
     # on device from rows_u != -1 (25% fewer staged bytes, 1/3 less host
     # build work).
-    k_staged = 3
     staged = []
-    for i in range(k_staged):
-        staged.append(
-            fixed_multihot_batch(
-                np.random.default_rng(100 + i), cfg.num_dense,
-                cfg.table_sizes, batch_size, cfg.num_indices_per_lookup,
+    for i in range(K_STAGED):
+        rng_i = np.random.default_rng(100 + i)
+        hb = (
+            ragged_multihot_batch(
+                rng_i, cfg.num_dense, cfg.table_sizes, hot_sizes, BATCH
             )
-            .with_stream_work(plan, unit_weights=True)
-            .to_device()
+            if ragged
+            else fixed_multihot_batch(
+                rng_i, cfg.num_dense, cfg.table_sizes, BATCH, hmax
+            )
+        )
+        staged.append(
+            hb.with_stream_work(plan, unit_weights=True).to_device()
         )
 
-    # SUSTAINED measurement (not a device-only ceiling): individually
-    # dispatched steps with loop-carried params, and in every dispatch gap
-    # the host builds a fresh batch's U-layout with the native builder
-    # (native/stream_work.cc) — the producer-side work DevicePrefetcher
-    # overlaps with device compute. Completion is forced by fetching the
-    # last step's scalar loss, which transitively depends on every step.
-    # Host-side index pool: a sliding window gives each build distinct
-    # content without paying rng in the loop.
-    h = cfg.num_indices_per_lookup
-    pool = np.stack(
-        [
-            rng.integers(0, n, (batch_size * h + 4096,), dtype=np.int64)
-            for n in cfg.table_sizes
-        ]
-    ).astype(np.int32)
+    # Host-side index pool: a sliding window gives each dispatch-gap build
+    # distinct content without paying rng in the loop. Only each table's
+    # REAL hot columns are written (the native builder reads plan.hot[t]
+    # columns; the padding columns never exist on the host side).
+    rng = np.random.default_rng(0)
+    hots = hot_sizes if ragged else (hmax,) * len(cfg.table_sizes)
+    pool = [
+        rng.integers(0, n, (BATCH * h + 4096,), dtype=np.int64).astype(
+            np.int32
+        )
+        for n, h in zip(cfg.table_sizes, hots)
+    ]
+    idx_buf = np.zeros((len(cfg.table_sizes), BATCH, hmax), np.int32)
 
     def host_build(i):
         off = (i * 61) % 4096
-        idx = np.ascontiguousarray(
-            pool[:, off : off + batch_size * h].reshape(
-                len(cfg.table_sizes), batch_size, h
+        for t, h in enumerate(hots):
+            idx_buf[t, :, :h] = pool[t][off : off + BATCH * h].reshape(
+                BATCH, h
             )
-        )
-        return build_stream_work(plan, idx, None, skip_wts=True)
+        return build_stream_work(plan, idx_buf, None, skip_wts=True)
 
-    iters = 102  # 34 cycles over the 3 staged batch contents
-    warmup = 3
     lr = 0.01
     p, s = params, opt_state
     loss = None
-    for i in range(warmup):  # compile + pipeline warm
-        p, s, loss, _ = step(p, s, staged[i % k_staged], lr)
+    for i in range(WARMUP):  # compile + pipeline warm
+        p, s, loss, _ = step(p, s, staged[i % K_STAGED], lr)
         host_build(i)
     float(loss)
     t0 = time.perf_counter()
-    for i in range(iters):
-        p, s, loss, _ = step(p, s, staged[i % k_staged], lr)
+    for i in range(ITERS):
+        p, s, loss, _ = step(p, s, staged[i % K_STAGED], lr)
         host_build(i)  # overlapped with the in-flight device steps
     last = float(loss)
     dt = time.perf_counter() - t0
     assert np.isfinite(last), f"non-finite loss {last}"
+    return BATCH * ITERS / dt
 
-    examples_per_sec = batch_size * iters / dt
+
+def main():
+    ragged_rate = _measure(V2_HOT_SIZES)
+    uniform_rate = _measure(8)
     print(
         json.dumps(
             {
                 "metric": (
                     "sustained_train_examples_per_sec_per_chip (DLRM-v2 "
-                    "dot, 26x200k tables, d=128, H=8, bs=16384, "
+                    "dot, 26x200k tables, d=128, bs=16384, REAL ragged "
+                    "multi-hot 1..100 / 215 hits-per-sample, "
                     "rowwise-adagrad, streamed bf16 tables; 102 steps, "
                     "per-step host U-layout build in the measured window, "
-                    "3 distinct device-staged batches)"
+                    "3 distinct device-staged batches; uniform-H8 shape "
+                    f"same run: {uniform_rate:.0f} ex/s/chip = "
+                    f"{uniform_rate / BASELINE_EXAMPLES_PER_SEC_PER_CHIP:.3f}x"
+                    " baseline)"
                 ),
-                "value": round(examples_per_sec, 1),
+                "value": round(ragged_rate, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(
-                    examples_per_sec / BASELINE_EXAMPLES_PER_SEC_PER_CHIP, 4
+                    ragged_rate / BASELINE_EXAMPLES_PER_SEC_PER_CHIP, 4
                 ),
             }
         )

@@ -76,9 +76,7 @@ def main() -> None:
     labels = rng.integers(0, 2, (b_global, 1)).astype(np.float32)
     lo = rank * (b_global // nproc)
     hi = lo + b_global // nproc
-    idx_p, wt_p = bf._pad_reorder_sparse(
-        idx, wt, cfg.num_tables, b_global, h
-    )
+    idx_p, wt_p = bf._pad_reorder_sparse(idx, wt, cfg.num_tables)
     local = Batch(
         dense=dense[lo:hi],
         idx=idx_p[:, lo:hi],
@@ -107,9 +105,7 @@ def main() -> None:
     p2 = bf2.shard_params(params0)
     s2 = init_opt_state("sgd", p2)
     step2 = bf2.make_train_step("sgd", b_global, p2, s2)
-    idx_p2, wt_p2 = bf2._pad_reorder_sparse(
-        idx, wt, cfg.num_tables, b_global, h
-    )
+    idx_p2, wt_p2 = bf2._pad_reorder_sparse(idx, wt, cfg.num_tables)
     local2 = Batch(
         dense=dense[lo:hi],
         idx=idx_p2[:, lo:hi],

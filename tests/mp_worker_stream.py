@@ -1,0 +1,112 @@
+"""Worker for the 2-process STREAM-butterfly + sharded-checkpoint test
+(launched by tests/test_multiprocess.py). VERDICT r2 next-round #6: the
+stream butterfly and the sharded checkpoint writer-election /
+make_array_from_callback logic are multi-process BY DESIGN but had only
+run single-process. Here: real jax.distributed rendezvous, one striped
+stream-butterfly train step across 2 processes, save a sharded checkpoint
+(writer election + save-id broadcast + cross-process barrier), load it
+back through sharded templates (each process reads the blocks it
+addresses), and prove the restored state continues identically."""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid, nproc, port, ckpt_dir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    )
+    from dlrm_tpu.parallel.multihost import barrier, init_multihost
+
+    rank = init_multihost(f"localhost:{port}", nproc, pid)
+    assert rank == pid and jax.process_count() == nproc
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.random_data import ragged_multihot_batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.stream_butterfly import StreamButterfly
+    from dlrm_tpu.train import checkpoint as ckpt
+
+    cfg = DLRMConfig(
+        embedding_dim=128,
+        table_sizes=(1300, 120, 640, 48),
+        mlp_bot=(8, 16, 128),
+        mlp_top=(64, 8, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=3,
+    )
+    hots = (2, 1, 3, 1)
+    b_global = 16
+    model = DLRMModel(cfg)
+    # data axis spans the two processes, model axis stays within-process
+    mesh = make_mesh(data=nproc, model=2)
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=b_global, interpret=True,
+        mm_dtype=jax.numpy.float32, hot_sizes=hots, rw_threshold=700,
+    )
+    assert sb.num_rw == 1, "the 1300-row table must stripe"
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    params = sb.shard_params(params0)
+    opt_state = sb.init_opt_state("rwsadagrad", params)
+    step = sb.make_train_step("rwsadagrad", b_global, params, opt_state)
+
+    # replicated host loading (the v1 pattern): every process builds the
+    # same global batch + U-layout work; device_put slices locally
+    hb = ragged_multihot_batch(
+        np.random.default_rng(7), cfg.num_dense, cfg.table_sizes, hots,
+        b_global,
+    )
+    batch = sb.shard_batch(hb)
+
+    barrier("pre-stream-step")
+    params, opt_state, loss, _ = step(params, opt_state, batch, 0.05)
+    loss = float(loss)
+    assert np.isfinite(loss)
+    barrier("post-stream-step")
+    print(f"MPSTREAMLOSS rank={rank} loss={loss:.8f}", flush=True)
+
+    # ---- sharded checkpoint across processes: writer election (one
+    # writer per model block across data replicas), save-id broadcast,
+    # commit barrier; then load through SHARDED templates
+    # (make_array_from_callback — each process reads only what it needs)
+    ckpt.save_checkpoint(ckpt_dir, params, opt_state, meta={"it": 1})
+    barrier("post-save")
+    lp, ls, meta = ckpt.load_checkpoint(ckpt_dir, params, opt_state)
+    assert meta["it"] == 1
+
+    # the restored state must continue EXACTLY like the live state
+    batch2 = sb.shard_batch(
+        ragged_multihot_batch(
+            np.random.default_rng(8), cfg.num_dense, cfg.table_sizes, hots,
+            b_global,
+        )
+    )
+    barrier("pre-resume-step")
+    _, _, loss_live, _ = step(params, opt_state, batch2, 0.05)
+    _, _, loss_resumed, _ = step(lp, ls, batch2, 0.05)
+    barrier("post-resume-step")
+    assert float(loss_live) == float(loss_resumed), (
+        float(loss_live), float(loss_resumed),
+    )
+    print(f"MPRESUMELOSS rank={rank} loss={float(loss_resumed):.8f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,139 @@ def test_two_process_butterfly_step():
         0.05,
     )
     np.testing.assert_allclose(losses[0], float(loss), rtol=2e-5)
+
+
+def test_two_process_stream_butterfly_and_sharded_checkpoint(tmp_path):
+    """VERDICT r2 next-round #6: the striped stream butterfly and the
+    sharded checkpoint (writer election, save-id broadcast,
+    make_array_from_callback load) across 2 REAL processes. Both ranks
+    must agree, the loss must match a single-process StreamButterfly run
+    of the same global batch, and the restored state must continue
+    identically (asserted inside the worker)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    ckpt_dir = str(tmp_path / "mp_ckpt")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker_stream.py"),
+             str(pid), "2", str(port), ckpt_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+    losses, resumed = [], []
+    for out in outs:
+        m = re.search(r"MPSTREAMLOSS rank=\d loss=([\d.]+)", out)
+        assert m, out
+        losses.append(float(m.group(1)))
+        m2 = re.search(r"MPRESUMELOSS rank=\d loss=([\d.]+)", out)
+        assert m2, out
+        resumed.append(float(m2.group(1)))
+    assert losses[0] == losses[1], losses
+    assert resumed[0] == resumed[1], resumed
+    # the checkpoint directory committed consistently
+    assert os.path.exists(os.path.join(ckpt_dir, "meta.json"))
+    assert os.path.exists(os.path.join(ckpt_dir, "sharding.json"))
+
+    # single-process oracle: same model/global-batch in THIS process (the
+    # conftest mesh has 8 devices -> 2x4; the global loss is mesh-shape
+    # independent)
+    import jax
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.random_data import ragged_multihot_batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.stream_butterfly import StreamButterfly
+
+    cfg = DLRMConfig(
+        embedding_dim=128,
+        table_sizes=(1300, 120, 640, 48),
+        mlp_bot=(8, 16, 128),
+        mlp_top=(64, 8, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=3,
+    )
+    hots = (2, 1, 3, 1)
+    model = DLRMModel(cfg)
+    mesh = make_mesh(data=2, model=4)
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=16, interpret=True,
+        mm_dtype=jax.numpy.float32, hot_sizes=hots, rw_threshold=700,
+    )
+    params = sb.shard_params(
+        jax.tree_util.tree_map(
+            np.asarray, model.init_params(jax.random.PRNGKey(3))
+        )
+    )
+    opt_state = sb.init_opt_state("rwsadagrad", params)
+    step = sb.make_train_step("rwsadagrad", 16, params, opt_state)
+    hb = ragged_multihot_batch(
+        np.random.default_rng(7), cfg.num_dense, cfg.table_sizes, hots, 16
+    )
+    _, _, loss, _ = step(params, opt_state, sb.shard_batch(hb), 0.05)
+    np.testing.assert_allclose(losses[0], float(loss), rtol=2e-5)
+
+
+def test_global_batch_helpers_stream_roundtrip():
+    """VERDICT r2 weak #7: the stream branch of global_batch_from_* had no
+    test. Single-process over the 8-device mesh: both helpers must
+    assemble a stream-carrying Batch whose every leaf round-trips
+    bit-exact (single-process local shard == global array)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from dlrm_tpu.config import DLRMConfig
+    from dlrm_tpu.data.random_data import fixed_multihot_batch
+    from dlrm_tpu.models.dlrm import DLRMModel
+    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.multihost import (
+        global_batch_from_local_shard,
+        global_batch_from_replicated,
+    )
+    from dlrm_tpu.train.stream_step import plan_for_model
+
+    cfg = DLRMConfig(
+        embedding_dim=128,
+        table_sizes=(640, 1280),
+        mlp_bot=(8, 16, 128),
+        mlp_top=(64, 8, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=2,
+    )
+    model = DLRMModel(cfg)
+    plan = plan_for_model(model, 16)
+    hb = fixed_multihot_batch(
+        np.random.default_rng(0), cfg.num_dense, cfg.table_sizes, 16, 2
+    ).with_stream_work(plan)
+    host = hb.to_device()  # jnp arrays, single device
+    mesh = make_mesh(data=8, model=1)
+    specs = (P("data"), P(None, "data"), P(None, "data"), P("data"))
+    for helper in (global_batch_from_replicated, global_batch_from_local_shard):
+        got = helper(mesh, host, specs)
+        assert got.stream is not None
+        for name in type(host.stream)._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.stream, name)),
+                np.asarray(getattr(host.stream, name)),
+            )
+        np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(host.idx))
+        np.testing.assert_array_equal(
+            np.asarray(got.dense), np.asarray(host.dense)
+        )

@@ -44,6 +44,11 @@ class Batch(NamedTuple):
     # table-sharded (dlrm_tpu/parallel/butterfly.py mixed path).
     idx_rw: Optional[jax.Array] = None  # [T_rw, B, H] int32
     wt_rw: Optional[jax.Array] = None  # [T_rw, B, H] float32
+    # Column-wise tables' indices also ship replicated over "model": every
+    # shard holds ALL rows (a feature slice of each), so it gathers every
+    # hit with no remap and contributes a d/m-wide partial pool.
+    idx_cw: Optional[jax.Array] = None  # [T_cw, B, H] int32
+    wt_cw: Optional[jax.Array] = None  # [T_cw, B, H] float32
 
     @property
     def batch_size(self) -> int:

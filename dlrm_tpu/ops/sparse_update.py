@@ -133,11 +133,20 @@ def sgd_from_coalesced(table, urows, G, valid, lr):
 
 
 def rowwise_adagrad_from_coalesced(
-    table, accum, urows, G, valid, lr, eps: float = ADAGRAD_EPS
+    table, accum, urows, G, valid, lr, eps: float = ADAGRAD_EPS,
+    row_sq=None,
 ):
     """Exact RWSAdagrad row update (optim/rwsadagrad.py:117-143):
-    acc_r += mean(G_r^2); row -= lr * G_r / (sqrt(acc_r) + eps)."""
-    m = jnp.mean(jnp.square(G), axis=1) * valid
+    acc_r += mean(G_r^2); row -= lr * G_r / (sqrt(acc_r) + eps).
+
+    row_sq overrides the local mean(G^2) per row — used by column-wise
+    sharded tables, where each shard holds only d/m columns and the FULL-row
+    mean is a psum over the model axis (butterfly._cw_update)."""
+    m = (
+        row_sq * valid
+        if row_sq is not None
+        else jnp.mean(jnp.square(G), axis=1) * valid
+    )
     accum = accum.at[urows].add(
         m.astype(accum.dtype), indices_are_sorted=True, unique_indices=True,
         mode=_DROP,

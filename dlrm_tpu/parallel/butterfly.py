@@ -62,6 +62,7 @@ class ButterflyDLRM:
         strategy: str = "round_robin",
         rw_threshold: Optional[int] = None,
         capacity_rows: Optional[int] = None,
+        cw_tables=None,
     ):
         """strategy: 'round_robin' (v1 parity, dlrm_s_pytorch.py:636),
         'table_wise' (LPT packing), or 'mixed' (TorchRec-planner-style:
@@ -82,8 +83,32 @@ class ButterflyDLRM:
         self.placement = plan_tables(
             cfg.table_sizes, self.msize, strategy=strategy,
             rw_threshold=rw_threshold, capacity_rows=capacity_rows,
+            cw_tables=cw_tables,
         )
         num_t = cfg.num_tables
+        # ---- column-wise tables: separate [cw_rows, d] array sharded on the
+        # FEATURE dim (TorchRec CW, dlrm_main.py:654-667). Each shard pools
+        # a d/msize-wide partial for ALL hits; one a2a (split batch, concat
+        # feature) assembles full-width vectors — 1/msize the a2a payload of
+        # a table-wise slot, in exchange for gathering every hit on every
+        # shard (worth it only for very hot / very wide tables; PARITY.md).
+        self.cw_ids = np.asarray(self.placement.cw_tables(), dtype=np.int32)
+        self.num_cw = len(self.cw_ids)
+        self.cw_off = np.asarray(
+            [
+                self.placement.cw_offsets[
+                    self.placement.cw_ids.index(int(t))
+                ]
+                for t in self.cw_ids
+            ],
+            dtype=np.int32,
+        )
+        if self.num_cw and cfg.embedding_dim % self.msize:
+            raise ValueError(
+                f"column-wise sharding needs embedding_dim "
+                f"({cfg.embedding_dim}) divisible by the model axis "
+                f"({self.msize})"
+            )
         # ---- row-wise striped tables (mixed plan): every shard holds an
         # equal slice; lookups are masked-local + psum_scatter over "model"
         self.rw_ids = np.asarray(self.placement.rw_tables(), dtype=np.int32)
@@ -125,13 +150,16 @@ class ButterflyDLRM:
         self.shard_major_order = np.asarray(order, dtype=np.int32)  # [t_pad]
         self.local_offsets_shard_major = np.asarray(local_off, dtype=np.int32)
         # merge permutation: original table t <- position in
-        # concat([a2a output (t_pad slots, shard-major), rw tables])
+        # concat([a2a output (t_pad slots, shard-major), rw tables, cw tables])
         slot_of = {int(t): i for i, t in enumerate(order)}
         merge = np.zeros(num_t, dtype=np.int32)
         for i, r in enumerate(self.rw_ids):
             merge[int(r)] = self.t_pad + i
+        for i, c in enumerate(self.cw_ids):
+            merge[int(c)] = self.t_pad + self.num_rw + i
+        special = {int(r) for r in self.rw_ids} | {int(c) for c in self.cw_ids}
         for t in range(num_t):
-            if t not in set(int(r) for r in self.rw_ids):
+            if t not in special:
                 merge[t] = slot_of[t]
         self.merge_perm = merge  # [num_t] -> index into concat
 
@@ -146,9 +174,14 @@ class ButterflyDLRM:
 
     def shard_params(self, params):
         """Re-lay single-device params into the sharded placement layout."""
-        from dlrm_tpu.parallel.planner import build_stacked
+        from dlrm_tpu.parallel.planner import build_cw_stacked, build_stacked
 
         cfg = self.cfg
+        if self.num_cw and "v_w" in params:
+            raise NotImplementedError(
+                "column-wise sharding does not compose with learned "
+                "per-row pooling weights (v_w is row-laid-out)"
+            )
         stacked = np.asarray(params["emb"]["stacked"])
         tables = []
         for t, n in enumerate(cfg.table_sizes):
@@ -157,6 +190,10 @@ class ButterflyDLRM:
         relaid = build_stacked(self.placement, tables)
         out = dict(params)
         out["emb"] = {"stacked": self._put(relaid, P("model"))}
+        if self.num_cw:
+            out["emb"]["cw_stacked"] = self._put(
+                build_cw_stacked(self.placement, tables), P(None, "model")
+            )
         if "v_w" in params:
             vw = np.asarray(params["v_w"])
             vtabs = []
@@ -194,6 +231,8 @@ class ButterflyDLRM:
         }
         emb_acc = opt_state["accum"].get("emb", {}).get("stacked")
         if emb_acc is not None:
+            from dlrm_tpu.parallel.planner import build_cw_stacked
+
             a = np.asarray(emb_acc)
             tabs = []
             for t, n in enumerate(cfg.table_sizes):
@@ -204,17 +243,36 @@ class ButterflyDLRM:
             if a.ndim == 1:
                 relaid = relaid[:, 0]
             accum["emb"] = {"stacked": self._put(relaid, P("model"))}
+            if self.num_cw:
+                cw_acc = build_cw_stacked(self.placement, tabs)
+                if a.ndim == 1:
+                    # rwsadagrad per-row accumulator: identical on every
+                    # shard (the update psums the row grad-square), so it
+                    # rides replicated
+                    accum["emb"]["cw_stacked"] = self._put(cw_acc[:, 0], P())
+                else:
+                    accum["emb"]["cw_stacked"] = self._put(
+                        cw_acc, P(None, "model")
+                    )
         out["accum"] = accum
         return out
 
     def unshard_params(self, params):
         """Back to the single-device contiguous layout (checkpoint export)."""
-        from dlrm_tpu.parallel.planner import extract_table
+        from dlrm_tpu.parallel.planner import extract_cw_table, extract_table
 
         cfg = self.cfg
         stacked = np.asarray(jax.device_get(params["emb"]["stacked"]))
+        cw_np = (
+            np.asarray(jax.device_get(params["emb"]["cw_stacked"]))
+            if self.num_cw
+            else None
+        )
+        cw_set = {int(t) for t in self.cw_ids}
         tables = [
-            extract_table(self.placement, stacked, t)
+            extract_cw_table(self.placement, cw_np, t)
+            if t in cw_set
+            else extract_table(self.placement, stacked, t)
             for t in range(cfg.num_tables)
         ]
         out = dict(params)
@@ -259,6 +317,15 @@ class ButterflyDLRM:
                     np.take(wt, self.rw_ids, axis=tax), P(*g, None, "data")
                 ),
             )
+        if self.num_cw:
+            kw.update(
+                idx_cw=self._put(
+                    np.take(idx, self.cw_ids, axis=tax), P(*g, None, "data")
+                ),
+                wt_cw=self._put(
+                    np.take(wt, self.cw_ids, axis=tax), P(*g, None, "data")
+                ),
+            )
         # shard-major table order so P("model") slices line up with ownership
         idx, wt = self._pad_reorder_sparse(idx, wt, num_t, axis=tax)
         return Batch(
@@ -288,8 +355,17 @@ class ButterflyDLRM:
             wt_eff = wt_eff * vw
         return loc, wt_eff
 
+    def _cw_pooled(self, params, idx_cw_l, wt_cw_l):
+        """Column-wise tables' partial pools: every shard gathers ALL hits
+        from its full-row / d-slice block — [T_cw, b_d, d/m], no masking."""
+        emb_cw = params["emb"]["cw_stacked"]  # [cw_rows, d/m] local columns
+        flat = idx_cw_l + jnp.asarray(self.cw_off)[:, None, None]
+        rows = jnp.take(emb_cw, flat, axis=0)  # [T_cw, b_d, H, d/m]
+        return jnp.einsum("tbhd,tbh->tbd", rows, wt_cw_l.astype(rows.dtype))
+
     def _forward_local(self, params, dense_l, idx_l, wt_l, local_off,
-                       idx_rw_l=None, wt_rw_l=None):
+                       idx_rw_l=None, wt_rw_l=None, idx_cw_l=None,
+                       wt_cw_l=None):
         """Device-local forward: local-table lookup -> a2a -> interaction ->
         top MLP. Returns probabilities for this device's batch slice."""
         emb_l = params["emb"]["stacked"]  # [shard_rows, d] local rows
@@ -303,24 +379,33 @@ class ButterflyDLRM:
         pooled = jnp.einsum(
             "tbhd,tbh->tbd", rows, wt_eff.astype(rows.dtype)
         )  # [t_local, b_d, d]
+        pooled_rw = None
         if idx_rw_l is not None:
             loc, wt_rw_eff = self._rw_local_hits(params, idx_rw_l, wt_rw_l)
             rows_rw = jnp.take(emb_l, loc, axis=0)
             pooled_rw = jnp.einsum(
                 "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
             )  # [T_rw, b_d, d] PARTIAL sums (this shard's rows only)
+        if idx_cw_l is not None:
+            pooled = (pooled, pooled_rw,
+                      self._cw_pooled(params, idx_cw_l, wt_cw_l))
+        elif pooled_rw is not None:
             pooled = (pooled, pooled_rw)
         return self._tail_from_pooled(params, dense_l, pooled)
 
     def _tail_from_pooled(self, params, dense_l, pooled):
         """The post-lookup tail: butterfly a2a (+ psum_scatter of the
-        row-wise partial pools) -> table-order restore -> interaction ->
-        top MLP. `pooled` is either [t_local, b_d, d] or a
-        (table-wise, row-wise-partial) pair."""
+        row-wise partial pools, + feature-assembling a2a of the column-wise
+        partials) -> table-order restore -> interaction -> top MLP.
+        `pooled` is [t_local, b_d, d], a (table-wise, row-wise-partial)
+        pair, or a (table-wise, row-wise-or-None, column-wise) triple."""
         cfg = self.cfg
-        pooled_rw = None
+        pooled_rw = pooled_cw = None
         if isinstance(pooled, tuple):
-            pooled, pooled_rw = pooled
+            if len(pooled) == 2:
+                pooled, pooled_rw = pooled
+            else:
+                pooled, pooled_rw, pooled_cw = pooled
         # ---- the butterfly: split batch over model ranks, gather all tables
         ly = jax.lax.all_to_all(
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
@@ -332,6 +417,14 @@ class ButterflyDLRM:
                 pooled_rw, "model", scatter_dimension=1, tiled=True
             )  # [T_rw, b_dm, d]
             ly = jnp.concatenate([ly, ly_rw], axis=0)
+        if pooled_cw is not None:
+            # column-wise tables: the batch splits while the feature dim
+            # assembles — the a2a ships d/m-wide partials (1/m the payload
+            # of a table-wise slot)
+            ly_cw = jax.lax.all_to_all(
+                pooled_cw, "model", split_axis=1, concat_axis=2, tiled=True
+            )  # [T_cw, b_dm, d]
+            ly = jnp.concatenate([ly, ly_cw], axis=0)
         ly = jnp.take(ly, jnp.asarray(self.merge_perm), axis=0)  # [T, b_dm, d]
         ly = jnp.transpose(ly, (1, 0, 2))  # [b_dm, T, d]
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -391,6 +484,41 @@ class ButterflyDLRM:
         )
         return loss, probs, dpooled, new_dense, new_dense_state
 
+    def _cw_update(self, optimizer, opt_state, emb_cw, dp_all, idx_all,
+                   wt_all, lr, eps_v):
+        """Sparse update of the local column slice of the cw array: ALL hits
+        update every shard (each owns distinct columns, so no masking).
+        RWSAdagrad's per-row accumulator spans the FULL row width — the
+        grad-square sum psums over "model" so every shard's (replicated)
+        accumulator advances identically to a single-device run.
+        Returns (new_emb_cw, new_accum_or_None)."""
+        from dlrm_tpu.ops.sparse_update import (
+            adagrad_from_coalesced,
+            coalesce,
+            per_hit_gradients,
+            rowwise_adagrad_from_coalesced,
+            sgd_from_coalesced,
+        )
+
+        flat = idx_all + jnp.asarray(self.cw_off)[:, None, None]
+        rows, g = per_hit_gradients(
+            jnp.transpose(dp_all, (1, 0, 2)), flat, wt_all,
+            jnp.zeros((flat.shape[0],), jnp.int32),
+        )
+        urows, G, valid = coalesce(rows, g, emb_cw.shape[0])
+        if optimizer == "sgd":
+            return sgd_from_coalesced(emb_cw, urows, G, valid, lr), None
+        acc = opt_state["accum"]["emb"]["cw_stacked"]
+        if optimizer == "rwsadagrad":
+            row_sq = (
+                jax.lax.psum(jnp.sum(jnp.square(G), axis=1), "model")
+                / self.cfg.embedding_dim
+            )
+            return rowwise_adagrad_from_coalesced(
+                emb_cw, acc, urows, G, valid, lr, eps_v, row_sq=row_sq
+            )
+        return adagrad_from_coalesced(emb_cw, acc, urows, G, valid, lr, eps_v)
+
     def _pad_reorder_sparse(self, idx, wt, num_t, axis: int = 0):
         """Pad idx/wt with dummy tables (on `axis`) and reorder shard-major.
         Row-wise tables (never referenced by shard_major_order) drop out."""
@@ -423,14 +551,28 @@ class ButterflyDLRM:
         cfg = self.cfg
         mesh = self.mesh
         has_rw = self.num_rw > 0
+        has_cw = self.num_cw > 0
         fuse = (
             "v_w" not in params
             and optimizer in ("sgd", "adagrad", "rwsadagrad")
         )
+        if has_cw and not fuse:
+            raise NotImplementedError(
+                "column-wise sharded tables require the fused sparse path "
+                "(plain tables without learned pooling; sgd/adagrad/"
+                "rwsadagrad)"
+            )
+        from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
+
+        eps_v = ADAGRAD_EPS if eps is None else float(eps)
 
         def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
                       off_l, lr, *rw):
-            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+            idx_rw_l = wt_rw_l = idx_cw_l = wt_cw_l = None
+            if has_rw:
+                idx_rw_l, wt_rw_l = rw[0], rw[1]
+            if has_cw:
+                idx_cw_l, wt_cw_l = rw[-2], rw[-1]
             if not fuse:
                 def loss_fn(p):
                     probs, logits = self._forward_local(
@@ -484,12 +626,21 @@ class ButterflyDLRM:
                     "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
                 )
                 pooled = (pooled, pooled_rw)
+            if has_cw:
+                tw_rw = pooled if has_rw else (pooled, None)
+                pooled = (*tw_rw, self._cw_pooled(params, idx_cw_l, wt_cw_l))
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
                     optimizer, global_batch, params, opt_state, emb_l,
                     pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )
+            dpooled_cw = None
+            if has_cw:
+                # AD through the feature-assembling a2a returns each shard
+                # its OWN column slice's cotangent for its b_d batch
+                *dpooled, dpooled_cw = dpooled
+                dpooled = dpooled[0] if not has_rw else tuple(dpooled)
             if has_rw:
                 # AD through psum_scatter all-gathers the scattered
                 # cotangent over "model": every shard sees the FULL pooled
@@ -527,18 +678,13 @@ class ButterflyDLRM:
                 new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
                 new_state = {"step": new_dense_state["step"]}
             else:
-                from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
-
                 acc_l = opt_state["accum"]["emb"]["stacked"]
                 fn = (
                     apply_sparse_rowwise_adagrad
                     if optimizer == "rwsadagrad"
                     else apply_sparse_adagrad
                 )
-                new_emb, new_acc = fn(
-                    emb_l, acc_l, rows, g, lr,
-                    eps=ADAGRAD_EPS if eps is None else eps,
-                )
+                new_emb, new_acc = fn(emb_l, acc_l, rows, g, lr, eps=eps_v)
                 new_state = {
                     "step": new_dense_state["step"],
                     "accum": {
@@ -548,6 +694,23 @@ class ButterflyDLRM:
                 }
             new_params = dict(new_dense)
             new_params["emb"] = {"stacked": new_emb}
+            if has_cw:
+                dp_cw_all = jax.lax.all_gather(
+                    dpooled_cw, "data", axis=1, tiled=True
+                )  # [T_cw, B, d/m]
+                idx_cw_all = jax.lax.all_gather(
+                    idx_cw_l, "data", axis=1, tiled=True
+                )
+                wt_cw_all = jax.lax.all_gather(
+                    wt_cw_l, "data", axis=1, tiled=True
+                )
+                new_cw, new_cw_acc = self._cw_update(
+                    optimizer, opt_state, params["emb"]["cw_stacked"],
+                    dp_cw_all, idx_cw_all, wt_cw_all, lr, eps_v,
+                )
+                new_params["emb"]["cw_stacked"] = new_cw
+                if new_cw_acc is not None:
+                    new_state["accum"]["emb"]["cw_stacked"] = new_cw_acc
             return new_params, new_state, loss, probs
 
         pspec = _tree_specs(params)
@@ -564,6 +727,8 @@ class ButterflyDLRM:
         ]
         if has_rw:
             in_specs += [P(None, "data"), P(None, "data")]
+        if has_cw:
+            in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
             device_fn,
             mesh=mesh,
@@ -576,6 +741,8 @@ class ButterflyDLRM:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if has_cw:
+                rw = rw + (batch.idx_cw, batch.wt_cw)
             return step(
                 params, opt_state, batch.dense, batch.idx, batch.wt,
                 batch.labels, local_off, jnp.float32(lr), *rw,
@@ -603,6 +770,7 @@ class ButterflyDLRM:
         cfg = self.cfg
         mesh = self.mesh
         has_rw = self.num_rw > 0
+        has_cw = self.num_cw > 0
         if "v_w" in params or optimizer not in (
             "sgd", "adagrad", "rwsadagrad",
         ):
@@ -624,7 +792,11 @@ class ButterflyDLRM:
 
         def device_fn(params, opt_state, dense_k, idx_k, wt_k, labels_k,
                       off_l, lr, *rw):
-            idx_rw_k, wt_rw_k = rw if has_rw else (None, None)
+            idx_rw_k = wt_rw_k = idx_cw_k = wt_cw_k = None
+            if has_rw:
+                idx_rw_k, wt_rw_k = rw[0], rw[1]
+            if has_cw:
+                idx_cw_k, wt_cw_k = rw[-2], rw[-1]
             emb_l = params["emb"]["stacked"]
             dense_params = {k: v for k, v in params.items() if k != "emb"}
 
@@ -636,7 +808,7 @@ class ButterflyDLRM:
                     "tbhd,tbh->tbd", rows_v, wt_l.astype(rows_v.dtype)
                 )
                 if has_rw:
-                    idx_rw_l, wt_rw_l = micro[4:]
+                    idx_rw_l, wt_rw_l = micro[4], micro[5]
                     loc_rw, wt_rw_eff = self._rw_local_hits(
                         params, idx_rw_l, wt_rw_l
                     )
@@ -646,6 +818,12 @@ class ButterflyDLRM:
                         wt_rw_eff.astype(rows_rw.dtype),
                     )
                     pooled = (pooled, pooled_rw)
+                if has_cw:
+                    idx_cw_l, wt_cw_l = micro[-2], micro[-1]
+                    tw_rw = pooled if has_rw else (pooled, None)
+                    pooled = (
+                        *tw_rw, self._cw_pooled(params, idx_cw_l, wt_cw_l)
+                    )
 
                 def rest(dp, pooled_in):
                     probs, logits = self._tail_from_pooled(
@@ -666,9 +844,15 @@ class ButterflyDLRM:
             xs = (dense_k, idx_k, wt_k, labels_k)
             if has_rw:
                 xs = xs + (idx_rw_k, wt_rw_k)
+            if has_cw:
+                xs = xs + (idx_cw_k, wt_cw_k)
             dgsum, (loss_locals, dpooleds, flat_idxs) = jax.lax.scan(
                 one, zero, xs
             )
+            dpooleds_cw = None
+            if has_cw:
+                *dpooleds, dpooleds_cw = dpooleds
+                dpooleds = dpooleds[0] if not has_rw else tuple(dpooleds)
             loss = jax.lax.psum(
                 jnp.mean(loss_locals), ("data", "model")
             )
@@ -752,6 +936,24 @@ class ButterflyDLRM:
                 }
             new_params = dict(new_dense)
             new_params["emb"] = {"stacked": new_emb}
+            if has_cw:
+                dp_cw_all = jax.lax.all_gather(
+                    merge_k(dpooleds_cw) / accum_iters, "data", axis=1,
+                    tiled=True,
+                )  # [T_cw, k*B, d/m]
+                idx_cw_all = jax.lax.all_gather(
+                    merge_k(idx_cw_k), "data", axis=1, tiled=True
+                )
+                wt_cw_all = jax.lax.all_gather(
+                    merge_k(wt_cw_k), "data", axis=1, tiled=True
+                )
+                new_cw, new_cw_acc = self._cw_update(
+                    optimizer, opt_state, params["emb"]["cw_stacked"],
+                    dp_cw_all, idx_cw_all, wt_cw_all, lr, eps_v,
+                )
+                new_params["emb"]["cw_stacked"] = new_cw
+                if new_cw_acc is not None:
+                    new_state["accum"]["emb"]["cw_stacked"] = new_cw_acc
             return new_params, new_state, loss, None
 
         pspec = _tree_specs(params)
@@ -768,6 +970,8 @@ class ButterflyDLRM:
         ]
         if has_rw:
             in_specs += [P(None, None, "data"), P(None, None, "data")]
+        if has_cw:
+            in_specs += [P(None, None, "data"), P(None, None, "data")]
         step = shard_map(
             device_fn,
             mesh=mesh,
@@ -780,6 +984,8 @@ class ButterflyDLRM:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if has_cw:
+                rw = rw + (batch.idx_cw, batch.wt_cw)
             return step(
                 params, opt_state, batch.dense, batch.idx, batch.wt,
                 batch.labels, local_off, jnp.float32(lr), *rw,
@@ -790,11 +996,17 @@ class ButterflyDLRM:
     def make_eval_step(self, params):
         mesh = self.mesh
         has_rw = self.num_rw > 0
+        has_cw = self.num_cw > 0
 
         def device_fn(params, dense_l, idx_l, wt_l, off_l, *rw):
-            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+            idx_rw_l = wt_rw_l = idx_cw_l = wt_cw_l = None
+            if has_rw:
+                idx_rw_l, wt_rw_l = rw[0], rw[1]
+            if has_cw:
+                idx_cw_l, wt_cw_l = rw[-2], rw[-1]
             return self._forward_local(
-                params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
+                params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l,
+                idx_cw_l, wt_cw_l,
             )[0]
 
         pspec = _tree_specs(params)
@@ -806,6 +1018,8 @@ class ButterflyDLRM:
             P("model"),
         ]
         if has_rw:
+            in_specs += [P(None, "data"), P(None, "data")]
+        if has_cw:
             in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
             device_fn,
@@ -819,6 +1033,8 @@ class ButterflyDLRM:
         @jax.jit
         def eval_step(params, batch: Batch):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if has_cw:
+                rw = rw + (batch.idx_cw, batch.wt_cw)
             return step(params, batch.dense, batch.idx, batch.wt, local_off,
                         *rw)
 
@@ -827,10 +1043,15 @@ class ButterflyDLRM:
 
 def _spec_for_path(path, leaf) -> P:
     """Model-axis row sharding for embedding-table state (params AND their
-    optimizer accumulators); everything else replicated."""
+    optimizer accumulators); column-wise tables shard on the FEATURE dim
+    (their 1-D rwsadagrad accumulator replicates — the update psums the
+    row grad-square so every shard advances it identically); everything
+    else replicated."""
     from dlrm_tpu.optim.optimizers import path_keys
 
     keys = path_keys(path)
+    if "cw_stacked" in keys:
+        return P(None, "model") if getattr(leaf, "ndim", 0) >= 2 else P()
     if ("emb" in keys or "v_w" in keys) and getattr(leaf, "ndim", 0) >= 1:
         return P("model")
     return P()

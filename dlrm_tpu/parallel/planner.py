@@ -51,7 +51,10 @@ class TablePlacement:
     table_sizes: Tuple[int, ...]
     num_shards: int
     strategy: str
-    # per-table shard id (table_wise/round_robin); -1 = row-wise sharded
+    # per-table shard id (table_wise/round_robin); -1 = row-wise sharded;
+    # -2 = column-wise sharded (lives in the separate cw array, split on
+    # the FEATURE dim over shards — TorchRec's CW option,
+    # torchrec_dlrm/dlrm_main.py:654-667)
     table_shard: Tuple[int, ...]
     # per-table start row. MEANING IS STRATEGY-DEPENDENT: for round_robin /
     # table_wise it is the offset into the GLOBAL stacked array; for
@@ -67,6 +70,12 @@ class TablePlacement:
     rw_slice: Tuple[int, ...] = ()
     # explicit per-shard slot ordering (size_rr); None -> ascending table id
     slots: Optional[Tuple[Tuple[int, ...], ...]] = None
+    # column-wise tables: ids + per-table row offset into the cw array
+    # ([cw_rows, dim], sharded on the FEATURE dim: every shard holds ALL
+    # rows but dim/num_shards columns — no index remap, no masking)
+    cw_ids: Tuple[int, ...] = ()
+    cw_offsets: Tuple[int, ...] = ()
+    cw_rows: int = 0
 
     @property
     def total_rows(self) -> int:
@@ -78,11 +87,19 @@ class TablePlacement:
     def rw_tables(self) -> List[int]:
         return [t for t, s in enumerate(self.table_shard) if s == -1]
 
+    def cw_tables(self) -> List[int]:
+        return [t for t, s in enumerate(self.table_shard) if s == -2]
+
     def slice_len(self, t: int) -> int:
         """Unpadded rows-per-shard of row-wise table t."""
         if self.rw_slice:
             return self.rw_slice[t]
         return int(np.ceil(self.table_sizes[t] / self.num_shards))
+
+    def _is_rw(self, t: int) -> bool:
+        # every strategy marks row-wise tables with shard id -1
+        # (row_wise marks all, mixed/size_rr the striped subset)
+        return self.table_shard[t] == -1
 
 
 def plan_tables(
@@ -91,9 +108,55 @@ def plan_tables(
     strategy: str = "table_wise",
     rw_threshold: Optional[int] = None,
     capacity_rows: Optional[int] = None,
+    cw_tables: Optional[Sequence[int]] = None,
 ) -> TablePlacement:
     sizes = [int(n) for n in table_sizes]
     num_t = len(sizes)
+
+    if cw_tables:
+        # Column-wise tables compose with ANY strategy: they are pulled out
+        # into their own [cw_rows, dim] array (feature-dim sharded) and the
+        # chosen strategy plans the REST (TorchRec's planner mixes CW with
+        # TW/RW per table the same way, torchrec_dlrm/dlrm_main.py:654-667).
+        cw = sorted({int(t) for t in cw_tables})
+        if any(t < 0 or t >= num_t for t in cw):
+            raise ValueError(f"cw_tables out of range: {cw}")
+        rest = [t for t in range(num_t) if t not in set(cw)]
+        sub = plan_tables(
+            [sizes[t] for t in rest], num_shards, strategy=strategy,
+            rw_threshold=rw_threshold, capacity_rows=capacity_rows,
+        )
+        cw_off, fill = [], 0
+        for t in cw:
+            cw_off.append(fill)
+            fill += _round_up(sizes[t], _ROW_ALIGN)
+        table_shard = [-2] * num_t
+        goff = [0] * num_t
+        rwsl = [0] * num_t
+        for j, t in enumerate(rest):
+            table_shard[t] = sub.table_shard[j]
+            goff[t] = sub.global_offsets[j]
+            rwsl[t] = sub.slice_len(j) if sub.table_shard[j] == -1 else 0
+        for j, t in enumerate(cw):
+            goff[t] = cw_off[j]
+        slots = (
+            tuple(tuple(rest[j] for j in sl) for sl in sub.slots)
+            if sub.slots is not None
+            else None
+        )
+        return TablePlacement(
+            table_sizes=tuple(sizes),
+            num_shards=num_shards,
+            strategy=sub.strategy,
+            table_shard=tuple(table_shard),
+            global_offsets=tuple(goff),
+            shard_rows=sub.shard_rows,
+            rw_slice=tuple(rwsl) if any(rwsl) else (),
+            slots=slots,
+            cw_ids=tuple(cw),
+            cw_offsets=tuple(cw_off),
+            cw_rows=max(fill, _ROW_ALIGN),
+        )
 
     if strategy == "mixed":
         # Per-table strategy choice mirroring TorchRec's size/topology-driven
@@ -325,11 +388,12 @@ def build_stacked(
     dim = tables[0].shape[1]
     out = np.zeros((placement.total_rows, dim), dtype=tables[0].dtype)
     S = placement.num_shards
+    cw = set(placement.cw_ids)
     for t, w in enumerate(tables):
+        if t in cw:  # lives in the separate cw array (build_cw_stacked)
+            continue
         n = w.shape[0]
-        if placement.strategy == "row_wise" or (
-            placement.rw_slice and placement.rw_slice[t] > 0
-        ):
+        if placement._is_rw(t):
             rows_per = placement.slice_len(t)
             for s in range(S):
                 lo = s * rows_per
@@ -349,9 +413,12 @@ def extract_table(
 ) -> np.ndarray:
     """Recover table t's rows from the stacked layout (checkpoint export)."""
     n = placement.table_sizes[t]
-    if placement.strategy == "row_wise" or (
-        placement.rw_slice and placement.rw_slice[t] > 0
-    ):
+    if placement.table_shard[t] == -2:
+        raise ValueError(
+            f"table {t} is column-wise sharded; use extract_cw_table on the "
+            "cw array"
+        )
+    if placement._is_rw(t):
         S = placement.num_shards
         rows_per = placement.slice_len(t)
         parts = []
@@ -367,9 +434,35 @@ def extract_table(
     return stacked[off : off + n]
 
 
+def build_cw_stacked(
+    placement: TablePlacement, tables: Sequence[np.ndarray]
+) -> np.ndarray:
+    """Materialize the column-wise tables' [cw_rows, dim] array (the FULL
+    width; the mesh shards it on dim 1). `tables` is the full per-table
+    list; non-cw entries are ignored."""
+    dim = tables[0].shape[1]
+    out = np.zeros((placement.cw_rows, dim), dtype=tables[0].dtype)
+    for t, off in zip(placement.cw_ids, placement.cw_offsets):
+        w = tables[t]
+        out[off : off + w.shape[0]] = w
+    return out
+
+
+def extract_cw_table(
+    placement: TablePlacement, cw_stacked: np.ndarray, t: int
+) -> np.ndarray:
+    """Recover column-wise table t from the (host-gathered) cw array."""
+    i = placement.cw_ids.index(t)
+    off = placement.cw_offsets[i]
+    return cw_stacked[off : off + placement.table_sizes[t]]
+
+
 def global_index_map(placement: TablePlacement):
     """Returns f(table_id, local_idx)->global_row as numpy arrays, usable both
-    host-side and (as static constants) inside jit."""
+    host-side and (as static constants) inside jit. Column-wise tables are
+    addressed in their own array: to_global returns the cw-array row and the
+    caller routes by placement.table_shard[t] == -2."""
+    cw_off = {t: o for t, o in zip(placement.cw_ids, placement.cw_offsets)}
     if placement.strategy == "row_wise" or placement.rw_slice:
         S = placement.num_shards
         rows_per = np.asarray(
@@ -378,8 +471,7 @@ def global_index_map(placement: TablePlacement):
         )
         is_rw = np.asarray(
             [
-                placement.strategy == "row_wise"
-                or (placement.rw_slice and placement.rw_slice[t] > 0)
+                placement._is_rw(t)
                 for t in range(len(placement.table_sizes))
             ]
         )
@@ -387,6 +479,8 @@ def global_index_map(placement: TablePlacement):
         shard_rows = placement.shard_rows
 
         def to_global(t: int, idx):
+            if t in cw_off:
+                return cw_off[t] + idx
             if not is_rw[t]:
                 return intra[t] + idx
             s = idx // rows_per[t]

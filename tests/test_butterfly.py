@@ -370,3 +370,142 @@ def test_sharded_grad_accum_matches_single_device(dsize, msize, optimizer):
         np.asarray(p2u["emb"]["stacked"]),
         atol=2e-5,
     )
+
+
+# ------------------------------------------------------------- column-wise
+
+def test_cw_plan_layout():
+    from dlrm_tpu.parallel.planner import (
+        build_cw_stacked,
+        build_stacked,
+        extract_cw_table,
+        extract_table,
+        global_index_map,
+        plan_tables,
+    )
+
+    rng = np.random.default_rng(2)
+    sizes = MIXED_CFG.table_sizes  # (1000, 17, 260, 33, 990, 120)
+    pl = plan_tables(sizes, 4, strategy="mixed", cw_tables=[2, 4])
+    assert pl.cw_tables() == [2, 4]
+    assert pl.rw_tables() == [0]  # table 4 left the mixed pool
+    assert pl.cw_rows >= 260 + 990
+    tables = [rng.normal(size=(n, 4)).astype(np.float32) for n in sizes]
+    stacked = build_stacked(pl, tables)
+    cw = build_cw_stacked(pl, tables)
+    for t in (2, 4):
+        np.testing.assert_array_equal(extract_cw_table(pl, cw, t), tables[t])
+    for t in (0, 1, 3, 5):
+        np.testing.assert_array_equal(extract_table(pl, stacked, t), tables[t])
+    to_global = global_index_map(pl)
+    for t in (2, 4):
+        ii = rng.integers(0, sizes[t], size=40)
+        np.testing.assert_array_equal(
+            cw[np.asarray([to_global(t, int(i)) for i in ii])],
+            tables[t][ii],
+        )
+    for t in (0, 1, 3, 5):
+        ii = rng.integers(0, sizes[t], size=40)
+        np.testing.assert_array_equal(
+            stacked[np.asarray([to_global(t, int(i)) for i in ii])],
+            tables[t][ii],
+        )
+
+
+@pytest.mark.parametrize("dsize,msize", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad", "rwsadagrad"])
+def test_cw_butterfly_matches_single_device(dsize, msize, optimizer):
+    """Column-wise sharded tables (mixed with rw striping + tw packing)
+    must train bit-compatibly with a single device. RWSAdagrad is the
+    interesting case: its per-row accumulator spans the full row width,
+    which the cw update reconstitutes with a psum over 'model'."""
+    model = DLRMModel(MIXED_CFG)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    batches, tc = _mixed_data()
+
+    step1 = make_train_step(model, optimizer)
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state(optimizer, p1)
+    for hb in batches:
+        p1, s1, loss1, _ = step1(p1, s1, hb.to_device(), 0.05)
+
+    mesh = make_mesh(data=dsize, model=msize)
+    bf = ButterflyDLRM(
+        model, mesh, strategy="mixed", rw_threshold=600, cw_tables=[2, 4]
+    )
+    assert bf.num_cw == 2 and bf.num_rw == 1
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state(optimizer, p2)
+    step2 = bf.make_train_step(optimizer, tc.mini_batch_size, p2, s2)
+    for hb in batches:
+        b = bf.shard_batch(hb.to_device())
+        p2, s2, loss2, _ = step2(p2, s2, b, 0.05)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p2u = bf.unshard_params(p2)
+    np.testing.assert_allclose(
+        np.asarray(p1["emb"]["stacked"]),
+        np.asarray(p2u["emb"]["stacked"]),
+        atol=2e-5,
+    )
+    for name in ("bot", "top"):
+        for l1, l2 in zip(p1[name], p2u[name]):
+            np.testing.assert_allclose(
+                np.asarray(l1["w"]), np.asarray(l2["w"]), atol=2e-5
+            )
+
+
+def test_cw_butterfly_eval_matches_single_device():
+    model = DLRMModel(MIXED_CFG)
+    params = model.init_params(jax.random.PRNGKey(5))
+    batches, _ = _mixed_data(n_batches=1)
+    probs1 = np.asarray(make_eval_step(model)(params, batches[0].to_device()))
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh, strategy="table_wise", cw_tables=[0, 4])
+    p2 = bf.shard_params(params)
+    ev = bf.make_eval_step(p2)
+    probs2 = np.asarray(ev(p2, bf.shard_batch(batches[0].to_device())))
+    np.testing.assert_allclose(probs1, probs2, atol=1e-5)
+
+
+def test_cw_grad_accum_matches_single_device():
+    """--sharded x grad accumulation x column-wise tables compose."""
+    from dlrm_tpu.train.fused_step import make_fused_grad_accum_train_step
+
+    model = DLRMModel(MIXED_CFG)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(3))
+    )
+    batches, tc = _mixed_data(n_batches=4)
+    k = 2
+    groups = [_stack_group(batches[i : i + k]) for i in (0, k)]
+
+    step1 = make_fused_grad_accum_train_step(model, "rwsadagrad", k)
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state("rwsadagrad", p1)
+    for g in groups:
+        p1, s1, loss1, _ = step1(p1, s1, g.to_device(), 0.05)
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(
+        model, mesh, strategy="mixed", rw_threshold=600, cw_tables=[2]
+    )
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state("rwsadagrad", p2)
+    step2 = bf.make_grad_accum_train_step(
+        "rwsadagrad", tc.mini_batch_size, k, p2, s2
+    )
+    for g in groups:
+        b = bf.shard_batch(g.to_device())
+        p2, s2, loss2, _ = step2(p2, s2, b, 0.05)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p2u = bf.unshard_params(p2)
+    np.testing.assert_allclose(
+        np.asarray(p1["emb"]["stacked"]),
+        np.asarray(p2u["emb"]["stacked"]),
+        atol=2e-5,
+    )

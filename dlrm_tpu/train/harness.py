@@ -350,8 +350,13 @@ class Trainer:
             # rounded-prediction accuracy (dlrm_s_pytorch.py:814-823)
             results = {"accuracy": float(np.mean(np.round(s) == l))}
         self.mlperf.end(obs.EVAL_STOP, metadata=meta)
+        # MLPerf DLRM's eval metric IS the AUC (the reference gates RUN_STOP
+        # on it, dlrm_s_pytorch.py:1745); fall back to plain accuracy when
+        # AUC isn't computed (non-mlperf eval).
         self.mlperf.event(
-            obs.EVAL_ACCURACY, value=results.get("accuracy"), metadata=meta
+            obs.EVAL_ACCURACY,
+            value=results.get("roc_auc", results.get("accuracy")),
+            metadata=meta,
         )
         return results
 

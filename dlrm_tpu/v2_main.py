@@ -115,6 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-chip HBM (GiB) for the auto sharding capacity budget "
         "(v5e = 16)",
     )
+    p.add_argument(
+        "--column_wise_tables", type=str, default="",
+        help="comma-separated table ids to shard COLUMN-wise (the feature "
+        "dim splits over the model axis; TorchRec's CW option, "
+        "dlrm_main.py:654-667). Composes with any --sharding_strategy; "
+        "requires the fused/scatter embedding impl",
+    )
     p.add_argument("--auroc_target", type=float, default=None)
     return p
 
@@ -174,6 +181,13 @@ def _evaluate(eval_step, params, loader, to_device, stage: str) -> float:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     import jax
+
+    # multi-process rendezvous (no-op single-process): rank/world come from
+    # the launcher env (scripts/launch.py) — dlrm_main.py's dist.init_
+    # process_group role (torchrec_dlrm/dlrm_main.py:560-566)
+    from dlrm_tpu.parallel.multihost import init_multihost
+
+    init_multihost()
 
     from dlrm_tpu.data.multi_hot import Multihot, RestartableMap
     from dlrm_tpu.data.random_data import RandomDataset
@@ -362,6 +376,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     opt_state = init_opt_state(optimizer, params)
     to_device = lambda hb: hb.to_device()  # noqa: E731
     eval_to_device = to_device
+    if args.column_wise_tables and not (
+        args.sharded and len(jax.devices()) > 1
+    ):
+        raise SystemExit(
+            "ERROR: --column_wise_tables only applies to --sharded runs on "
+            "a multi-device mesh (it splits the feature dim over the model "
+            "axis)"
+        )
     if args.sharded and len(jax.devices()) > 1:
         from dlrm_tpu.parallel.butterfly import ButterflyDLRM
         from dlrm_tpu.parallel.mesh import make_mesh
@@ -384,6 +406,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.embedding_impl == "auto"
             and _pick_stream(args, model_cfg, hot_sizes)
         )
+        if args.column_wise_tables and stream_ok:
+            raise SystemExit(
+                "ERROR: --column_wise_tables requires the fused/scatter "
+                "embedding impl (pass --embedding_impl scatter); the stream "
+                "butterfly has no column-sharded layout"
+            )
         if stream_ok:
             import jax.numpy as jnp
 
@@ -423,6 +451,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"{model_cfg.num_tables - bf.num_rw} table-wise slots"
             )
         else:
+            cw = (
+                [int(t) for t in args.column_wise_tables.split(",")]
+                if args.column_wise_tables
+                else None
+            )
             if args.sharding_strategy == "auto":
                 # HBM-derived per-shard row budget (the TorchRec planner's
                 # HeuristicalStorageReservation role, dlrm_main.py:658-666)
@@ -433,28 +466,38 @@ def main(argv: Optional[List[str]] = None) -> int:
                     args.hbm_gb * (2**30) * 0.7 // (d * table_b + acc_b)
                 )
                 bf = ButterflyDLRM(
-                    model, mesh, strategy="mixed", capacity_rows=cap
+                    model, mesh, strategy="mixed", capacity_rows=cap,
+                    cw_tables=cw,
                 )
             else:
                 bf = ButterflyDLRM(
-                    model, mesh, strategy=args.sharding_strategy
+                    model, mesh, strategy=args.sharding_strategy,
+                    cw_tables=cw,
                 )
             params = bf.shard_params(params)
             opt_state = init_opt_state(optimizer, params)
             to_device = (  # noqa: E731
                 lambda hb: bf.shard_batch(hb.to_device())
             )
-            rw = bf.num_rw
+            rw, ncw = bf.num_rw, bf.num_cw
             print(
                 f"sharding plan: {bf.placement.strategy}, "
-                f"{rw} row-wise + {model_cfg.num_tables - rw} table-wise "
+                f"{rw} row-wise + {ncw} column-wise + "
+                f"{model_cfg.num_tables - rw - ncw} table-wise "
                 f"tables, {bf.placement.shard_rows} rows/shard"
             )
             if args.print_sharding_plan:
                 # the per-table dump (dlrm_main.py:674-678)
                 pl = bf.placement
                 for t, n in enumerate(model_cfg.table_sizes):
-                    if pl.table_shard[t] < 0:
+                    if pl.table_shard[t] == -2:
+                        d = model_cfg.embedding_dim
+                        print(
+                            f"  table {t}: column_wise, "
+                            f"{d // mesh.shape['model']} of {d} dims/shard "
+                            f"({n} rows)"
+                        )
+                    elif pl.table_shard[t] < 0:
                         print(
                             f"  table {t}: row_wise, {pl.slice_len(t)} "
                             f"rows/shard of {n}"

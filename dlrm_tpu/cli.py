@@ -273,6 +273,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     np.set_printoptions(precision=args.print_precision)
 
+    # multi-process rendezvous (no-op single-process): rank/world come from
+    # the launcher env (scripts/launch.py), the extend_distributed
+    # init_distributed role (extend_distributed.py:65-191)
+    from dlrm_tpu.parallel.multihost import init_multihost
+
+    init_multihost()
+
     from dlrm_tpu.data.random_data import RandomDataset
     from dlrm_tpu.models.dlrm import DLRMModel
     from dlrm_tpu.train.harness import Trainer, dump_parameters

@@ -31,7 +31,21 @@ def init_multihost(
     process_id: Optional[int] = None,
 ) -> int:
     """Initialize the JAX distributed runtime when running multi-process.
-    No-op for single-process runs. Returns the process index."""
+    No-op for single-process runs. Returns the process index.
+
+    When called with no arguments, rank discovery falls back to the
+    launcher environment (`scripts/launch.py` exports DLRM_COORDINATOR /
+    DLRM_NUM_PROCESSES / DLRM_PROCESS_ID) — the role of
+    extend_distributed's env_2_int sweep over OMPI/MPI/PMI vars
+    (extend_distributed.py:23-63): the launcher owns the env contract,
+    the trainer just reads it. jax.distributed additionally auto-detects
+    SLURM/OMPI clusters on its own."""
+    import os
+
+    if num_processes is None and "DLRM_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["DLRM_NUM_PROCESSES"])
+        coordinator_address = os.environ.get("DLRM_COORDINATOR")
+        process_id = int(os.environ["DLRM_PROCESS_ID"])
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

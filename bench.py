@@ -113,8 +113,17 @@ def _measure(hot_sizes) -> float:
                 rng_i, cfg.num_dense, cfg.table_sizes, BATCH, hmax
             )
         )
+        # flat per-hit idx layout: ships 215 real hits/sample instead of the
+        # padded 26x100 slots (~12x fewer idx bytes on the real v2 shape).
+        # The flat layout drops the padding columns, so every remaining hit
+        # weighs 1.0 — wt need not ship at all (mirrors unit_weights).
+        import dataclasses
+
+        hb = dataclasses.replace(hb, wt=None)
         staged.append(
-            hb.with_stream_work(plan, unit_weights=True).to_device()
+            hb.with_stream_work(plan, unit_weights=True).to_device(
+                flat_hots=plan.hot
+            )
         )
 
     # Host-side index pool: a sliding window gives each dispatch-gap build

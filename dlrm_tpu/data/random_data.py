@@ -51,7 +51,11 @@ class HostBatch:
             ),
         )
 
-    def to_device(self) -> Batch:
+    def to_device(self, flat_hots=None) -> Batch:
+        """flat_hots (per-table hot sizes) ships idx/wt in the FLAT per-hit
+        layout ([sum_t B*h_t] table-major) instead of padded [T, B, Hmax]:
+        the real v2 shape carries 215 hits/sample, so padding to 26x100
+        costs ~12x the H2D bytes (grouped_embedding_bag consumes either)."""
         import jax.numpy as jnp
 
         from dlrm_tpu.data.batch import StreamArrays
@@ -68,10 +72,22 @@ class HostBatch:
                 item_row0=jnp.asarray(w.item_row0),
                 item_u=jnp.asarray(w.item_u),
             )
+        idx, wt = self.idx, self.wt
+        if flat_hots is not None:
+            idx = np.concatenate(
+                [idx[t, :, :h].ravel() for t, h in enumerate(flat_hots)]
+            )
+            wt = (
+                None
+                if wt is None
+                else np.concatenate(
+                    [wt[t, :, :h].ravel() for t, h in enumerate(flat_hots)]
+                )
+            )
         return Batch(
             dense=jnp.asarray(self.dense),
-            idx=jnp.asarray(self.idx),
-            wt=None if self.wt is None else jnp.asarray(self.wt),
+            idx=jnp.asarray(idx),
+            wt=None if wt is None else jnp.asarray(wt),
             labels=jnp.asarray(self.labels),
             stream=stream,
         )

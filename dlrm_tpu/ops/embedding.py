@@ -161,36 +161,80 @@ def padded_to_offsets(
     return np.asarray(out, dtype=np.int64), offsets
 
 
+def flat_hit_offsets(hot_sizes: Sequence[int], batch: int):
+    """Static per-table start offsets into the flat per-hit layout
+    (table-major blocks of batch*hot_sizes[t] hits each)."""
+    offs, acc = [], 0
+    for h in hot_sizes:
+        offs.append(acc)
+        acc += batch * int(h)
+    return offs, acc
+
+
 def grouped_embedding_bag(
     stacked: jax.Array,  # [sum_n, d]
     row_offsets: jax.Array,  # [T] int32
-    idx: jax.Array,  # [T, B, Hmax] padded multi-hot
-    wt: Optional[jax.Array],  # [T, B, Hmax] or None
+    idx: jax.Array,  # [T, B, Hmax] padded multi-hot OR [N] flat per-hit
+    wt: Optional[jax.Array],  # same layout as idx, or None
     hot_sizes: Sequence[int],  # per-table real hot size (static)
+    batch: Optional[int] = None,  # required for the flat layout
 ) -> jax.Array:  # [B, T, d]
     """Ragged-multi-hot fused lookup: tables grouped by hot size so each
     group gathers its REAL [Tg, B, Hg] hits instead of everyone paying the
     global max (the true MLPerf v2 config spans hot sizes 1..100 — padding
     all 26 tables to 100 would cost ~12x the hits). Equivalent of torchrec's
     ragged KJT lookup on a static-shape compiler: one gather per distinct
-    hot size, all shapes static."""
-    t = idx.shape[0]
+    hot size, all shapes static.
+
+    idx may arrive FLAT ([sum_t B*h_t] per-hit, table-major — the layout
+    HostBatch.to_device(flat_hots=...) ships): that drops the padded
+    [T, B, Hmax] H2D/storage cost entirely (the real v2 shape pads 215
+    hits/sample out to 26x100); the static slices+reshapes below are free
+    in XLA."""
+    flat = idx.ndim == 1
+    if flat:
+        if batch is None:
+            raise ValueError("flat per-hit idx needs the static batch size")
+        f_off, total = flat_hit_offsets(hot_sizes, batch)
+        if idx.shape[0] != total:
+            raise ValueError(
+                f"flat idx has {idx.shape[0]} hits, layout expects {total}"
+            )
+    t = len(hot_sizes)
     groups: dict = {}
     for i, h in enumerate(hot_sizes):
         groups.setdefault(int(h), []).append(i)
-    if len(groups) == 1:
-        (h,) = groups
-        return fused_embedding_bag(
-            stacked, row_offsets, idx[:, :, :h],
-            None if wt is None else wt[:, :, :h],
-        )
-    parts = []  # [B, Tg, d] per group
-    order = []
-    for h, tabs in sorted(groups.items()):
+
+    def take_group(tabs, h):
+        """[Tg, B, h] idx/wt for one hot-size group, either layout."""
+        if flat:
+            g_idx = jnp.stack(
+                [idx[f_off[i] : f_off[i] + batch * h].reshape(batch, h)
+                 for i in tabs]
+            )
+            g_wt = (
+                None
+                if wt is None
+                else jnp.stack(
+                    [wt[f_off[i] : f_off[i] + batch * h].reshape(batch, h)
+                     for i in tabs]
+                )
+            )
+            return g_idx, g_wt
         sel = jnp.asarray(tabs, jnp.int32)
         g_idx = jnp.take(idx, sel, axis=0)[:, :, :h]
         g_wt = None if wt is None else jnp.take(wt, sel, axis=0)[:, :, :h]
-        g_off = jnp.take(row_offsets, sel)
+        return g_idx, g_wt
+
+    if len(groups) == 1:
+        (h,) = groups
+        g_idx, g_wt = take_group(groups[h], h)
+        return fused_embedding_bag(stacked, row_offsets, g_idx, g_wt)
+    parts = []  # [B, Tg, d] per group
+    order = []
+    for h, tabs in sorted(groups.items()):
+        g_idx, g_wt = take_group(tabs, h)
+        g_off = jnp.take(row_offsets, jnp.asarray(tabs, jnp.int32))
         parts.append(fused_embedding_bag(stacked, g_off, g_idx, g_wt))
         order.extend(tabs)
     cat = jnp.concatenate(parts, axis=1)  # [B, T, d] in group order

@@ -169,7 +169,8 @@ def make_stream_train_step(
             pooled = jnp.transpose(pooled_t, (1, 0, 2))
         else:
             pooled = grouped_embedding_bag(
-                emb, offsets, batch.idx, batch.wt, plan.hot
+                emb, offsets, batch.idx, batch.wt, plan.hot,
+                batch=batch.dense.shape[0],
             )
 
         dense_params = {k: v for k, v in params.items() if k != "emb"}
@@ -245,7 +246,8 @@ def make_stream_eval_step(model: DLRMModel, plan: StreamPlan):
 
     def eval_step(params, batch: Batch):
         pooled = grouped_embedding_bag(
-            params["emb"]["stacked"], offsets, batch.idx, batch.wt, plan.hot
+            params["emb"]["stacked"], offsets, batch.idx, batch.wt, plan.hot,
+            batch=batch.dense.shape[0],
         )
         dense_params = {k: v for k, v in params.items() if k != "emb"}
         probs, _ = model.forward_from_pooled(

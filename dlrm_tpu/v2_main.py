@@ -550,10 +550,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             interpret=jax.default_backend() == "cpu",
         )
         eval_step = make_stream_eval_step(model, plan)
+        # flat per-hit idx/wt layout: ships each table's REAL plan.hot[t]
+        # hits instead of the padded [T, B, Hmax] block — ~12x fewer H2D
+        # idx bytes on the real v2 shape (215 hits/sample vs 26x100 slots)
         to_device = (  # the U-layout work rides each train batch
-            lambda hb: hb.with_stream_work(plan).to_device()  # noqa: E731
+            lambda hb: hb.with_stream_work(plan).to_device(  # noqa: E731
+                flat_hots=plan.hot
+            )
         )
-        eval_to_device = lambda hb: hb.to_device()  # noqa: E731
+        eval_to_device = (  # noqa: E731
+            lambda hb: hb.to_device(flat_hots=plan.hot)
+        )
     else:
         from dlrm_tpu.train.fused_step import make_fused_train_step, supports_fused
         from dlrm_tpu.train.step import make_eval_step, make_train_step

@@ -234,3 +234,62 @@ def test_unit_weights_batch_matches_full_wts():
         outs.append((np.asarray(p["emb"]["stacked"]), float(loss)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     assert outs[0][1] == outs[1][1]
+
+
+def test_stream_step_flat_per_hit_layout():
+    """to_device(flat_hots=...) ships idx/wt as ONE flat per-hit vector
+    (dropping the padded [T, B, Hmax] H2D cost); the train step must
+    produce bit-identical results to the padded layout, and eval must
+    match too."""
+    from dlrm_tpu.ops.stream_plan import make_stream_plan
+    from dlrm_tpu.train.stream_step import make_stream_eval_step
+
+    hot = (4, 1, 3)
+    hmax = max(hot)
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    b = 32
+    idx = np.stack([
+        rng.integers(0, n, (b, hmax)).astype(np.int32)
+        for n in CFG.table_sizes
+    ])
+    wt = np.zeros((3, b, hmax), np.float32)
+    for t, h in enumerate(hot):
+        wt[t, :, :h] = rng.random((b, h), dtype=np.float32)
+    from dlrm_tpu.data.random_data import HostBatch
+
+    hb = HostBatch(
+        dense=rng.random((b, CFG.num_dense), dtype=np.float32),
+        idx=idx, wt=wt,
+        labels=(rng.random((b, 1)) < 0.5).astype(np.float32),
+    )
+    plan = make_stream_plan(
+        CFG.table_sizes, CFG.embedding_dim, b, hot, block_rows=1024
+    )
+    hb = hb.with_stream_work(plan)
+    flat_batch = hb.to_device(flat_hots=plan.hot)
+    assert flat_batch.idx.ndim == 1
+    assert flat_batch.idx.shape[0] == b * sum(hot)
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    sp = pad_params(copy(params), model, plan)
+    sstate = init_stream_opt_state("rwsadagrad", sp, plan)
+    step = make_stream_train_step(
+        model, "rwsadagrad", plan, grad_impl="gather", interpret=True
+    )
+    p_pad, _, loss_pad, _ = step(
+        copy(sp), copy(sstate), hb.to_device(), 0.05
+    )
+    p_flat, _, loss_flat, _ = step(copy(sp), copy(sstate), flat_batch, 0.05)
+    np.testing.assert_array_equal(float(loss_pad), float(loss_flat))
+    np.testing.assert_array_equal(
+        np.asarray(p_pad["emb"]["stacked"]),
+        np.asarray(p_flat["emb"]["stacked"]),
+    )
+
+    ev = make_stream_eval_step(model, plan)
+    np.testing.assert_array_equal(
+        np.asarray(ev(sp, hb.to_device())),
+        np.asarray(ev(sp, flat_batch)),
+    )

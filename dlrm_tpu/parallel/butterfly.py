@@ -92,17 +92,11 @@ class ButterflyDLRM:
         # feature) assembles full-width vectors — 1/msize the a2a payload of
         # a table-wise slot, in exchange for gathering every hit on every
         # shard (worth it only for very hot / very wide tables; PARITY.md).
-        self.cw_ids = np.asarray(self.placement.cw_tables(), dtype=np.int32)
+        # cw_ids/cw_offsets are parallel tuples in the placement (cw_tables()
+        # returns the same sorted ids the planner stored)
+        self.cw_ids = np.asarray(self.placement.cw_ids, dtype=np.int32)
         self.num_cw = len(self.cw_ids)
-        self.cw_off = np.asarray(
-            [
-                self.placement.cw_offsets[
-                    self.placement.cw_ids.index(int(t))
-                ]
-                for t in self.cw_ids
-            ],
-            dtype=np.int32,
-        )
+        self.cw_off = np.asarray(self.placement.cw_offsets, dtype=np.int32)
         if self.num_cw and cfg.embedding_dim % self.msize:
             raise ValueError(
                 f"column-wise sharding needs embedding_dim "

@@ -102,6 +102,56 @@ class TablePlacement:
         return self.table_shard[t] == -1
 
 
+def _rw_region(sizes, is_rw, num_shards):
+    """Row-wise-striped region layout shared by the mixed and size_rr
+    strategies: each striped table takes an equal aligned per-shard slice,
+    packed first. Returns (rw_slice, rw_off, region_rows)."""
+    num_t = len(sizes)
+    rw_slice = [0] * num_t
+    rw_off = [0] * num_t
+    fill = 0
+    for t in range(num_t):
+        if not is_rw[t]:
+            continue
+        rw_slice[t] = int(np.ceil(sizes[t] / num_shards))
+        rw_off[t] = fill
+        fill += _round_up(rw_slice[t], _ROW_ALIGN)
+    return rw_slice, rw_off, fill
+
+
+def _stripe_until_fit(sizes, is_rw, num_shards, capacity_rows, layout,
+                      shard_rows_of, what: str):
+    """Capacity-driven striping loop shared by mixed and size_rr: stripe
+    the largest still-table-wise eligible table and re-pack until every
+    shard meets the row budget (mutates is_rw); warns when even full
+    striping cannot fit."""
+    out = layout(is_rw)
+    if capacity_rows is None:
+        return out
+    num_t = len(sizes)
+    while shard_rows_of(out) > int(capacity_rows) and not all(
+        is_rw[t] or sizes[t] < num_shards for t in range(num_t)
+    ):
+        cand = max(
+            (t for t in range(num_t)
+             if not is_rw[t] and sizes[t] >= num_shards),
+            key=lambda t: sizes[t],
+        )
+        is_rw[cand] = True
+        out = layout(is_rw)
+    if shard_rows_of(out) > int(capacity_rows):
+        import warnings
+
+        warnings.warn(
+            f"{what} plan cannot meet capacity_rows={capacity_rows}: "
+            f"best-effort shard_rows={shard_rows_of(out)} even with every "
+            "eligible table row-wise striped — expect HBM pressure or add "
+            "shards",
+            stacklevel=3,
+        )
+    return out
+
+
 def plan_tables(
     table_sizes: Sequence[int],
     num_shards: int,
@@ -175,16 +225,7 @@ def plan_tables(
         is_rw = [n > thr and n >= num_shards for n in sizes]
 
         def _layout(is_rw):
-            rw_slice = [0] * num_t
-            rw_off = [0] * num_t
-            fill = 0
-            for t in range(num_t):
-                if not is_rw[t]:
-                    continue
-                rw_slice[t] = int(np.ceil(sizes[t] / num_shards))
-                rw_off[t] = fill
-                fill += _round_up(rw_slice[t], _ROW_ALIGN)
-            rw_region = fill
+            rw_slice, rw_off, rw_region = _rw_region(sizes, is_rw, num_shards)
             # tw region: greedy LPT over the remaining tables
             tw = [t for t in range(num_t) if not is_rw[t]]
             order = sorted(tw, key=lambda t: -sizes[t])
@@ -200,29 +241,10 @@ def plan_tables(
             shard_rows = max(_ROW_ALIGN, rw_region + tw_region)
             return rw_slice, rw_off, rw_region, assign, local_off, shard_rows
 
-        out = _layout(is_rw)
-        if capacity_rows is not None:
-            while out[5] > int(capacity_rows) and not all(
-                is_rw[t] or sizes[t] < num_shards for t in range(num_t)
-            ):
-                # stripe the largest still-table-wise table and re-pack
-                cand = max(
-                    (t for t in range(num_t)
-                     if not is_rw[t] and sizes[t] >= num_shards),
-                    key=lambda t: sizes[t],
-                )
-                is_rw[cand] = True
-                out = _layout(is_rw)
-            if out[5] > int(capacity_rows):
-                import warnings
-
-                warnings.warn(
-                    f"mixed plan cannot meet capacity_rows={capacity_rows}: "
-                    f"best-effort shard_rows={out[5]} even with every "
-                    "eligible table row-wise striped — expect HBM pressure "
-                    "or add shards",
-                    stacklevel=2,
-                )
+        out = _stripe_until_fit(
+            sizes, is_rw, num_shards, capacity_rows, _layout,
+            lambda o: o[5], "mixed",
+        )
         rw_slice, rw_off, rw_region, assign, local_off, shard_rows = out
         global_offsets = tuple(
             rw_off[t]
@@ -276,16 +298,7 @@ def plan_tables(
             is_rw = [n > thr and n >= num_shards for n in sizes]
 
         def _layout_rr(is_rw):
-            rw_slice = [0] * num_t
-            rw_off = [0] * num_t
-            fill = 0
-            for t in range(num_t):
-                if not is_rw[t]:
-                    continue
-                rw_slice[t] = int(np.ceil(sizes[t] / num_shards))
-                rw_off[t] = fill
-                fill += _round_up(rw_slice[t], _ROW_ALIGN)
-            rw_region = fill
+            rw_slice, rw_off, rw_region = _rw_region(sizes, is_rw, num_shards)
             tw = [t for t in range(num_t) if not is_rw[t]]
             order = sorted(tw, key=lambda t: (-sizes[t], t))
             slot_lists: List[List[int]] = [[] for _ in range(num_shards)]
@@ -308,27 +321,10 @@ def plan_tables(
             return (rw_slice, rw_off, assign, local_off, shard_rows,
                     slot_lists)
 
-        out = _layout_rr(is_rw)
-        if capacity_rows is not None:
-            while out[4] > int(capacity_rows) and not all(
-                is_rw[t] or sizes[t] < num_shards for t in range(num_t)
-            ):
-                cand = max(
-                    (t for t in range(num_t)
-                     if not is_rw[t] and sizes[t] >= num_shards),
-                    key=lambda t: sizes[t],
-                )
-                is_rw[cand] = True
-                out = _layout_rr(is_rw)
-            if out[4] > int(capacity_rows):
-                import warnings
-
-                warnings.warn(
-                    f"size_rr plan cannot meet capacity_rows="
-                    f"{capacity_rows}: best-effort shard_rows={out[4]} even "
-                    "with every eligible table row-wise striped",
-                    stacklevel=2,
-                )
+        out = _stripe_until_fit(
+            sizes, is_rw, num_shards, capacity_rows, _layout_rr,
+            lambda o: o[4], "size_rr",
+        )
         rw_slice, rw_off, assign, local_off, shard_rows, slot_lists = out
         return TablePlacement(
             table_sizes=tuple(sizes),

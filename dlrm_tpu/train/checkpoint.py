@@ -163,6 +163,14 @@ def save_checkpoint(
         barrier("ckpt_save")  # every writer's files durable before commit
     if jax.process_index() == 0:
         _atomic_json("meta.json", {**(meta or {}), "save_id": save_id})
+    if jax.process_count() > 1:
+        from dlrm_tpu.parallel.multihost import barrier
+
+        # commit barrier: no rank may RETURN before meta.json exists —
+        # otherwise a rank!=0 caller could load (or signal a consumer)
+        # while the directory still carries the previous save's meta,
+        # making load_checkpoint raise a spurious inconsistency error
+        barrier("ckpt_commit")
 
 
 def _check_save_id(z, fname: str, expect_id: Optional[str]) -> None:

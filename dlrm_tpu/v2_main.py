@@ -120,7 +120,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated table ids to shard COLUMN-wise (the feature "
         "dim splits over the model axis; TorchRec's CW option, "
         "dlrm_main.py:654-667). Composes with any --sharding_strategy; "
-        "requires the fused/scatter embedding impl",
+        "requires --embedding_impl fused (or auto resolving to it)",
     )
     p.add_argument("--auroc_target", type=float, default=None)
     return p
@@ -408,9 +408,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         if args.column_wise_tables and stream_ok:
             raise SystemExit(
-                "ERROR: --column_wise_tables requires the fused/scatter "
-                "embedding impl (pass --embedding_impl scatter); the stream "
-                "butterfly has no column-sharded layout"
+                "ERROR: --column_wise_tables requires the fused "
+                "coalesce+scatter embedding impl (pass --embedding_impl "
+                "fused); the stream butterfly has no column-sharded layout"
             )
         if stream_ok:
             import jax.numpy as jnp
@@ -451,11 +451,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"{model_cfg.num_tables - bf.num_rw} table-wise slots"
             )
         else:
-            cw = (
-                [int(t) for t in args.column_wise_tables.split(",")]
-                if args.column_wise_tables
-                else None
-            )
+            try:
+                cw = [
+                    int(t)
+                    for t in args.column_wise_tables.split(",")
+                    if t.strip()
+                ] or None
+            except ValueError:
+                raise SystemExit(
+                    "ERROR: --column_wise_tables must be a comma-separated "
+                    f"list of table ids, got {args.column_wise_tables!r}"
+                )
             if args.sharding_strategy == "auto":
                 # HBM-derived per-shard row budget (the TorchRec planner's
                 # HeuristicalStorageReservation role, dlrm_main.py:658-666)

@@ -60,11 +60,12 @@ def test_launcher_two_process_cli_matches_single_process():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     mp_losses = _losses(r.stdout)
-    # both ranks print the same 2 loss lines
+    # both ranks print the same 2 loss lines (interleaving is arbitrary):
+    # every loss value must appear exactly twice
     assert len(mp_losses) == 4, r.stdout
-    assert mp_losses[-4:-2] == mp_losses[-2:] or sorted(
-        mp_losses
-    ) == sorted(mp_losses), mp_losses
+    from collections import Counter
+
+    assert all(c == 2 for c in Counter(mp_losses).values()), mp_losses
 
     env1 = _base_env()
     env1["JAX_PLATFORMS"] = "cpu"

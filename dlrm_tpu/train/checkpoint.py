@@ -48,20 +48,22 @@ def _flatten_with_paths(tree, to_numpy: bool = True) -> Dict[str, Any]:
 
 
 def _model_shard_info(leaf):
-    """(num_shards, block_rows) if leaf is sharded over a "model" mesh axis
-    on dim 0, else None."""
+    """(num_shards, block_len, axis) if leaf is sharded over a "model" mesh
+    axis on some dim (dim 0 for row-laid tables, dim 1 for column-wise
+    tables' feature split), else None."""
     from jax.sharding import NamedSharding
 
     sh = getattr(leaf, "sharding", None)
     if not isinstance(sh, NamedSharding):
         return None
     spec = sh.spec
-    if len(spec) == 0 or spec[0] != "model":
+    axis = next((i for i, s in enumerate(spec) if s == "model"), None)
+    if axis is None:
         return None
     msize = int(sh.mesh.shape["model"])
-    if msize <= 1 or leaf.shape[0] % msize != 0:
+    if msize <= 1 or leaf.shape[axis] % msize != 0:
         return None
-    return msize, leaf.shape[0] // msize
+    return msize, leaf.shape[axis] // msize, axis
 
 
 def _unflatten_like(template, flat: Dict[str, Any]):
@@ -111,13 +113,15 @@ def save_checkpoint(
         if info is None:
             replicated[key] = np.asarray(jax.device_get(leaf))
             continue
-        msize, block = info
-        manifest[key] = msize
+        msize, block, axis = info
+        # manifest value: [num_shards, axis] (legacy checkpoints stored a
+        # bare int meaning axis 0)
+        manifest[key] = [msize, axis]
         for sh in leaf.addressable_shards:
             if sh.replica_id != 0:
                 continue  # one writer per block across data replicas/hosts
-            i0 = sh.index[0]
-            start = 0 if i0.start is None else int(i0.start)
+            ia = sh.index[axis]
+            start = 0 if ia.start is None else int(ia.start)
             rank = start // block
             per_shard.setdefault(rank, {})[key] = np.asarray(sh.data)
 
@@ -210,16 +214,19 @@ class _ShardedEntry:
     """Lazy per-block view of one sharded checkpoint array."""
 
     def __init__(self, path: str, key: str, num_shards: int,
-                 expect_id: Optional[str] = None):
+                 expect_id: Optional[str] = None, axis: int = 0):
         self.path = path
         self.key = key
         self.num_shards = num_shards
         self.expect_id = expect_id
+        self.axis = axis
         self._blocks: Dict[int, np.ndarray] = {}
         # probe block 0 for geometry
         b0 = self.block(0)
-        self.block_rows = b0.shape[0]
-        self.shape = (self.block_rows * num_shards,) + b0.shape[1:]
+        self.block_rows = b0.shape[axis]
+        shape = list(b0.shape)
+        shape[axis] *= num_shards
+        self.shape = tuple(shape)
         self.dtype = b0.dtype
 
     def block(self, rank: int) -> np.ndarray:
@@ -232,7 +239,7 @@ class _ShardedEntry:
 
     def concat(self) -> np.ndarray:
         return np.concatenate(
-            [self.block(r) for r in range(self.num_shards)], axis=0
+            [self.block(r) for r in range(self.num_shards)], axis=self.axis
         )
 
 
@@ -251,10 +258,13 @@ def load_checkpoint(
             meta = json.load(f)
     expect_id = meta.pop("save_id", None)  # internal; not part of caller meta
     flat, manifest = _load_flat(path, expect_id)
-    entries = {
-        key: _ShardedEntry(path, key, int(m), expect_id)
-        for key, m in manifest.items()
-    }
+    entries = {}
+    for key, m in manifest.items():
+        # legacy manifests store a bare int (axis-0 row sharding)
+        msize, axis = (int(m), 0) if isinstance(m, int) else (
+            int(m[0]), int(m[1])
+        )
+        entries[key] = _ShardedEntry(path, key, msize, expect_id, axis=axis)
 
     def _resolve(template):
         tflat = _flatten_with_paths(template, to_numpy=False)
@@ -265,13 +275,22 @@ def load_checkpoint(
             elif key in entries:
                 ent = entries[key]
                 info = _model_shard_info(leaf)
-                if info is not None and info[0] == ent.num_shards:
-                    block = info[1]
+                if (
+                    info is not None
+                    and info[0] == ent.num_shards
+                    and info[2] == ent.axis
+                ):
+                    block, axis = info[1], info[2]
                     out[key] = jax.make_array_from_callback(
                         ent.shape,
                         leaf.sharding,
-                        lambda idx, ent=ent, block=block: ent.block(
-                            (0 if idx[0].start is None else int(idx[0].start))
+                        lambda idx, ent=ent, block=block, axis=axis:
+                        ent.block(
+                            (
+                                0
+                                if idx[axis].start is None
+                                else int(idx[axis].start)
+                            )
                             // block
                         ),
                     )

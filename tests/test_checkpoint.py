@@ -273,3 +273,113 @@ def test_pre_save_id_checkpoint_still_loads(tmp_path):
     mpath.write_text(_json.dumps(meta))
     p2, _, meta2 = ckpt.load_checkpoint(str(tmp_path / "ck"), params)
     assert meta2["epoch"] == 3
+
+
+def test_sharded_checkpoint_column_wise_axis1(tmp_path):
+    """Column-wise tables shard on the FEATURE dim (P(None, 'model')):
+    save must write per-shard COLUMN blocks (not a host-gathered full
+    array), the manifest must record the sharded axis, and both sharded-
+    and host-template loads must round-trip. Legacy int-valued manifests
+    (axis-0) still load."""
+    import json as _json
+    import os
+
+    from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+    from dlrm_tpu.parallel.mesh import make_mesh
+
+    cfg = DLRMConfig(
+        embedding_dim=8,
+        table_sizes=(1000, 17, 260, 33, 990, 120),
+        mlp_bot=(13, 8, 8),
+        mlp_top=(12, 4, 1),
+        interaction="dot",
+        loss="bce",
+        num_indices_per_lookup=6,
+    )
+    model = DLRMModel(cfg)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(0))
+    )
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(
+        model, mesh, strategy="mixed", rw_threshold=600, cw_tables=[2, 4]
+    )
+    assert bf.num_cw == 2
+    sp = bf.shard_params(params0)
+    sstate = init_opt_state("adagrad", sp)  # 2-D cw accum -> axis-1 sharded
+
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, sp, sstate, meta={"it": 5})
+
+    # the cw array is split into per-shard column blocks, manifest says so
+    with open(os.path.join(path, "sharding.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["params/emb/cw_stacked"] == [4, 1]
+    assert manifest["params/emb/stacked"] == [4, 0]
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        assert "params/emb/cw_stacked" not in z.files
+    with np.load(os.path.join(path, "shard_00002.npz")) as z:
+        blk = z["params/emb/cw_stacked"]
+        assert blk.shape == (bf.placement.cw_rows, cfg.embedding_dim // 4)
+        np.testing.assert_array_equal(
+            blk, np.asarray(sp["emb"]["cw_stacked"])[:, 4:6]
+        )
+
+    # sharded-template load assembles columns in place
+    tmpl_p = bf.shard_params(jax.tree_util.tree_map(np.zeros_like, params0))
+    tmpl_s = init_opt_state("adagrad", tmpl_p)
+    lp, ls, meta = ckpt.load_checkpoint(path, tmpl_p, tmpl_s)
+    assert meta == {"it": 5}
+    assert (
+        lp["emb"]["cw_stacked"].sharding == sp["emb"]["cw_stacked"].sharding
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lp["emb"]["cw_stacked"]),
+        np.asarray(sp["emb"]["cw_stacked"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ls["accum"]["emb"]["cw_stacked"]),
+        np.asarray(sstate["accum"]["emb"]["cw_stacked"]),
+    )
+
+    # host-template load concatenates on the right axis
+    hp, _, _ = ckpt.load_checkpoint(
+        path,
+        jax.tree_util.tree_map(np.asarray, sp),
+        jax.tree_util.tree_map(np.asarray, sstate),
+    )
+    np.testing.assert_array_equal(
+        hp["emb"]["cw_stacked"], np.asarray(sp["emb"]["cw_stacked"])
+    )
+    # and unshard recovers the original tables bit-exactly
+    un = bf.unshard_params(
+        {
+            **hp,
+            "emb": {
+                "stacked": jax.numpy.asarray(hp["emb"]["stacked"]),
+                "cw_stacked": jax.numpy.asarray(hp["emb"]["cw_stacked"]),
+            },
+        }
+    )
+    np.testing.assert_array_equal(
+        np.asarray(un["emb"]["stacked"]),
+        np.asarray(params0["emb"]["stacked"]),
+    )
+
+    # legacy manifest compat: bare-int values mean axis 0
+    with open(os.path.join(path, "sharding.json")) as f:
+        m2 = _json.load(f)
+    m2["params/emb/stacked"] = 4
+    del m2["params/emb/cw_stacked"]  # force the concat path for cw
+    del m2["opt/accum/emb/cw_stacked"]
+    with open(os.path.join(path, "sharding.json"), "w") as f:
+        _json.dump(m2, f)
+    # cw blocks must then be merged manually for arrays.npz... instead just
+    # assert the row-sharded leaf still loads through the legacy int form
+    lp2, _, _ = ckpt.load_checkpoint(
+        path,
+        {"emb": {"stacked": tmpl_p["emb"]["stacked"]}},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lp2["emb"]["stacked"]), np.asarray(sp["emb"]["stacked"])
+    )

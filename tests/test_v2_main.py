@@ -266,3 +266,53 @@ def test_sharded_auto_picks_stream_and_fused(monkeypatch):
     assert rc == 0
     out = buf.getvalue()
     assert "sharding plan" in out and "stream-butterfly" not in out
+
+
+def test_main_sharded_column_wise():
+    """--column_wise_tables through the REAL main(): the chosen tables
+    shard on the feature dim and the run trains + evals to completion."""
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "4",
+            "--limit_val_batches", "2",
+            "--limit_test_batches", "2",
+            "--batch_size", "16",
+            "--embedding_dim", "8",
+            "--num_embeddings_per_feature", ",".join(["48"] * 26),
+            "--dense_arch_layer_sizes", "16,8",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--sharded",
+            "--mesh_data", "2",
+            "--embedding_impl", "fused",
+            "--column_wise_tables", "0,5",
+            "--print_sharding_plan",
+            "--adagrad",
+        ]
+    )
+    assert rc == 0
+
+
+def test_column_wise_flag_rejections(capsys):
+    """The cw flag is loudly rejected off-mesh, with the stream impl, and
+    on malformed id lists (the silent-flag class r2 eliminated)."""
+    base = [
+        "--batch_size", "16",
+        "--embedding_dim", "8",
+        "--num_embeddings_per_feature", ",".join(["48"] * 26),
+        "--dense_arch_layer_sizes", "16,8",
+        "--over_arch_layer_sizes", "16,8,1",
+    ]
+    with pytest.raises(SystemExit, match="multi-device mesh"):
+        v2_main.main(base + ["--column_wise_tables", "0"])
+    with pytest.raises(SystemExit, match="embedding_impl fused"):
+        v2_main.main(
+            base
+            + ["--sharded", "--mesh_data", "2", "--embedding_impl",
+               "stream", "--column_wise_tables", "0"]
+        )
+    with pytest.raises(SystemExit, match="comma-separated"):
+        v2_main.main(
+            base
+            + ["--sharded", "--mesh_data", "2", "--embedding_impl",
+               "fused", "--column_wise_tables", "0;5"]
+        )

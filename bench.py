@@ -165,7 +165,35 @@ def _measure(hot_sizes) -> float:
     return BATCH * ITERS / dt
 
 
+def _wait_for_device(attempts: int = 3, probe_timeout: int = 300) -> None:
+    """The TPU here sits behind a tunnel that can be transiently
+    unavailable (observed: backend init hangs for minutes, then
+    RuntimeError). Probe it in a SUBPROCESS (a failed in-process init is
+    cached by jax for the process lifetime) with a timeout, retrying a
+    few times, so a flaky minute doesn't cost the whole benchmark. If
+    the probe never succeeds, proceed anyway and let the real error
+    surface."""
+    import subprocess
+    import sys
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# device probe {i + 1}/{attempts} failed; retrying",
+              flush=True)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_device()
     ragged_rate = _measure(V2_HOT_SIZES)
     uniform_rate = _measure(8)
     print(

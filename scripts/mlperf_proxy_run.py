@@ -238,6 +238,10 @@ def main(argv=None) -> int:
     p.add_argument("--phase", choices=["v1", "v2", "both"], default="both")
     args = p.parse_args(argv)
 
+    if args.phase in ("v1", "both") and args.days != 24:
+        # the terabyte raw layout is day_0..day_23 (data_utils.py hardcodes
+        # 24 days; make_criteo_datasets mirrors it)
+        p.error("the v1 phase needs --days 24 (terabyte day layout)")
     os.makedirs(os.path.join(args.workdir, "proc"), exist_ok=True)
     generate_raw_days(
         os.path.join(args.workdir, "raw"), args.days, args.rows_per_day

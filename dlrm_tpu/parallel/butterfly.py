@@ -488,18 +488,17 @@ class ButterflyDLRM:
         Returns (new_emb_cw, new_accum_or_None)."""
         from dlrm_tpu.ops.sparse_update import (
             adagrad_from_coalesced,
-            coalesce,
-            per_hit_gradients,
+            coalesce_hits,
             rowwise_adagrad_from_coalesced,
             sgd_from_coalesced,
         )
 
-        flat = idx_all + jnp.asarray(self.cw_off)[:, None, None]
-        rows, g = per_hit_gradients(
-            jnp.transpose(dp_all, (1, 0, 2)), flat, wt_all,
-            jnp.zeros((flat.shape[0],), jnp.int32),
+        # coalesce_hits sorts int (row, hit) pairs and gathers gradient rows
+        # in already-sorted order — no [N, d/m] pre-sort materialization
+        urows, G, valid = coalesce_hits(
+            jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
+            jnp.asarray(self.cw_off), emb_cw.shape[0],
         )
-        urows, G, valid = coalesce(rows, g, emb_cw.shape[0])
         if optimizer == "sgd":
             return sgd_from_coalesced(emb_cw, urows, G, valid, lr), None
         acc = opt_state["accum"]["emb"]["cw_stacked"]

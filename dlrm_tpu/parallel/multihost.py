@@ -42,8 +42,20 @@ def init_multihost(
     SLURM/OMPI clusters on its own."""
     import os
 
-    if num_processes is None and "DLRM_NUM_PROCESSES" in os.environ:
+    explicit = (
+        num_processes is not None
+        or process_id is not None
+        or coordinator_address is not None
+    )
+    if not explicit and "DLRM_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["DLRM_NUM_PROCESSES"])
+        if "DLRM_PROCESS_ID" not in os.environ:
+            raise ValueError(
+                "DLRM_NUM_PROCESSES is set but DLRM_PROCESS_ID is not — "
+                "the launcher env contract requires DLRM_COORDINATOR, "
+                "DLRM_NUM_PROCESSES and DLRM_PROCESS_ID together "
+                "(scripts/launch.py exports all three)"
+            )
         coordinator_address = os.environ.get("DLRM_COORDINATOR")
         process_id = int(os.environ["DLRM_PROCESS_ID"])
     if num_processes is not None and num_processes > 1:
@@ -82,6 +94,9 @@ def global_batch_from_replicated(mesh: Mesh, batch: Batch, specs) -> Batch:
         # mixed-plan row-wise tables: indices visible to every model shard
         idx_rw=put(batch.idx_rw, P(None, "data")),
         wt_rw=put(batch.wt_rw, P(None, "data")),
+        # column-wise tables: same replicated-over-model layout
+        idx_cw=put(batch.idx_cw, P(None, "data")),
+        wt_cw=put(batch.wt_cw, P(None, "data")),
     )
 
 
@@ -106,6 +121,8 @@ def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
         *main, stream=stream,
         idx_rw=put(local.idx_rw, P(None, "data")),
         wt_rw=put(local.wt_rw, P(None, "data")),
+        idx_cw=put(local.idx_cw, P(None, "data")),
+        wt_cw=put(local.wt_cw, P(None, "data")),
     )
 
 

@@ -172,14 +172,27 @@ def plan_tables(
         if any(t < 0 or t >= num_t for t in cw):
             raise ValueError(f"cw_tables out of range: {cw}")
         rest = [t for t in range(num_t) if t not in set(cw)]
-        sub = plan_tables(
-            [sizes[t] for t in rest], num_shards, strategy=strategy,
-            rw_threshold=rw_threshold, capacity_rows=capacity_rows,
-        )
         cw_off, fill = [], 0
         for t in cw:
             cw_off.append(fill)
             fill += _round_up(sizes[t], _ROW_ALIGN)
+        if capacity_rows is not None:
+            # each shard additionally holds cw_rows x dim/num_shards columns
+            # = fill/num_shards full-width-row equivalents; deduct it from
+            # the sub-plan's HBM row budget so the budget stays honest
+            cw_per_shard = int(np.ceil(fill / num_shards))
+            capacity_rows = int(capacity_rows) - cw_per_shard
+            if capacity_rows <= 0:
+                raise ValueError(
+                    f"cw_tables={cw} alone exceed the per-shard row budget: "
+                    f"cw per-shard footprint {cw_per_shard} rows >= "
+                    f"capacity_rows — shard fewer/narrower tables "
+                    "column-wise or add shards"
+                )
+        sub = plan_tables(
+            [sizes[t] for t in rest], num_shards, strategy=strategy,
+            rw_threshold=rw_threshold, capacity_rows=capacity_rows,
+        )
         table_shard = [-2] * num_t
         goff = [0] * num_t
         rwsl = [0] * num_t
@@ -363,7 +376,12 @@ def plan_tables(
         s = assign[t]
         local_off[t] = shard_fill[s]
         shard_fill[s] += _round_up(sizes[t], _ROW_ALIGN)
-    shard_rows = _round_up(max(shard_fill) if shard_fill else _ROW_ALIGN, _ROW_ALIGN)
+    # max(..., _ROW_ALIGN): with zero tables (everything pulled into the cw
+    # array) every shard_fill entry is 0 — keep one aligned dummy row so
+    # the stacked array and the butterfly's pad-slot gathers stay non-empty
+    shard_rows = _round_up(
+        max([_ROW_ALIGN] + shard_fill), _ROW_ALIGN
+    )
     global_offsets = tuple(
         assign[t] * shard_rows + local_off[t] for t in range(num_t)
     )

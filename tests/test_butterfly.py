@@ -509,3 +509,31 @@ def test_cw_grad_accum_matches_single_device():
         np.asarray(p2u["emb"]["stacked"]),
         atol=2e-5,
     )
+
+
+def test_cw_plan_all_tables_and_capacity_deduction():
+    from dlrm_tpu.parallel.planner import plan_tables
+
+    sizes = (1000, 17, 260, 33, 990, 120)
+    # every table column-wise: the stacked array keeps one aligned dummy
+    # row per shard (empty-rest sub-plan must not collapse to 0 rows)
+    pl = plan_tables(sizes, 4, strategy="table_wise",
+                     cw_tables=list(range(6)))
+    assert pl.cw_tables() == list(range(6))
+    assert pl.shard_rows >= 8 and pl.total_rows > 0
+
+    # the cw per-shard footprint (fill/num_shards full-width rows) is
+    # deducted from the sub-plan's budget: with table 0 cw (1000 rows ->
+    # 250/shard), the remaining tables must fit 800-250=550 rows/shard —
+    # which forces striping the same budget without cw would not
+    pl_cw = plan_tables(sizes, 4, strategy="mixed", capacity_rows=700,
+                        cw_tables=[0])
+    # deducted budget is 700 - 250 = 450; without the deduction the
+    # sub-plan would stop striping at 512 (shard_rows > 450)
+    assert pl_cw.shard_rows <= 700 - int(np.ceil(pl_cw.cw_rows / 4))
+    assert pl_cw.rw_tables() == [2, 4]
+
+    # cw tables alone blowing the budget is a loud error
+    with pytest.raises(ValueError, match="exceed the per-shard row budget"):
+        plan_tables(sizes, 4, strategy="mixed", capacity_rows=100,
+                    cw_tables=[0, 4])

@@ -225,6 +225,18 @@ def test_global_batch_helpers_stream_roundtrip():
         np.random.default_rng(0), cfg.num_dense, cfg.table_sizes, 16, 2
     ).with_stream_work(plan)
     host = hb.to_device()  # jnp arrays, single device
+    # rw AND cw sidecar fields must ride through both helpers too
+    rng = np.random.default_rng(1)
+    host = host._replace(
+        idx_rw=jax.numpy.asarray(
+            rng.integers(0, 640, (1, 16, 2)).astype(np.int32)
+        ),
+        wt_rw=jax.numpy.ones((1, 16, 2), np.float32),
+        idx_cw=jax.numpy.asarray(
+            rng.integers(0, 1280, (1, 16, 2)).astype(np.int32)
+        ),
+        wt_cw=jax.numpy.ones((1, 16, 2), np.float32),
+    )
     mesh = make_mesh(data=8, model=1)
     specs = (P("data"), P(None, "data"), P(None, "data"), P("data"))
     for helper in (global_batch_from_replicated, global_batch_from_local_shard):
@@ -239,3 +251,8 @@ def test_global_batch_helpers_stream_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(got.dense), np.asarray(host.dense)
         )
+        for f in ("idx_rw", "wt_rw", "idx_cw", "wt_cw"):
+            assert getattr(got, f) is not None, f
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(host, f))
+            )

@@ -296,6 +296,13 @@ class CriteoBinFile:
         # round-robin batch -> rank assignment (multi_hot_criteo.py:262)
         return len(range(self.rank, self.num_batches, self.world_size))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the shuffle permutation with the trainer's epoch counter
+        (torch DistributedSampler.set_epoch role). Without this, resume
+        fast-forward would replay seed+0's permutation while the pre-crash
+        run trained seed+epoch's — skipping the WRONG batches."""
+        self._epoch = int(epoch)
+
     def batch_indices(self):
         ids = range(self.rank, self.num_batches, self.world_size)
         if not self.shuffle_batches:

@@ -493,10 +493,33 @@ def per_example_loss(
     return ws * per
 
 
+def masked_mean(
+    per: jax.Array,
+    labels: jax.Array,
+    denom: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean over REAL rows only. The bin loader pads the last batch to the
+    static batch size with label=-1 / weight-0 rows (criteo.py pad_last —
+    the reference never pads, its last torch batch is simply short); a
+    plain mean would fold softplus(z) - t*z of fabricated rows into the
+    loss AND its gradients. `denom` overrides the valid count for
+    distributed callers that psum it across shards."""
+    t = labels.astype(jnp.float32).reshape(per.shape)
+    valid = (t >= 0.0).astype(jnp.float32)
+    if denom is None:
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(per * valid) / denom
+
+
+def valid_count(labels: jax.Array) -> jax.Array:
+    """Number of real (non-pad) rows in a labels array."""
+    return jnp.sum((labels.astype(jnp.float32) >= 0.0).astype(jnp.float32))
+
+
 def compute_loss(
     cfg: DLRMConfig,
     probs: jax.Array,
     labels: jax.Array,
     logits: Optional[jax.Array] = None,
 ) -> jax.Array:
-    return jnp.mean(per_example_loss(cfg, probs, labels, logits))
+    return masked_mean(per_example_loss(cfg, probs, labels, logits), labels)

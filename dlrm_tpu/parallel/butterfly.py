@@ -41,7 +41,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dlrm_tpu.config import DLRMConfig
 from dlrm_tpu.data.batch import Batch
-from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.models.dlrm import (
+    DLRMModel,
+    masked_mean,
+    per_example_loss,
+    valid_count,
+)
 from dlrm_tpu.ops.mlp import apply_mlp
 from dlrm_tpu.optim.optimizers import apply_updates
 from dlrm_tpu.parallel.planner import TablePlacement, plan_tables
@@ -446,13 +451,17 @@ class ButterflyDLRM:
         new_dense, new_dense_state)."""
         cfg = self.cfg
         dense_params = {k: v for k, v in params.items() if k != "emb"}
+        # global REAL-row count (bin-loader pad rows carry label -1 and
+        # must not contribute to the loss or its gradients); equals
+        # global_batch for full batches
+        denom = jax.lax.psum(valid_count(labels_l), ("data", "model"))
 
         def rest(dp, pooled_in):
             probs, logits = self._tail_from_pooled(
                 {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
             )
             per = per_example_loss(cfg, probs, labels_l, logits)
-            return jnp.sum(per) / global_batch, probs
+            return masked_mean(per, labels_l, denom=denom), probs
 
         (loss_local, probs), (dgrads, dpooled) = jax.value_and_grad(
             rest, argnums=(0, 1), has_aux=True
@@ -567,12 +576,16 @@ class ButterflyDLRM:
             if has_cw:
                 idx_cw_l, wt_cw_l = rw[-2], rw[-1]
             if not fuse:
+                denom = jax.lax.psum(
+                    valid_count(labels_l), ("data", "model")
+                )
+
                 def loss_fn(p):
                     probs, logits = self._forward_local(
                         p, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
                     )
                     per = per_example_loss(cfg, probs, labels_l, logits)
-                    return jnp.sum(per) / global_batch, probs
+                    return masked_mean(per, labels_l, denom=denom), probs
 
                 (loss_local, probs), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
@@ -818,12 +831,16 @@ class ButterflyDLRM:
                         *tw_rw, self._cw_pooled(params, idx_cw_l, wt_cw_l)
                     )
 
+                denom = jax.lax.psum(
+                    valid_count(labels_l), ("data", "model")
+                )
+
                 def rest(dp, pooled_in):
                     probs, logits = self._tail_from_pooled(
                         {**dp, "emb": {"stacked": emb_l}}, dense_l, pooled_in
                     )
                     per = per_example_loss(cfg, probs, labels_l, logits)
-                    return jnp.sum(per) / global_batch, probs
+                    return masked_mean(per, labels_l, denom=denom), probs
 
                 (loss_local, _), (dgrads, dpooled) = jax.value_and_grad(
                     rest, argnums=(0, 1), has_aux=True

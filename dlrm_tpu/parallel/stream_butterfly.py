@@ -49,7 +49,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dlrm_tpu.data.batch import Batch, StreamArrays
-from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.models.dlrm import DLRMModel
 from dlrm_tpu.ops.stream_kernels import gather_grads, stream_update
 from dlrm_tpu.ops.stream_plan import build_stream_work, make_stream_plan
 from dlrm_tpu.optim.optimizers import apply_updates

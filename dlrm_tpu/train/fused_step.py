@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from dlrm_tpu.data.batch import Batch
-from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.models.dlrm import DLRMModel, masked_mean, per_example_loss
 from dlrm_tpu.ops.sparse_update import (
     adagrad_from_coalesced,
     coalesce_hits,
@@ -58,8 +58,9 @@ def make_fused_train_step(model: DLRMModel, optimizer: str,
 
         def rest(dp, ly):
             probs, logits = model.forward_from_pooled(dp, batch.dense, ly)
-            return jnp.mean(
-                per_example_loss(cfg, probs, batch.labels, logits)
+            return masked_mean(
+                per_example_loss(cfg, probs, batch.labels, logits),
+                batch.labels,
             ), probs
 
         (loss, probs), (dgrads, dly) = jax.value_and_grad(
@@ -148,8 +149,9 @@ def make_fused_grad_accum_train_step(
                 probs, logits = model.forward_from_pooled(
                     dp, batch.dense, ly
                 )
-                return jnp.mean(
-                    per_example_loss(cfg, probs, batch.labels, logits)
+                return masked_mean(
+                    per_example_loss(cfg, probs, batch.labels, logits),
+                    batch.labels,
                 ), probs
 
             (loss, _), (dgrads, dly) = jax.value_and_grad(

@@ -33,6 +33,19 @@ from dlrm_tpu.train.step import make_eval_step, make_train_step
 from dlrm_tpu.utils import logging as obs
 
 
+def _skip_batches(src, skip: int):
+    """First `skip` batches of one epoch pass, without materializing them:
+    loaders that enumerate indices (CriteoBinFile) skip at the index
+    level (zero disk reads); anything else is islice'd (host batches are
+    built but never H2D-transferred)."""
+    if hasattr(src, "batch_indices") and hasattr(src, "read_batch"):
+        ids = list(src.batch_indices())[skip:]
+        return (src.read_batch(i) for i in ids)
+    import itertools
+
+    return itertools.islice(iter(src), skip, None)
+
+
 class _group_batches:
     """Stack groups of `k` consecutive HostBatches on a new leading axis
     (short trailing groups are dropped, like the reference's incomplete
@@ -154,10 +167,21 @@ class Trainer:
         tc = self.tc
         if tc.debug_mode or tc.numpy_rand_seed is not None:
             np.random.seed(tc.numpy_rand_seed)
-            params = self.model.init_params_numpy()
+            try:
+                params = self.model.init_params_numpy()
+            except NotImplementedError:
+                # QR tables: the reference inits them from the TORCH RNG
+                # (tricks/qr_embedding_bag.py:189-190), so there is no
+                # numpy sequence to match — fall back to the JAX init
+                # seeded by the same flag
+                params = self.model.init_params(
+                    jax.random.PRNGKey(tc.numpy_rand_seed)
+                )
         else:
             params = self.model.init_params(
-                jax.random.PRNGKey(seed or tc.numpy_rand_seed)
+                jax.random.PRNGKey(
+                    tc.numpy_rand_seed if seed is None else seed
+                )
             )
         opt_state = init_opt_state(tc.optimizer, params)
         state = TrainState(params=params, opt_state=opt_state)
@@ -244,6 +268,11 @@ class Trainer:
             from dlrm_tpu.train.pipeline import DevicePrefetcher
 
             train_src = self.train_data
+            if hasattr(train_src, "set_epoch"):
+                # keep the shuffle permutation tied to the TRAINER's epoch
+                # (not the loader's restart count) so resume fast-forward
+                # skips exactly the batches the pre-crash run trained
+                train_src.set_epoch(epoch)
             if tc.grad_accum_iter > 1:
                 # stack groups of accum_iter host batches on a leading axis
                 # (dlrm_s_pytorch.py:1604-1621 skips zero_grad/step except
@@ -253,11 +282,15 @@ class Trainer:
                     self.train_data, tc.grad_accum_iter
                 )
                 nbatches = len(train_src)
+            # checkpoint fast-forward (dlrm_s_pytorch.py:1535-1546): skip
+            # UPSTREAM of the prefetcher so skipped batches are neither
+            # H2D-transferred nor (when the loader can enumerate indices)
+            # even read from disk
+            skip = skip_iter if epoch == skip_epoch else 0
+            if skip:
+                train_src = _skip_batches(train_src, skip)
             prefetched = DevicePrefetcher(train_src, self.to_device)
-            for it, batch in enumerate(prefetched):
-                # checkpoint fast-forward (dlrm_s_pytorch.py:1535-1546)
-                if epoch == skip_epoch and it < skip_iter:
-                    continue
+            for it, batch in enumerate(prefetched, start=skip):
                 t0 = time.perf_counter()
                 lr = self.lr_policy.lr
                 state.params, state.opt_state, loss, _ = self.train_step(

@@ -122,63 +122,13 @@ class PipelinedTrainer:
         return loss, probs
 
 
-class HostPrefetcher:
+class HostPrefetcher(DevicePrefetcher):
     """Host-side analog of torch DataLoader(num_workers>0): a background
     thread materializes host batches `depth` ahead (--num-workers,
     dlrm_s_pytorch.py:997; one thread suffices because batch prep releases
     the GIL in numpy/the native builder). Re-iterable: each __iter__ spawns
-    a fresh producer."""
-
-    _DONE = object()
+    a fresh producer. Exactly DevicePrefetcher with an identity transform —
+    the queue/drain/error machinery is shared."""
 
     def __init__(self, loader: Iterable, depth: int = 2):
-        self.loader = loader
-        self.depth = max(1, depth)
-
-    def __len__(self):
-        return len(self.loader)
-
-    def __iter__(self):
-        q: queue.Queue = queue.Queue(maxsize=self.depth)
-        stop = threading.Event()
-        err = []
-
-        def put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def producer():
-            try:
-                for hb in self.loader:
-                    if not put(hb):
-                        return
-            except BaseException as e:
-                err.append(e)
-            finally:
-                put(self._DONE)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        done = False
-        try:
-            while True:
-                item = q.get()
-                if item is self._DONE:
-                    done = True
-                    break
-                yield item
-        finally:
-            stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
-            t.join(timeout=5.0)
-        if done and err:
-            raise err[0]
+        super().__init__(loader, lambda hb: hb, depth)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dlrm_tpu.data.batch import Batch
-from dlrm_tpu.models.dlrm import DLRMModel, per_example_loss
+from dlrm_tpu.models.dlrm import DLRMModel, masked_mean, per_example_loss
 from dlrm_tpu.ops.embedding import grouped_embedding_bag
 from dlrm_tpu.ops.stream_kernels import (
     gather_grads,
@@ -177,8 +177,9 @@ def make_stream_train_step(
 
         def rest(dp, ly):
             probs, logits = model.forward_from_pooled(dp, batch.dense, ly)
-            return jnp.mean(
-                per_example_loss(cfg, probs, batch.labels, logits)
+            return masked_mean(
+                per_example_loss(cfg, probs, batch.labels, logits),
+                batch.labels,
             ), probs
 
         (loss, probs), (dgrads, dly) = jax.value_and_grad(

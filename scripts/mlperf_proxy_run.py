@@ -74,6 +74,12 @@ def generate_raw_days(out_dir: str, days: int, rows: int, seed: int = 0):
         paths.append(path)
         if os.path.exists(path):
             continue
+        # per-day RNG (not the shared stream): resuming a partially
+        # generated workdir must not give later days the draws an earlier
+        # (skipped) day consumed — that would make the held-out test day a
+        # byte-duplicate of a training day and pass the proxy by
+        # memorization
+        rng = np.random.default_rng(seed + 1000 + d)
         dense = rng.integers(0, 200, size=(rows, 13))
         z = (np.log1p(dense) - 3.7) @ w / np.sqrt(13)
         c0 = rng.integers(0, vocab, rows)
@@ -191,7 +197,12 @@ def run_v2(workdir: str, auroc_target: float) -> None:
             for p in (os.path.join(proc, f) for f in os.listdir(proc))
             if p.endswith(".y.npy")
         )
-        last = max(days, key=lambda p: int(p.split("day_")[1].split("_")[0]))
+        last = max(
+            days,
+            key=lambda p: int(
+                os.path.basename(p).split("day_")[1].split("_")[0]
+            ),
+        )
         criteo_stream.days_to_binary_streaming([last], val_bin, "val")
     buf = io.StringIO()
     argv = [

@@ -188,3 +188,65 @@ def test_fused_grad_accum_matches_plain_accum(optimizer):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-6, err_msg=str(k)
         )
+
+
+def test_padded_last_batch_loss_masks_pad_rows():
+    """The bin loader pads the final batch to the static batch size with
+    label=-1 / weight-0 rows (criteo.py pad_last). Those rows must not
+    contribute to the loss OR its gradients: training on the padded batch
+    must equal training on the truncated real rows (plain AND fused paths,
+    and the sharded butterfly)."""
+    from dlrm_tpu.data.random_data import HostBatch
+
+    model = DLRMModel(CFG)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(1))
+    )
+    rng = np.random.default_rng(3)
+    b_real, b_pad = 5, 8
+    dense = rng.normal(size=(b_pad, CFG.num_dense)).astype(np.float32)
+    dense[b_real:] = 0.0
+    idx = np.stack(
+        [rng.integers(0, n, (b_pad, 5)) for n in CFG.table_sizes]
+    ).astype(np.int32)
+    idx[:, b_real:, :] = 0
+    wt = np.ones((3, b_pad, 5), np.float32)
+    wt[:, b_real:, :] = 0.0
+    labels = (rng.random((b_pad, 1)) < 0.5).astype(np.float32)
+    labels[b_real:] = -1.0  # pad marker
+
+    padded = HostBatch(dense=dense, idx=idx, wt=wt, labels=labels)
+    real = HostBatch(
+        dense=dense[:b_real], idx=idx[:, :b_real], wt=wt[:, :b_real],
+        labels=labels[:b_real],
+    )
+
+    for mk in (make_train_step, make_fused_train_step):
+        outs = []
+        for hb in (padded, real):
+            p = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+            s = init_opt_state("rwsadagrad", p)
+            p, s, loss, _ = mk(model, "rwsadagrad")(p, s, hb.to_device(), 0.1)
+            outs.append((float(loss), np.asarray(p["emb"]["stacked"]),
+                         np.asarray(p["top"][0]["w"])))
+        assert outs[0][0] == outs[1][0], mk.__name__
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+        np.testing.assert_allclose(outs[0][2], outs[1][2], atol=1e-7)
+
+    # sharded butterfly: padded global batch == single-device padded run
+    from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+    from dlrm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh)
+    p2 = bf.shard_params(params0)
+    s2 = init_opt_state("rwsadagrad", p2)
+    step2 = bf.make_train_step("rwsadagrad", b_pad, p2, s2)
+    _, _, loss2, _ = step2(p2, s2, bf.shard_batch(padded.to_device()), 0.1)
+
+    p1 = jax.tree_util.tree_map(jax.numpy.asarray, params0)
+    s1 = init_opt_state("rwsadagrad", p1)
+    _, _, loss1, _ = make_train_step(model, "rwsadagrad")(
+        p1, s1, padded.to_device(), 0.1
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-6)

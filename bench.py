@@ -9,7 +9,7 @@ the embedding backward — the config of the best published A100 number
 (~148.8k examples/s/chip, torchrec_dlrm/README.MD:51-53, see BASELINE.md).
 
 HEADLINE = the REAL MLPerf v2 multi-hot distribution (per-table hot sizes
-1..100, 215 hits/sample — torchrec_dlrm's Criteo config), not the uniform
+1..100, 214 hits/sample — torchrec_dlrm's Criteo config), not the uniform
 8-hot shape: VERDICT r2 weak #3 called the uniform number the less honest
 one. The uniform H=8 rate is measured in the same run and reported inside
 the metric text for continuity with BENCH_r01/r02.
@@ -113,7 +113,7 @@ def _measure(hot_sizes) -> float:
                 rng_i, cfg.num_dense, cfg.table_sizes, BATCH, hmax
             )
         )
-        # flat per-hit idx layout: ships 215 real hits/sample instead of the
+        # flat per-hit idx layout: ships 214 real hits/sample instead of the
         # padded 26x100 slots (~12x fewer idx bytes on the real v2 shape).
         # The flat layout drops the padding columns, so every remaining hit
         # weighs 1.0 — wt need not ship at all (mirrors unit_weights).
@@ -187,9 +187,13 @@ def _wait_for_device(attempts: int = 3, probe_timeout: int = 300) -> None:
                 return
         except subprocess.TimeoutExpired:
             pass
-        print(f"# device probe {i + 1}/{attempts} failed; retrying",
-              flush=True)
-        time.sleep(60)
+        if i + 1 < attempts:
+            print(f"# device probe {i + 1}/{attempts} failed; retrying",
+                  flush=True)
+            time.sleep(60)
+        else:
+            print(f"# device probe {i + 1}/{attempts} failed; proceeding",
+                  flush=True)
 
 
 def main():
@@ -202,7 +206,7 @@ def main():
                 "metric": (
                     "sustained_train_examples_per_sec_per_chip (DLRM-v2 "
                     "dot, 26x200k tables, d=128, bs=16384, REAL ragged "
-                    "multi-hot 1..100 / 215 hits-per-sample, "
+                    "multi-hot 1..100 / 214 hits-per-sample, "
                     "rowwise-adagrad, streamed bf16 tables; 102 steps, "
                     "per-step host U-layout build in the measured window, "
                     "3 distinct device-staged batches; uniform-H8 shape "

@@ -54,7 +54,7 @@ class HostBatch:
     def to_device(self, flat_hots=None) -> Batch:
         """flat_hots (per-table hot sizes) ships idx/wt in the FLAT per-hit
         layout ([sum_t B*h_t] table-major) instead of padded [T, B, Hmax]:
-        the real v2 shape carries 215 hits/sample, so padding to 26x100
+        the real v2 shape carries 214 hits/sample, so padding to 26x100
         costs ~12x the H2D bytes (grouped_embedding_bag consumes either)."""
         import jax.numpy as jnp
 

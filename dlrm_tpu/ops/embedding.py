@@ -188,7 +188,7 @@ def grouped_embedding_bag(
 
     idx may arrive FLAT ([sum_t B*h_t] per-hit, table-major — the layout
     HostBatch.to_device(flat_hots=...) ships): that drops the padded
-    [T, B, Hmax] H2D/storage cost entirely (the real v2 shape pads 215
+    [T, B, Hmax] H2D/storage cost entirely (the real v2 shape pads 214
     hits/sample out to 26x100); the static slices+reshapes below are free
     in XLA."""
     flat = idx.ndim == 1
@@ -221,6 +221,11 @@ def grouped_embedding_bag(
                 )
             )
             return g_idx, g_wt
+        if tabs == list(range(t)):  # whole-tensor group: slice, don't gather
+            return (
+                idx[:, :, :h],
+                None if wt is None else wt[:, :, :h],
+            )
         sel = jnp.asarray(tabs, jnp.int32)
         g_idx = jnp.take(idx, sel, axis=0)[:, :, :h]
         g_wt = None if wt is None else jnp.take(wt, sel, axis=0)[:, :, :h]

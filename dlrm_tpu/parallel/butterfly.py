@@ -521,6 +521,95 @@ class ButterflyDLRM:
             )
         return adagrad_from_coalesced(emb_cw, acc, urows, G, valid, lr, eps_v)
 
+    def _fused_sparse_tail(
+        self, optimizer, params, opt_state, new_dense, new_dense_state,
+        dpooled, flat_idx, wt_l, dpooled_rw, idx_rw_l, wt_rw_l,
+        dpooled_cw, idx_cw_l, wt_cw_l, lr, eps_v,
+    ):
+        """The coalesced sparse-update tail shared by the fused butterfly
+        step and its grad-accum variant: all-gather each table's pooled
+        cotangents/hits over "data" (every table replica sees the full
+        batch), re-mask row-wise hits to their owning shard, one coalesced
+        scatter update, then the column-wise update. Inputs are local
+        [t, b_local, ...] arrays (the accum path pre-merges its micro-batch
+        axis and pre-scales by 1/accum). Returns (new_params, new_state)."""
+        from dlrm_tpu.ops.sparse_update import (
+            apply_sparse_adagrad,
+            apply_sparse_rowwise_adagrad,
+            apply_sparse_sgd,
+            per_hit_gradients,
+        )
+
+        emb_l = params["emb"]["stacked"]
+        has_rw = dpooled_rw is not None
+        has_cw = dpooled_cw is not None
+        # gather ALL data-groups' hits for my tables (replicas stay equal)
+        dp_all = jax.lax.all_gather(
+            dpooled, "data", axis=1, tiled=True
+        )  # [t_local, B, d]
+        idx_all = jax.lax.all_gather(flat_idx, "data", axis=1, tiled=True)
+        wt_all = jax.lax.all_gather(wt_l, "data", axis=1, tiled=True)
+        if has_rw:
+            dp_rw_all = jax.lax.all_gather(
+                dpooled_rw, "data", axis=1, tiled=True
+            )  # [T_rw, B, d]
+            idx_rw_all = jax.lax.all_gather(
+                idx_rw_l, "data", axis=1, tiled=True
+            )
+            wt_rw_all = jax.lax.all_gather(
+                wt_rw_l, "data", axis=1, tiled=True
+            )
+            # re-mask on the full batch: each hit updates exactly the
+            # one shard owning its row (foreign hits get weight 0)
+            loc_all, wt_rw_eff_all = self._rw_local_hits(
+                params, idx_rw_all, wt_rw_all
+            )
+            dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
+            idx_all = jnp.concatenate([idx_all, loc_all], axis=0)
+            wt_all = jnp.concatenate([wt_all, wt_rw_eff_all], axis=0)
+        rows, g = per_hit_gradients(
+            jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
+            jnp.zeros((idx_all.shape[0],), jnp.int32),
+        )
+        if optimizer == "sgd":
+            new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
+            new_state = {"step": new_dense_state["step"]}
+        else:
+            acc_l = opt_state["accum"]["emb"]["stacked"]
+            fn = (
+                apply_sparse_rowwise_adagrad
+                if optimizer == "rwsadagrad"
+                else apply_sparse_adagrad
+            )
+            new_emb, new_acc = fn(emb_l, acc_l, rows, g, lr, eps=eps_v)
+            new_state = {
+                "step": new_dense_state["step"],
+                "accum": {
+                    **new_dense_state["accum"],
+                    "emb": {"stacked": new_acc},
+                },
+            }
+        new_params = dict(new_dense)
+        new_params["emb"] = {"stacked": new_emb}
+        if has_cw:
+            dp_cw_all = jax.lax.all_gather(
+                dpooled_cw, "data", axis=1, tiled=True
+            )  # [T_cw, B, d/m]
+            idx_cw_all = jax.lax.all_gather(
+                idx_cw_l, "data", axis=1, tiled=True
+            )
+            wt_cw_all = jax.lax.all_gather(
+                wt_cw_l, "data", axis=1, tiled=True
+            )
+            new_cw, new_cw_acc = self._cw_update(
+                optimizer, opt_state, params["emb"]["cw_stacked"],
+                dp_cw_all, idx_cw_all, wt_cw_all, lr, eps_v,
+            )
+            new_params["emb"]["cw_stacked"] = new_cw
+            if new_cw_acc is not None:
+                new_state["accum"]["emb"]["cw_stacked"] = new_cw_acc
+        return new_params, new_state
+
     def _pad_reorder_sparse(self, idx, wt, num_t, axis: int = 0):
         """Pad idx/wt with dummy tables (on `axis`) and reorder shard-major.
         Row-wise tables (never referenced by shard_major_order) drop out."""
@@ -610,13 +699,6 @@ class ButterflyDLRM:
                 return new_params, new_state, loss, probs
 
             # ------------------------- fused sparse path
-            from dlrm_tpu.ops.sparse_update import (
-                apply_sparse_adagrad,
-                apply_sparse_rowwise_adagrad,
-                apply_sparse_sgd,
-                per_hit_gradients,
-            )
-
             emb_l = params["emb"]["stacked"]  # local shard rows
             flat_idx = idx_l + off_l[:, None, None]  # [t_local, b_d, H]
             rows_v = jnp.take(emb_l, flat_idx, axis=0)
@@ -647,76 +729,17 @@ class ButterflyDLRM:
                 # its OWN column slice's cotangent for its b_d batch
                 *dpooled, dpooled_cw = dpooled
                 dpooled = dpooled[0] if not has_rw else tuple(dpooled)
+            dpooled_rw = None
             if has_rw:
                 # AD through psum_scatter all-gathers the scattered
                 # cotangent over "model": every shard sees the FULL pooled
                 # grad of the row-wise tables for its data slice
                 dpooled, dpooled_rw = dpooled
-            # gather ALL data-groups' hits for my tables (replicas stay equal)
-            dp_all = jax.lax.all_gather(
-                dpooled, "data", axis=1, tiled=True
-            )  # [t_local, B, d]
-            idx_all = jax.lax.all_gather(flat_idx, "data", axis=1, tiled=True)
-            wt_all = jax.lax.all_gather(wt_l, "data", axis=1, tiled=True)
-            if has_rw:
-                dp_rw_all = jax.lax.all_gather(
-                    dpooled_rw, "data", axis=1, tiled=True
-                )  # [T_rw, B, d]
-                idx_rw_all = jax.lax.all_gather(
-                    idx_rw_l, "data", axis=1, tiled=True
-                )
-                wt_rw_all = jax.lax.all_gather(
-                    wt_rw_l, "data", axis=1, tiled=True
-                )
-                # re-mask on the full batch: each hit updates exactly the
-                # one shard owning its row (foreign hits get weight 0)
-                loc_all, wt_rw_eff_all = self._rw_local_hits(
-                    params, idx_rw_all, wt_rw_all
-                )
-                dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
-                idx_all = jnp.concatenate([idx_all, loc_all], axis=0)
-                wt_all = jnp.concatenate([wt_all, wt_rw_eff_all], axis=0)
-            rows, g = per_hit_gradients(
-                jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
-                jnp.zeros((idx_all.shape[0],), jnp.int32),
+            new_params, new_state = self._fused_sparse_tail(
+                optimizer, params, opt_state, new_dense, new_dense_state,
+                dpooled, flat_idx, wt_l, dpooled_rw, idx_rw_l, wt_rw_l,
+                dpooled_cw, idx_cw_l, wt_cw_l, lr, eps_v,
             )
-            if optimizer == "sgd":
-                new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
-                new_state = {"step": new_dense_state["step"]}
-            else:
-                acc_l = opt_state["accum"]["emb"]["stacked"]
-                fn = (
-                    apply_sparse_rowwise_adagrad
-                    if optimizer == "rwsadagrad"
-                    else apply_sparse_adagrad
-                )
-                new_emb, new_acc = fn(emb_l, acc_l, rows, g, lr, eps=eps_v)
-                new_state = {
-                    "step": new_dense_state["step"],
-                    "accum": {
-                        **new_dense_state["accum"],
-                        "emb": {"stacked": new_acc},
-                    },
-                }
-            new_params = dict(new_dense)
-            new_params["emb"] = {"stacked": new_emb}
-            if has_cw:
-                dp_cw_all = jax.lax.all_gather(
-                    dpooled_cw, "data", axis=1, tiled=True
-                )  # [T_cw, B, d/m]
-                idx_cw_all = jax.lax.all_gather(
-                    idx_cw_l, "data", axis=1, tiled=True
-                )
-                wt_cw_all = jax.lax.all_gather(
-                    wt_cw_l, "data", axis=1, tiled=True
-                )
-                new_cw, new_cw_acc = self._cw_update(
-                    optimizer, opt_state, params["emb"]["cw_stacked"],
-                    dp_cw_all, idx_cw_all, wt_cw_all, lr, eps_v,
-                )
-                new_params["emb"]["cw_stacked"] = new_cw
-                if new_cw_acc is not None:
-                    new_state["accum"]["emb"]["cw_stacked"] = new_cw_acc
             return new_params, new_state, loss, probs
 
         pspec = _tree_specs(params)
@@ -786,12 +809,6 @@ class ButterflyDLRM:
                 "rwsadagrad)"
             )
 
-        from dlrm_tpu.ops.sparse_update import (
-            apply_sparse_adagrad,
-            apply_sparse_rowwise_adagrad,
-            apply_sparse_sgd,
-            per_hit_gradients,
-        )
         from dlrm_tpu.optim.optimizers import ADAGRAD_EPS
 
         eps_v = ADAGRAD_EPS if eps is None else float(eps)
@@ -886,84 +903,29 @@ class ButterflyDLRM:
             )
 
             # ---- one coalesced sparse update over ALL micro-batches' hits:
-            # merge the group axis into the batch axis, then the same
-            # all-gather + masked-scatter tail as the non-accum fused step
+            # merge the group axis into the batch axis, scale cotangents by
+            # 1/accum (mean over micro-batches), then the same all-gather +
+            # masked-scatter tail as the non-accum fused step
             def merge_k(x):  # [k, t, b, ...] -> [t, k*b, ...]
                 x = jnp.moveaxis(x, 0, 1)
                 return x.reshape(x.shape[0], -1, *x.shape[3:])
 
+            dpooleds_rw = None
             if has_rw:
                 dpooleds, dpooleds_rw = dpooleds
-            dp_all = jax.lax.all_gather(
-                merge_k(dpooleds) / accum_iters, "data", axis=1, tiled=True
-            )  # [t_local, k*B, d]
-            idx_all = jax.lax.all_gather(
-                merge_k(flat_idxs), "data", axis=1, tiled=True
+            new_params, new_state = self._fused_sparse_tail(
+                optimizer, params, opt_state, new_dense, new_dense_state,
+                merge_k(dpooleds) / accum_iters,
+                merge_k(flat_idxs),
+                merge_k(wt_k),
+                None if not has_rw else merge_k(dpooleds_rw) / accum_iters,
+                None if not has_rw else merge_k(idx_rw_k),
+                None if not has_rw else merge_k(wt_rw_k),
+                None if not has_cw else merge_k(dpooleds_cw) / accum_iters,
+                None if not has_cw else merge_k(idx_cw_k),
+                None if not has_cw else merge_k(wt_cw_k),
+                lr, eps_v,
             )
-            wt_all = jax.lax.all_gather(
-                merge_k(wt_k), "data", axis=1, tiled=True
-            )
-            if has_rw:
-                dp_rw_all = jax.lax.all_gather(
-                    merge_k(dpooleds_rw) / accum_iters, "data", axis=1,
-                    tiled=True,
-                )
-                idx_rw_all = jax.lax.all_gather(
-                    merge_k(idx_rw_k), "data", axis=1, tiled=True
-                )
-                wt_rw_all = jax.lax.all_gather(
-                    merge_k(wt_rw_k), "data", axis=1, tiled=True
-                )
-                loc_all, wt_rw_eff_all = self._rw_local_hits(
-                    params, idx_rw_all, wt_rw_all
-                )
-                dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
-                idx_all = jnp.concatenate([idx_all, loc_all], axis=0)
-                wt_all = jnp.concatenate([wt_all, wt_rw_eff_all], axis=0)
-            rows, g = per_hit_gradients(
-                jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
-                jnp.zeros((idx_all.shape[0],), jnp.int32),
-            )
-            if optimizer == "sgd":
-                new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
-                new_state = {"step": new_dense_state["step"]}
-            else:
-                acc_l = opt_state["accum"]["emb"]["stacked"]
-                fn = (
-                    apply_sparse_rowwise_adagrad
-                    if optimizer == "rwsadagrad"
-                    else apply_sparse_adagrad
-                )
-                new_emb, new_acc = fn(
-                    emb_l, acc_l, rows, g, lr, eps=eps_v
-                )
-                new_state = {
-                    "step": new_dense_state["step"],
-                    "accum": {
-                        **new_dense_state["accum"],
-                        "emb": {"stacked": new_acc},
-                    },
-                }
-            new_params = dict(new_dense)
-            new_params["emb"] = {"stacked": new_emb}
-            if has_cw:
-                dp_cw_all = jax.lax.all_gather(
-                    merge_k(dpooleds_cw) / accum_iters, "data", axis=1,
-                    tiled=True,
-                )  # [T_cw, k*B, d/m]
-                idx_cw_all = jax.lax.all_gather(
-                    merge_k(idx_cw_k), "data", axis=1, tiled=True
-                )
-                wt_cw_all = jax.lax.all_gather(
-                    merge_k(wt_cw_k), "data", axis=1, tiled=True
-                )
-                new_cw, new_cw_acc = self._cw_update(
-                    optimizer, opt_state, params["emb"]["cw_stacked"],
-                    dp_cw_all, idx_cw_all, wt_cw_all, lr, eps_v,
-                )
-                new_params["emb"]["cw_stacked"] = new_cw
-                if new_cw_acc is not None:
-                    new_state["accum"]["emb"]["cw_stacked"] = new_cw_acc
             return new_params, new_state, loss, None
 
         pspec = _tree_specs(params)

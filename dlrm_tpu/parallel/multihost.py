@@ -49,15 +49,20 @@ def init_multihost(
     )
     if not explicit and "DLRM_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["DLRM_NUM_PROCESSES"])
-        if "DLRM_PROCESS_ID" not in os.environ:
+        missing = [
+            v
+            for v in ("DLRM_COORDINATOR", "DLRM_PROCESS_ID")
+            if v not in os.environ
+        ]
+        if missing and num_processes > 1:
             raise ValueError(
-                "DLRM_NUM_PROCESSES is set but DLRM_PROCESS_ID is not — "
-                "the launcher env contract requires DLRM_COORDINATOR, "
-                "DLRM_NUM_PROCESSES and DLRM_PROCESS_ID together "
-                "(scripts/launch.py exports all three)"
+                f"DLRM_NUM_PROCESSES is set but {' and '.join(missing)} "
+                "is not — the launcher env contract requires "
+                "DLRM_COORDINATOR, DLRM_NUM_PROCESSES and DLRM_PROCESS_ID "
+                "together (scripts/launch.py exports all three)"
             )
         coordinator_address = os.environ.get("DLRM_COORDINATOR")
-        process_id = int(os.environ["DLRM_PROCESS_ID"])
+        process_id = int(os.environ.get("DLRM_PROCESS_ID", 0))
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -159,6 +159,15 @@ def save_checkpoint(
         _atomic_npz("arrays.npz", replicated)
         if manifest:
             _atomic_json("sharding.json", manifest)
+        else:
+            # an UNsharded save into a directory that previously held a
+            # sharded one must retire the stale manifest — load probes every
+            # manifest entry's shard file and would reject the (complete,
+            # valid) checkpoint on the old files' save ids
+            try:
+                os.remove(os.path.join(path, "sharding.json"))
+            except FileNotFoundError:
+                pass
     for rank, arrays in per_shard.items():
         _atomic_npz(f"shard_{rank:05d}.npz", arrays)
     if jax.process_count() > 1:

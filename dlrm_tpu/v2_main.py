@@ -558,7 +558,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         eval_step = make_stream_eval_step(model, plan)
         # flat per-hit idx/wt layout: ships each table's REAL plan.hot[t]
         # hits instead of the padded [T, B, Hmax] block — ~12x fewer H2D
-        # idx bytes on the real v2 shape (215 hits/sample vs 26x100 slots)
+        # idx bytes on the real v2 shape (214 hits/sample vs 26x100 slots)
         to_device = (  # the U-layout work rides each train batch
             lambda hb: hb.with_stream_work(plan).to_device(  # noqa: E731
                 flat_hots=plan.hot

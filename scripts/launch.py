@@ -111,9 +111,34 @@ def main(argv=None) -> int:
     try:
         for r in range(args.nproc):
             procs.append(subprocess.Popen(cmd, env=env_for(r)))
+        # fail-fast supervision (the torchelastic role this launcher
+        # mirrors): one dead trainer leaves its peers blocked in
+        # collectives forever, so on the FIRST non-zero exit the group is
+        # torn down and that rank's code is reported
+        import time as _time
+
         rc = 0
-        for pr in procs:
-            rc = pr.wait() or rc
+        live = set(range(args.nproc))
+        while live:
+            for r in sorted(live):
+                code = procs[r].poll()
+                if code is None:
+                    continue
+                live.discard(r)
+                if code != 0:
+                    print(
+                        f"launch: rank {r} exited with code {code}; "
+                        "terminating remaining ranks",
+                        file=sys.stderr,
+                    )
+                    for pr in procs:
+                        if pr.poll() is None:
+                            pr.terminate()
+                    for pr in procs:
+                        pr.wait()
+                    return code
+            if live:
+                _time.sleep(0.2)
         return rc
     except KeyboardInterrupt:
         for pr in procs:

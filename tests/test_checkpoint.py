@@ -260,6 +260,39 @@ def test_mixed_save_detected(tmp_path):
         ckpt.load_checkpoint(str(tmp_path / "b"), params)
 
 
+def test_unsharded_save_retires_stale_manifest(tmp_path):
+    """A sharded save followed by an UNSHARDED save into the same directory
+    (resume the same config single-device, save-on-best in place) must load:
+    the stale sharding.json from the first save has to be retired, or load
+    probes the old shard files and rejects a complete, valid checkpoint."""
+    import os
+
+    from dlrm_tpu.parallel.butterfly import ButterflyDLRM
+    from dlrm_tpu.parallel.mesh import make_mesh
+
+    cfg = DLRMConfig(
+        embedding_dim=4, table_sizes=(64, 32), mlp_bot=(8, 4),
+        mlp_top=(8, 4, 1), loss="bce",
+    )
+    model = DLRMModel(cfg)
+    params0 = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(0))
+    )
+    mesh = make_mesh(data=2, model=4)
+    bf = ButterflyDLRM(model, mesh)
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, bf.shard_params(params0), meta={"it": 1})
+    assert os.path.exists(os.path.join(path, "sharding.json"))
+
+    ckpt.save_checkpoint(path, params0, meta={"it": 2})  # unsharded, in place
+    assert not os.path.exists(os.path.join(path, "sharding.json"))
+    p2, _, meta = ckpt.load_checkpoint(path, params0)
+    assert meta == {"it": 2}
+    np.testing.assert_array_equal(
+        np.asarray(p2["emb"]["stacked"]), params0["emb"]["stacked"]
+    )
+
+
 def test_pre_save_id_checkpoint_still_loads(tmp_path):
     """Old checkpoints (no save_id in meta.json) load without the check."""
     import json as _json

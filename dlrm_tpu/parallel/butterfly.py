@@ -443,7 +443,7 @@ class ButterflyDLRM:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
         return p, logits
 
-    def _dense_half(self, optimizer, global_batch, params, opt_state,
+    def _dense_half(self, optimizer, params, opt_state,
                     emb_l, pooled, dense_l, labels_l, lr, eps=None):
         """The dense tail shared by the fused and streamed butterfly steps:
         value_and_grad over (dense params, pooled), global-mean loss with
@@ -719,7 +719,7 @@ class ButterflyDLRM:
                 pooled = (*tw_rw, self._cw_pooled(params, idx_cw_l, wt_cw_l))
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
-                    optimizer, global_batch, params, opt_state, emb_l,
+                    optimizer, params, opt_state, emb_l,
                     pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )

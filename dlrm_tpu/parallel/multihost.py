@@ -49,18 +49,16 @@ def init_multihost(
     )
     if not explicit and "DLRM_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["DLRM_NUM_PROCESSES"])
-        missing = [
-            v
-            for v in ("DLRM_COORDINATOR", "DLRM_PROCESS_ID")
-            if v not in os.environ
-        ]
-        if missing and num_processes > 1:
+        if "DLRM_PROCESS_ID" not in os.environ and num_processes > 1:
             raise ValueError(
-                f"DLRM_NUM_PROCESSES is set but {' and '.join(missing)} "
-                "is not — the launcher env contract requires "
-                "DLRM_COORDINATOR, DLRM_NUM_PROCESSES and DLRM_PROCESS_ID "
-                "together (scripts/launch.py exports all three)"
+                "DLRM_NUM_PROCESSES>1 is set but DLRM_PROCESS_ID is not — "
+                "the launcher env contract requires both (scripts/launch.py "
+                "exports DLRM_COORDINATOR, DLRM_NUM_PROCESSES and "
+                "DLRM_PROCESS_ID)"
             )
+        # DLRM_COORDINATOR may be legitimately absent: passing None lets
+        # jax.distributed.initialize auto-detect the coordinator on
+        # platforms that support it (TPU pods / SLURM)
         coordinator_address = os.environ.get("DLRM_COORDINATOR")
         process_id = int(os.environ.get("DLRM_PROCESS_ID", 0))
     if num_processes is not None and num_processes > 1:

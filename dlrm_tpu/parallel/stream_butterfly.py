@@ -372,7 +372,7 @@ class StreamButterfly(ButterflyDLRM):
                 pooled = (pooled, pooled_rw)
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
-                    optimizer, global_batch, params, opt_state, emb_l,
+                    optimizer, params, opt_state, emb_l,
                     pooled, dense_l, labels_l, lr, eps=eps,
                 )
             )

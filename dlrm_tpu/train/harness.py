@@ -37,7 +37,18 @@ def _skip_batches(src, skip: int):
     """First `skip` batches of one epoch pass, without materializing them:
     loaders that enumerate indices (CriteoBinFile) skip at the index
     level (zero disk reads); anything else is islice'd (host batches are
-    built but never H2D-transferred)."""
+    built but never H2D-transferred). A prefetcher wrapper (--num-workers)
+    is unwrapped so the index-level skip still reaches the loader, then
+    re-applied around the skipped iterable (one-shot: resume skips only
+    the first pass of the resumed epoch)."""
+    from dlrm_tpu.train.pipeline import DevicePrefetcher
+
+    if isinstance(src, DevicePrefetcher):
+        import copy
+
+        clone = copy.copy(src)
+        clone.loader = _skip_batches(src.loader, skip)
+        return clone
     if hasattr(src, "batch_indices") and hasattr(src, "read_batch"):
         ids = list(src.batch_indices())[skip:]
         return (src.read_batch(i) for i in ids)

@@ -42,6 +42,14 @@ class DevicePrefetcher:
     def __len__(self):
         return len(self.loader)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Delegate the trainer-epoch shuffle hook to the wrapped loader
+        (CriteoBinFile.set_epoch) so resume fast-forward stays correct when
+        the loader is prefetcher-wrapped (--num-workers>0); no-op when the
+        wrapped loader has no epoch-dependent state."""
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
     def __iter__(self) -> Iterator[Batch]:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = threading.Event()

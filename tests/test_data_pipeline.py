@@ -225,6 +225,51 @@ def test_prefetcher_early_exit_no_deadlock():
     assert len(produced) < 100  # it stopped early instead of draining
 
 
+def test_prefetcher_resume_skip_reaches_wrapped_loader():
+    """Resume fast-forward with --num-workers>0: the HostPrefetcher wrapper
+    must forward set_epoch to the wrapped loader (or the bin-shuffle
+    permutation is the wrong epoch's) and _skip_batches must unwrap it so
+    index-enumerating loaders still skip at the index level (zero reads of
+    the skipped batches)."""
+    from dlrm_tpu.train.harness import _skip_batches
+    from dlrm_tpu.train.pipeline import HostPrefetcher
+
+    class FakeBinLoader:
+        def __init__(self):
+            self.epoch = None
+            self.reads = []
+
+        def set_epoch(self, epoch):
+            self.epoch = epoch
+
+        def batch_indices(self):
+            return range(10)
+
+        def read_batch(self, i):
+            self.reads.append(i)
+            return i
+
+        def __iter__(self):
+            for i in self.batch_indices():
+                yield self.read_batch(i)
+
+        def __len__(self):
+            return 10
+
+    src = FakeBinLoader()
+    pf = HostPrefetcher(src, depth=2)
+    pf.set_epoch(3)
+    assert src.epoch == 3  # delegated through the wrapper
+
+    skipped = _skip_batches(pf, 7)
+    got = list(skipped)
+    assert got == [7, 8, 9]
+    assert src.reads == [7, 8, 9], (
+        "skipped batches were read from disk — the index-level skip did "
+        "not reach the wrapped loader"
+    )
+
+
 def test_prefetcher_propagates_producer_error():
     from dlrm_tpu.train.pipeline import DevicePrefetcher
 

@@ -413,7 +413,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     scalar_log = ScalarLogger(
         args.tensor_board_filename + ".scalars.jsonl"
         if args.tensor_board_filename
-        else None
+        else None,
+        # real TB event files too (the reference's SummaryWriter(tb_file)
+        # treats the flag as the logdir, dlrm_s_pytorch.py:1509-1510)
+        tb_dir=args.tensor_board_filename or None,
     )
     trainer = Trainer(
         model, train_cfg, train_data,

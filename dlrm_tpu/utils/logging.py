@@ -18,31 +18,53 @@ from typing import Any, Dict, Optional
 
 
 class ScalarLogger:
-    """JSONL scalar writer (TensorBoard-equivalent scalars)."""
+    """JSONL scalar writer (TensorBoard-equivalent scalars), plus — when the
+    tensorboard package is importable — REAL TensorBoard event files in
+    `tb_dir`, so `tensorboard --logdir <--tensor-board-filename>` works
+    exactly as it does against the reference (SummaryWriter(tb_file),
+    dlrm_s_pytorch.py:1509-1510). The JSONL stays authoritative: it is
+    dependency-free and what the tests/analysis tooling read."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None,
+                 tb_dir: Optional[str] = None):
         self.path = path
         self._f = None
+        self._tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tb_dir)
+            except Exception:
+                self._tb = None  # tensorboard absent: JSONL only
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
-        if self._f is None:
-            return
-        self._f.write(
-            json.dumps({"tag": tag, "step": int(step), "value": float(value)})
-            + "\n"
-        )
+        if self._f is not None:
+            self._f.write(
+                json.dumps(
+                    {"tag": tag, "step": int(step), "value": float(value)}
+                )
+                + "\n"
+            )
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def flush(self) -> None:
         if self._f:
             self._f.flush()
+        if self._tb:
+            self._tb.flush()
 
     def close(self) -> None:
         if self._f:
             self._f.close()
             self._f = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None
 
 
 # MLPerf-compatible event keys (mlperf_logger.py usage in dlrm_s_pytorch.py:

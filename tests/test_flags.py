@@ -87,6 +87,29 @@ def test_plot_compute_graph(tmp_path):
     assert "func.func" in text and "stablehlo" in text
 
 
+def test_tensor_board_filename_writes_scalars_and_event_files(tmp_path):
+    """--tensor-board-filename produces BOTH the JSONL scalars and real
+    TensorBoard event files in the flag's directory (the reference treats
+    the flag as SummaryWriter's logdir, dlrm_s_pytorch.py:1509-1510)."""
+    import glob
+
+    prefix = str(tmp_path / "run_tb")
+    rc, _ = _run_cli(
+        ["--mini-batch-size=2", "--data-size=4",
+         f"--tensor-board-filename={prefix}"]
+    )
+    assert rc == 0
+    lines = open(prefix + ".scalars.jsonl").read().strip().splitlines()
+    assert any('"Train/Loss"' in ln for ln in lines)
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+    except Exception:
+        return  # event files are best-effort when tensorboard is absent
+    assert glob.glob(prefix + "/events.out.tfevents.*"), (
+        "no TensorBoard event files written"
+    )
+
+
 def test_num_workers_same_goldens():
     rc0, out0 = _run_cli(["--mini-batch-size=2", "--data-size=6"])
     rc1, out1 = _run_cli(

@@ -42,8 +42,13 @@ def mmap_npz_member(npz_path: str, member: str) -> np.ndarray:
         if info.compress_type != zipfile.ZIP_STORED:
             raise ValueError("member is compressed; zero-copy mmap impossible")
         with z.open(info) as f:
+            # public header readers only (the private _read_array_header
+            # changed signature once already); dispatch on the npy version
             version = np.lib.format.read_magic(f)
-            shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+            if version >= (2, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+            else:
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
             npy_header_bytes = f.tell()  # magic + header inside the member
     # absolute data offset = zip local file header + member's npy header
     with open(npz_path, "rb") as raw:

@@ -391,6 +391,32 @@ class DLRMModel:
             )
         raise AssertionError(cfg.interaction)
 
+    def logits_from_interaction(self, params: Params, z: jax.Array) -> jax.Array:
+        """Top MLP on an already-computed interaction output -> fp32 logits.
+        The sigmoid sits on the last top layer (sigmoid_top = len-2,
+        dlrm_s_pytorch.py:1293), so all but the last layer run with the
+        activation disabled and the last layer stays linear. Shared by
+        forward_from_pooled and tools/visualize.py's representation dump
+        (which keeps z around), covering quantized checkpoints in both."""
+        quantized = bool(params["top"]) and "qw" in params["top"][0]
+        if quantized:
+            from dlrm_tpu.ops.quantized import (
+                apply_mlp_quantized,
+                quantized_linear,
+            )
+
+            hidden = apply_mlp_quantized(params["top"][:-1], z, sigmoid_layer=-1)
+            return quantized_linear(params["top"][-1], hidden).astype(jnp.float32)
+        hidden = apply_mlp(params["top"][:-1], z, sigmoid_layer=-1)
+        last = params["top"][-1]
+        return (
+            jnp.dot(
+                hidden, last["w"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + last["b"]
+        ).astype(jnp.float32)
+
     def forward_from_pooled(self, params: Params, dense: jax.Array, ly: jax.Array):
         """Dense tower + interaction + top MLP given pooled embeddings
         [B, T, d] -> (probability, logits). Split out so the fused-sparse
@@ -402,10 +428,7 @@ class DLRMModel:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         quantized = bool(params["bot"]) and "qw" in params["bot"][0]
         if quantized:
-            from dlrm_tpu.ops.quantized import (
-                apply_mlp_quantized,
-                quantized_linear,
-            )
+            from dlrm_tpu.ops.quantized import apply_mlp_quantized
 
             mlp = apply_mlp_quantized
         else:
@@ -414,21 +437,8 @@ class DLRMModel:
             x = mlp(params["bot"], dense.astype(dtype), cfg.sigmoid_bot)
         with prof.scope(prof.INT_FWD):
             z = self.interact(params, x, ly.astype(x.dtype))
-        # sigmoid sits on the last top layer (sigmoid_top = len-2,
-        # dlrm_s_pytorch.py:1293) -> run all but the activation, keep logits
         with prof.scope(prof.TOP_FWD):
-            logits = mlp(params["top"][:-1], z, sigmoid_layer=-1)
-        last = params["top"][-1]
-        if quantized:
-            logits = quantized_linear(last, logits).astype(jnp.float32)
-        else:
-            logits = (
-                jnp.dot(
-                    logits, last["w"].astype(logits.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                + last["b"]
-            ).astype(jnp.float32)
+            logits = self.logits_from_interaction(params, z)
         p = jax.nn.sigmoid(logits)
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)

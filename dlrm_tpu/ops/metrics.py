@@ -22,34 +22,35 @@ import numpy as np
 # --------------------------------------------------------------------- exact
 
 
+def _auc_from_sorted_asc(s_sorted: np.ndarray, pos_sorted: np.ndarray) -> float:
+    """Mann-Whitney U AUC from score-ascending-sorted inputs (midrank ties)."""
+    n = s_sorted.size
+    n_pos = int(pos_sorted.sum())
+    n_neg = n - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    # vectorized midranks: group equal scores, rank = mean of the group's
+    # 1-based positions (a python per-sample loop here stalled eval on the
+    # 89M-row Criteo test set for minutes)
+    is_start = np.empty(n, dtype=bool)
+    is_start[0] = True
+    np.not_equal(s_sorted[1:], s_sorted[:-1], out=is_start[1:])
+    group = np.cumsum(is_start) - 1  # [n] group id per sorted position
+    starts = np.flatnonzero(is_start)
+    ends = np.concatenate([starts[1:], [n]])
+    mid = 0.5 * (starts + ends - 1) + 1.0  # midrank per group
+    rank_sum_pos = mid[group][pos_sorted].sum()
+    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
 def roc_auc_exact(scores: np.ndarray, labels: np.ndarray) -> float:
     """Exact ROC-AUC via the rank-sum (Mann-Whitney U) formulation with
     midrank tie handling — equal to sklearn.metrics.roc_auc_score."""
     scores = np.asarray(scores, dtype=np.float64).ravel()
     labels = np.asarray(labels, dtype=np.float64).ravel()
-    pos = labels > 0.5
-    n_pos = int(pos.sum())
-    n_neg = labels.size - n_pos
-    if n_pos == 0 or n_neg == 0:
-        return float("nan")
     order = np.argsort(scores, kind="mergesort")
-    sorted_scores = scores[order]
-    # vectorized midranks: group equal scores, rank = mean of the group's
-    # 1-based positions (a python per-sample loop here stalled eval on the
-    # 89M-row Criteo test set for minutes)
-    n = scores.size
-    is_start = np.empty(n, dtype=bool)
-    is_start[0] = True
-    np.not_equal(sorted_scores[1:], sorted_scores[:-1], out=is_start[1:])
-    group = np.cumsum(is_start) - 1  # [n] group id per sorted position
-    starts = np.flatnonzero(is_start)
-    ends = np.concatenate([starts[1:], [n]])
-    mid = 0.5 * (starts + ends - 1) + 1.0  # midrank per group
-    ranks = np.empty(n, dtype=np.float64)
-    ranks[order] = mid[group]
-    rank_sum_pos = ranks[pos].sum()
-    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
-    return float(u / (n_pos * n_neg))
+    return _auc_from_sorted_asc(scores[order], labels[order] > 0.5)
 
 
 def binary_metrics(
@@ -68,34 +69,44 @@ def binary_metrics(
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     accuracy = (tp + tn) / max(1, labels.size)
+    # ONE shared descending sort serves both AP (directly) and exact AUC
+    # (reversed) — the sort dominates the 89M-row Criteo eval, so paying it
+    # twice doubled the cost of the full metric dict
+    order = np.argsort(-scores, kind="mergesort")
+    s_desc = scores[order]
+    l_desc = labels[order]
     return {
         "recall": recall,
         "precision": precision,
         "f1": f1,
         "accuracy": accuracy,
-        "ap": average_precision(scores, labels),
-        "roc_auc": roc_auc_exact(scores, labels),
+        "ap": _ap_from_sorted_desc(s_desc, l_desc.astype(np.float64)),
+        "roc_auc": _auc_from_sorted_asc(s_desc[::-1], l_desc[::-1] == 1),
     }
+
+
+def _ap_from_sorted_desc(s_desc: np.ndarray, labels_desc: np.ndarray) -> float:
+    """Average precision from score-descending-sorted inputs."""
+    if labels_desc.sum() == 0:
+        return float("nan")
+    tp_cum = np.cumsum(labels_desc)
+    # group by distinct score (sklearn evaluates at threshold boundaries)
+    distinct = np.where(np.diff(s_desc))[0]
+    idx = np.concatenate([distinct, [labels_desc.size - 1]])
+    tp = tp_cum[idx]
+    total = idx + 1.0
+    precision = tp / total
+    recall = tp / labels_desc.sum()
+    recall_prev = np.concatenate([[0.0], recall[:-1]])
+    return float(np.sum((recall - recall_prev) * precision))
 
 
 def average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
     """sklearn-style average precision (step-wise integral of the PR curve)."""
     scores = np.asarray(scores, dtype=np.float64).ravel()
     labels = (np.asarray(labels, dtype=np.float64).ravel() > 0.5).astype(np.float64)
-    if labels.sum() == 0:
-        return float("nan")
     order = np.argsort(-scores, kind="mergesort")
-    tp_cum = np.cumsum(labels[order])
-    # group by distinct score (sklearn evaluates at threshold boundaries)
-    s_sorted = scores[order]
-    distinct = np.where(np.diff(s_sorted))[0]
-    idx = np.concatenate([distinct, [labels.size - 1]])
-    tp = tp_cum[idx]
-    total = idx + 1.0
-    precision = tp / total
-    recall = tp / labels.sum()
-    recall_prev = np.concatenate([[0.0], recall[:-1]])
-    return float(np.sum((recall - recall_prev) * precision))
+    return _ap_from_sorted_desc(scores[order], labels[order])
 
 
 # ------------------------------------------------------------------ streaming

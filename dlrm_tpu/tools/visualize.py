@@ -166,18 +166,15 @@ def analyze_model_data(
     @jax.jit
     def reps(p, batch):
         ly = model.apply_emb(p, batch)
-        x = apply_mlp(p["bot"], batch.dense, model.cfg.sigmoid_bot)
+        if bool(p["bot"]) and "qw" in p["bot"][0]:  # quantized checkpoint
+            from dlrm_tpu.ops.quantized import apply_mlp_quantized as mlp
+        else:
+            mlp = apply_mlp
+        x = mlp(p["bot"], batch.dense, model.cfg.sigmoid_bot)
         z = model.interact(p, x, ly.astype(x.dtype))
         # logits straight from the already-computed interaction (running
         # forward_from_pooled here would redo the bottom MLP + interaction)
-        import jax.numpy as jnp
-
-        hidden = apply_mlp(p["top"][:-1], z, sigmoid_layer=-1)
-        last = p["top"][-1]
-        logits = (
-            jnp.dot(hidden, last["w"].astype(hidden.dtype),
-                    preferred_element_type=jnp.float32) + last["b"]
-        ).astype(jnp.float32)
+        logits = model.logits_from_interaction(p, z)
         return ly.reshape(ly.shape[0], -1), z, logits
 
     inputs, inters, finals, labels = [], [], [], []

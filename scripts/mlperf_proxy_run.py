@@ -36,6 +36,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _check(cond, msg):
+    """Hard verification (NOT assert: `python -O` must not turn the
+    proxy's pass/fail contract into an unconditional pass)."""
+    if not cond:
+        raise RuntimeError(f"proxy verification failed: {msg}")
+
+
 class _Tee(io.TextIOBase):
     """Write-through capture: the event log still streams to the console
     while being parsed for verification."""
@@ -104,7 +111,7 @@ def generate_raw_days(out_dir: str, days: int, rows: int, seed: int = 0):
     return paths
 
 
-def run_v1(workdir: str, days: int, auc_threshold: float) -> None:
+def run_v1(workdir: str, auc_threshold: float) -> None:
     """cli.py over the proxy bins to an auc-threshold early stop with a
     compliant event log."""
     from dlrm_tpu import cli
@@ -138,11 +145,12 @@ def run_v1(workdir: str, days: int, auc_threshold: float) -> None:
     print("[proxy] v1 run:", " ".join(argv), flush=True)
     with contextlib.redirect_stdout(_Tee(sys.__stdout__, buf)):
         rc = cli.main(argv)
-    assert rc == 0, f"cli.main returned {rc}"
+    _check(rc == 0, f"cli.main returned {rc}")
     out = buf.getvalue()
-    assert (
-        f"MLPerf testing auc threshold {auc_threshold} reached" in out
-    ), "run did NOT stop on the auc threshold"
+    _check(
+        f"MLPerf testing auc threshold {auc_threshold} reached" in out,
+        "run did NOT stop on the auc threshold",
+    )
     events = [
         json.loads(line.split(":::MLLOG ", 1)[1])
         for line in out.splitlines()
@@ -153,24 +161,27 @@ def run_v1(workdir: str, days: int, auc_threshold: float) -> None:
     # 1752-1781): INIT block, then the submission + hyperparameter block,
     # then train/eval intervals, RUN_STOP success at the threshold stop
     prefix = ["cache_clear", "init_start", "init_stop", "run_start"]
-    assert keys[: len(prefix)] == prefix, keys[:8]
+    _check(keys[: len(prefix)] == prefix, f"bad event prefix {keys[:8]}")
     for k in (
         "submission_benchmark", "seed", "global_batch_size",
         "opt_base_learning_rate", "opt_learning_rate_warmup_steps",
         "block_start", "epoch_start", "eval_start", "eval_stop",
         "eval_accuracy",
     ):
-        assert k in keys, f"missing event {k}"
+        _check(k in keys, f"missing event {k}")
     # the reference emits RUN_STOP at the threshold break and then closes
     # the enclosing epoch/block intervals (dlrm_s_pytorch.py:1755,1765,1770)
     stop = [e for e in events if e["key"] == "run_stop"]
-    assert len(stop) == 1 and stop[0]["metadata"]["status"] == "success", stop
+    _check(
+        len(stop) == 1 and stop[0]["metadata"]["status"] == "success",
+        f"bad run_stop {stop}",
+    )
     after = keys[keys.index("run_stop") + 1 :]
-    assert set(after) <= {"epoch_stop", "block_stop"}, after
+    _check(set(after) <= {"epoch_stop", "block_stop"}, f"events after run_stop: {after}")
     aucs = [
         e["value"] for e in events if e["key"] == "eval_accuracy"
     ]
-    assert aucs[-1] > auc_threshold
+    _check(aucs[-1] > auc_threshold, f"final AUC {aucs[-1]} <= {auc_threshold}")
     print(
         f"[proxy] v1 OK: {len(aucs)} evals, AUC "
         f"{aucs[0]:.4f} -> {aucs[-1]:.4f} >= {auc_threshold}, "
@@ -230,11 +241,12 @@ def run_v2(workdir: str, auroc_target: float) -> None:
     print("[proxy] v2 run:", " ".join(argv), flush=True)
     with contextlib.redirect_stdout(_Tee(sys.__stdout__, buf)):
         rc = v2_main.main(argv)
-    assert rc == 0, f"v2_main returned {rc}"
+    _check(rc == 0, f"v2_main returned {rc}")
     out = buf.getvalue()
-    assert (
-        f"AUROC target {auroc_target} reached" in out
-    ), "v2 run did NOT stop on the AUROC target"
+    _check(
+        f"AUROC target {auroc_target} reached" in out,
+        "v2 run did NOT stop on the AUROC target",
+    )
     print(f"[proxy] v2 OK: stopped early at AUROC >= {auroc_target}",
           flush=True)
 
@@ -253,14 +265,40 @@ def main(argv=None) -> int:
         # the terabyte raw layout is day_0..day_23 (data_utils.py hardcodes
         # 24 days; make_criteo_datasets mirrors it)
         p.error("the v1 phase needs --days 24 (terabyte day layout)")
+    # generation and preprocessing skip files that already exist, so a
+    # workdir carries its config fingerprint: reusing one with a DIFFERENT
+    # config would silently train on the old data and report success for a
+    # run that never happened
+    cfg = {"days": args.days, "rows_per_day": args.rows_per_day}
+    cfg_path = os.path.join(args.workdir, "config.json")
+    if os.path.exists(cfg_path):
+        prev = json.load(open(cfg_path))
+        if prev != cfg:
+            p.error(
+                f"workdir {args.workdir} was generated with {prev}, "
+                f"requested {cfg} — point --workdir at a fresh directory"
+            )
+    elif os.path.exists(os.path.join(args.workdir, "raw")):
+        p.error(
+            f"workdir {args.workdir} has raw days but no config.json "
+            "(unknown provenance) — point --workdir at a fresh directory"
+        )
+    if args.phase == "v2" and not os.path.exists(
+        os.path.join(args.workdir, "proc", "day_fea_count.npz")
+    ):
+        p.error(
+            "--phase v2 needs the v1 phase's preprocessed bins in the "
+            "workdir — run --phase both (or v1 first)"
+        )
     os.makedirs(os.path.join(args.workdir, "proc"), exist_ok=True)
+    json.dump(cfg, open(cfg_path, "w"))
     generate_raw_days(
         os.path.join(args.workdir, "raw"), args.days, args.rows_per_day
     )
     print(f"[proxy] {args.days} raw days x {args.rows_per_day} rows ready",
           flush=True)
     if args.phase in ("v1", "both"):
-        run_v1(args.workdir, args.days, args.auc_threshold)
+        run_v1(args.workdir, args.auc_threshold)
     if args.phase in ("v2", "both"):
         run_v2(args.workdir, args.auroc_target)
     return 0

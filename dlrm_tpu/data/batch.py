@@ -49,6 +49,12 @@ class Batch(NamedTuple):
     # hit with no remap and contributes a d/m-wide partial pool.
     idx_cw: Optional[jax.Array] = None  # [T_cw, B, H] int32
     wt_cw: Optional[jax.Array] = None  # [T_cw, B, H] float32
+    # Owner-bucketed row-wise hits (parallel/rw_bucket.py): pre-localized
+    # row ids per owning shard, leading axis SHARDED over "model" — each
+    # shard gathers only rows it owns instead of masking all H hits. When
+    # set, idx_rw/wt_rw above carry only the small overflow spill.
+    idx_rwb: Optional[jax.Array] = None  # [M, B, C_total] int32 local rows
+    wt_rwb: Optional[jax.Array] = None  # [M, B, C_total] float32
 
     @property
     def batch_size(self) -> int:

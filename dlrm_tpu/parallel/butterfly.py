@@ -68,12 +68,23 @@ class ButterflyDLRM:
         rw_threshold: Optional[int] = None,
         capacity_rows: Optional[int] = None,
         cw_tables=None,
+        rw_bucket_caps=None,
+        rw_spill: int = 4,
     ):
         """strategy: 'round_robin' (v1 parity, dlrm_s_pytorch.py:636),
         'table_wise' (LPT packing), or 'mixed' (TorchRec-planner-style:
         row-wise stripe any table bigger than the balanced per-shard load,
         LPT-pack the rest — the layout that fits the real 26-table/104 GiB
-        flagship config on a mesh, torchrec_dlrm/README.MD:45-53)."""
+        flagship config on a mesh, torchrec_dlrm/README.MD:45-53).
+
+        rw_bucket_caps: per-striped-table bucket widths (aligned with the
+        plan's rw table order) enabling host-side OWNER BUCKETING of
+        row-wise hits (parallel/rw_bucket.py): each shard then gathers only
+        the hits whose rows it owns (~h/M + spill per bag) instead of
+        masking all h — the difference between ~1/M and ~1x per-shard
+        gather load on the striped tables, which carry 149 of the 214
+        hits/sample at the flagship shape. rw_spill: overflow columns that
+        ride the masked path."""
         cfg = model.cfg
         if not model.fused:
             raise NotImplementedError(
@@ -120,6 +131,21 @@ class ButterflyDLRM:
             [self.placement.slice_len(int(t)) for t in self.rw_ids],
             dtype=np.int32,
         )
+        self.rw_bucket = rw_bucket_caps is not None
+        if self.rw_bucket:
+            if not self.num_rw:
+                raise ValueError(
+                    "rw_bucket_caps given but the plan stripes no tables"
+                )
+            if len(rw_bucket_caps) != self.num_rw:
+                raise ValueError(
+                    f"{len(rw_bucket_caps)} rw_bucket_caps for "
+                    f"{self.num_rw} striped tables"
+                )
+            self.rw_bucket_caps = tuple(int(c) for c in rw_bucket_caps)
+            if min(self.rw_bucket_caps) < 1:
+                raise ValueError("rw_bucket_caps must be >= 1")
+            self.rw_spill = int(rw_spill)
         # ---- table-wise slots: equal slot count per shard; LPT/round-robin
         # assignment comes from the placement, dummy slots fill the remainder
         # (their hits carry weight 0 and land on a padded row)
@@ -308,14 +334,39 @@ class ButterflyDLRM:
         g = (None,) if grouped else ()
         kw = {}
         if self.num_rw:
-            kw = dict(
-                idx_rw=self._put(
-                    np.take(idx, self.rw_ids, axis=tax), P(*g, None, "data")
-                ),
-                wt_rw=self._put(
-                    np.take(wt, self.rw_ids, axis=tax), P(*g, None, "data")
-                ),
-            )
+            idx_rw = np.take(idx, self.rw_ids, axis=tax)
+            wt_rw = np.take(wt, self.rw_ids, axis=tax)
+            if self.rw_bucket:
+                from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits
+
+                def _bucket(i, w):
+                    return bucket_rw_hits(
+                        i, w, self.rw_bucket_caps, self.rw_slice,
+                        self.rw_off, self.msize, self.rw_spill,
+                    )
+
+                if grouped:
+                    parts = [
+                        _bucket(idx_rw[k], wt_rw[k])
+                        for k in range(idx_rw.shape[0])
+                    ]
+                    ib, wb, si, sw = (
+                        np.stack([p[j] for p in parts]) for j in range(4)
+                    )
+                else:
+                    ib, wb, si, sw = _bucket(idx_rw, wt_rw)
+                kw = dict(
+                    # spill rides the masked path (idx_rw/wt_rw fields)
+                    idx_rw=self._put(si, P(*g, None, "data")),
+                    wt_rw=self._put(sw, P(*g, None, "data")),
+                    idx_rwb=self._put(ib, P(*g, "model", "data", None)),
+                    wt_rwb=self._put(wb, P(*g, "model", "data", None)),
+                )
+            else:
+                kw = dict(
+                    idx_rw=self._put(idx_rw, P(*g, None, "data")),
+                    wt_rw=self._put(wt_rw, P(*g, None, "data")),
+                )
         if self.num_cw:
             kw.update(
                 idx_cw=self._put(
@@ -354,6 +405,29 @@ class ButterflyDLRM:
             wt_eff = wt_eff * vw
         return loc, wt_eff
 
+    def _rw_bucket_pooled(self, params, idxb_l, wtb_l):
+        """Partial pools of the OWNED row-wise hits from the bucketed layout
+        (parallel/rw_bucket.py): idxb_l/wtb_l are this shard's [b, C_total]
+        slice of pre-localized rows; per-table static column segments.
+        Returns [T_rw, b, d] partials — same contract as the masked partials
+        (pad slots carry weight 0 on row 0), summed with the spill partials
+        before the psum_scatter."""
+        emb_l = params["emb"]["stacked"]
+        outs = []
+        c0 = 0
+        for i in range(self.num_rw):
+            c = self.rw_bucket_caps[i]
+            seg = idxb_l[:, c0 : c0 + c]  # [b, C_t] local rows
+            w = wtb_l[:, c0 : c0 + c]
+            if "v_w" in params:
+                w = w * jnp.take(
+                    self.model.pooling_weights(params), seg, axis=0
+                )
+            rows = jnp.take(emb_l, seg, axis=0)  # [b, C_t, d]
+            outs.append(jnp.einsum("bcd,bc->bd", rows, w.astype(rows.dtype)))
+            c0 += c
+        return jnp.stack(outs)  # [T_rw, b, d]
+
     def _cw_pooled(self, params, idx_cw_l, wt_cw_l):
         """Column-wise tables' partial pools: every shard gathers ALL hits
         from its full-row / d-slice block — [T_cw, b_d, d/m], no masking."""
@@ -364,7 +438,7 @@ class ButterflyDLRM:
 
     def _forward_local(self, params, dense_l, idx_l, wt_l, local_off,
                        idx_rw_l=None, wt_rw_l=None, idx_cw_l=None,
-                       wt_cw_l=None):
+                       wt_cw_l=None, idx_rwb_l=None, wt_rwb_l=None):
         """Device-local forward: local-table lookup -> a2a -> interaction ->
         top MLP. Returns probabilities for this device's batch slice."""
         emb_l = params["emb"]["stacked"]  # [shard_rows, d] local rows
@@ -385,6 +459,10 @@ class ButterflyDLRM:
             pooled_rw = jnp.einsum(
                 "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
             )  # [T_rw, b_d, d] PARTIAL sums (this shard's rows only)
+            if idx_rwb_l is not None:  # bucketed: masked part is the spill
+                pooled_rw = pooled_rw + self._rw_bucket_pooled(
+                    params, idx_rwb_l, wt_rwb_l
+                )
         if idx_cw_l is not None:
             pooled = (pooled, pooled_rw,
                       self._cw_pooled(params, idx_cw_l, wt_cw_l))
@@ -525,6 +603,7 @@ class ButterflyDLRM:
         self, optimizer, params, opt_state, new_dense, new_dense_state,
         dpooled, flat_idx, wt_l, dpooled_rw, idx_rw_l, wt_rw_l,
         dpooled_cw, idx_cw_l, wt_cw_l, lr, eps_v,
+        idx_rwb_l=None, wt_rwb_l=None,
     ):
         """The coalesced sparse-update tail shared by the fused butterfly
         step and its grad-accum variant: all-gather each table's pooled
@@ -564,6 +643,18 @@ class ButterflyDLRM:
             loc_all, wt_rw_eff_all = self._rw_local_hits(
                 params, idx_rw_all, wt_rw_all
             )
+            # the rw hit width can differ from the table-wise H (under
+            # bucketing idx_rw carries only the spill columns): pad the
+            # narrower side with weight-0 row-0 hits before the table concat
+            hw, sw = idx_all.shape[-1], loc_all.shape[-1]
+            if sw < hw:
+                pad = [(0, 0), (0, 0), (0, hw - sw)]
+                loc_all = jnp.pad(loc_all, pad)
+                wt_rw_eff_all = jnp.pad(wt_rw_eff_all, pad)
+            elif hw < sw:
+                pad = [(0, 0), (0, 0), (0, sw - hw)]
+                idx_all = jnp.pad(idx_all, pad)
+                wt_all = jnp.pad(wt_all, pad)
             dp_all = jnp.concatenate([dp_all, dp_rw_all], axis=0)
             idx_all = jnp.concatenate([idx_all, loc_all], axis=0)
             wt_all = jnp.concatenate([wt_all, wt_rw_eff_all], axis=0)
@@ -571,6 +662,29 @@ class ButterflyDLRM:
             jnp.transpose(dp_all, (1, 0, 2)), idx_all, wt_all,
             jnp.zeros((idx_all.shape[0],), jnp.int32),
         )
+        if idx_rwb_l is not None:
+            # bucketed hits: per-hit grads straight from the pooled rw
+            # cotangent (rows are already local; pad slots carry weight 0
+            # so they coalesce to zero-gradient no-ops on row 0)
+            idxb_all = jax.lax.all_gather(
+                idx_rwb_l, "data", axis=0, tiled=True
+            )  # [B, C_total]
+            wtb_all = jax.lax.all_gather(wt_rwb_l, "data", axis=0, tiled=True)
+            d = dp_rw_all.shape[-1]
+            extra_r, extra_g = [rows], [g]
+            c0 = 0
+            for i in range(self.num_rw):
+                c = self.rw_bucket_caps[i]
+                extra_r.append(idxb_all[:, c0 : c0 + c].reshape(-1))
+                extra_g.append(
+                    (
+                        dp_rw_all[i][:, None, :].astype(jnp.float32)
+                        * wtb_all[:, c0 : c0 + c, None]
+                    ).reshape(-1, d)
+                )
+                c0 += c
+            rows = jnp.concatenate(extra_r)
+            g = jnp.concatenate(extra_g)
         if optimizer == "sgd":
             new_emb = apply_sparse_sgd(emb_l, rows, g, lr)
             new_state = {"step": new_dense_state["step"]}
@@ -657,11 +771,18 @@ class ButterflyDLRM:
 
         eps_v = ADAGRAD_EPS if eps is None else float(eps)
 
+        bucket = getattr(self, "rw_bucket", False)
+
         def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
                       off_l, lr, *rw):
             idx_rw_l = wt_rw_l = idx_cw_l = wt_cw_l = None
+            idx_rwb_l = wt_rwb_l = None
             if has_rw:
                 idx_rw_l, wt_rw_l = rw[0], rw[1]
+                if bucket:
+                    # [1, b_d, C_total] local block of the model-sharded axis
+                    idx_rwb_l = rw[2][0]
+                    wt_rwb_l = rw[3][0]
             if has_cw:
                 idx_cw_l, wt_cw_l = rw[-2], rw[-1]
             if not fuse:
@@ -671,7 +792,8 @@ class ButterflyDLRM:
 
                 def loss_fn(p):
                     probs, logits = self._forward_local(
-                        p, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
+                        p, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l,
+                        idx_rwb_l=idx_rwb_l, wt_rwb_l=wt_rwb_l,
                     )
                     per = per_example_loss(cfg, probs, labels_l, logits)
                     return masked_mean(per, labels_l, denom=denom), probs
@@ -713,6 +835,10 @@ class ButterflyDLRM:
                 pooled_rw = jnp.einsum(
                     "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
                 )
+                if bucket:  # masked part above is only the spill
+                    pooled_rw = pooled_rw + self._rw_bucket_pooled(
+                        params, idx_rwb_l, wt_rwb_l
+                    )
                 pooled = (pooled, pooled_rw)
             if has_cw:
                 tw_rw = pooled if has_rw else (pooled, None)
@@ -739,6 +865,7 @@ class ButterflyDLRM:
                 optimizer, params, opt_state, new_dense, new_dense_state,
                 dpooled, flat_idx, wt_l, dpooled_rw, idx_rw_l, wt_rw_l,
                 dpooled_cw, idx_cw_l, wt_cw_l, lr, eps_v,
+                idx_rwb_l=idx_rwb_l, wt_rwb_l=wt_rwb_l,
             )
             return new_params, new_state, loss, probs
 
@@ -756,6 +883,10 @@ class ButterflyDLRM:
         ]
         if has_rw:
             in_specs += [P(None, "data"), P(None, "data")]
+            if bucket:
+                in_specs += [
+                    P("model", "data"), P("model", "data"),
+                ]
         if has_cw:
             in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
@@ -770,6 +901,8 @@ class ButterflyDLRM:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if has_rw and bucket:
+                rw = rw + (batch.idx_rwb, batch.wt_rwb)
             if has_cw:
                 rw = rw + (batch.idx_cw, batch.wt_cw)
             return step(
@@ -813,11 +946,18 @@ class ButterflyDLRM:
 
         eps_v = ADAGRAD_EPS if eps is None else float(eps)
 
+        bucket = getattr(self, "rw_bucket", False)
+
         def device_fn(params, opt_state, dense_k, idx_k, wt_k, labels_k,
                       off_l, lr, *rw):
             idx_rw_k = wt_rw_k = idx_cw_k = wt_cw_k = None
+            idx_rwb_k = wt_rwb_k = None
             if has_rw:
                 idx_rw_k, wt_rw_k = rw[0], rw[1]
+                if bucket:
+                    # [k, 1, b, C_total] local block -> drop the model axis
+                    idx_rwb_k = rw[2][:, 0]
+                    wt_rwb_k = rw[3][:, 0]
             if has_cw:
                 idx_cw_k, wt_cw_k = rw[-2], rw[-1]
             emb_l = params["emb"]["stacked"]
@@ -840,6 +980,10 @@ class ButterflyDLRM:
                         "tbhd,tbh->tbd", rows_rw,
                         wt_rw_eff.astype(rows_rw.dtype),
                     )
+                    if bucket:  # masked part above is only the spill
+                        pooled_rw = pooled_rw + self._rw_bucket_pooled(
+                            params, micro[6], micro[7]
+                        )
                     pooled = (pooled, pooled_rw)
                 if has_cw:
                     idx_cw_l, wt_cw_l = micro[-2], micro[-1]
@@ -871,6 +1015,8 @@ class ButterflyDLRM:
             xs = (dense_k, idx_k, wt_k, labels_k)
             if has_rw:
                 xs = xs + (idx_rw_k, wt_rw_k)
+                if bucket:
+                    xs = xs + (idx_rwb_k, wt_rwb_k)
             if has_cw:
                 xs = xs + (idx_cw_k, wt_cw_k)
             dgsum, (loss_locals, dpooleds, flat_idxs) = jax.lax.scan(
@@ -925,6 +1071,14 @@ class ButterflyDLRM:
                 None if not has_cw else merge_k(idx_cw_k),
                 None if not has_cw else merge_k(wt_cw_k),
                 lr, eps_v,
+                # bucketed arrays are [k, b, C]: batch axis leads, so the
+                # group merge is a plain reshape
+                idx_rwb_l=None if not bucket else idx_rwb_k.reshape(
+                    -1, idx_rwb_k.shape[-1]
+                ),
+                wt_rwb_l=None if not bucket else wt_rwb_k.reshape(
+                    -1, wt_rwb_k.shape[-1]
+                ),
             )
             return new_params, new_state, loss, None
 
@@ -942,6 +1096,10 @@ class ButterflyDLRM:
         ]
         if has_rw:
             in_specs += [P(None, None, "data"), P(None, None, "data")]
+            if bucket:
+                in_specs += [
+                    P(None, "model", "data"), P(None, "model", "data"),
+                ]
         if has_cw:
             in_specs += [P(None, None, "data"), P(None, None, "data")]
         step = shard_map(
@@ -956,6 +1114,8 @@ class ButterflyDLRM:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if has_rw and bucket:
+                rw = rw + (batch.idx_rwb, batch.wt_rwb)
             if has_cw:
                 rw = rw + (batch.idx_cw, batch.wt_cw)
             return step(
@@ -969,16 +1129,20 @@ class ButterflyDLRM:
         mesh = self.mesh
         has_rw = self.num_rw > 0
         has_cw = self.num_cw > 0
+        bucket = getattr(self, "rw_bucket", False)
 
         def device_fn(params, dense_l, idx_l, wt_l, off_l, *rw):
             idx_rw_l = wt_rw_l = idx_cw_l = wt_cw_l = None
+            idx_rwb_l = wt_rwb_l = None
             if has_rw:
                 idx_rw_l, wt_rw_l = rw[0], rw[1]
+                if bucket:
+                    idx_rwb_l, wt_rwb_l = rw[2][0], rw[3][0]
             if has_cw:
                 idx_cw_l, wt_cw_l = rw[-2], rw[-1]
             return self._forward_local(
                 params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l,
-                idx_cw_l, wt_cw_l,
+                idx_cw_l, wt_cw_l, idx_rwb_l=idx_rwb_l, wt_rwb_l=wt_rwb_l,
             )[0]
 
         pspec = _tree_specs(params)
@@ -991,6 +1155,8 @@ class ButterflyDLRM:
         ]
         if has_rw:
             in_specs += [P(None, "data"), P(None, "data")]
+            if bucket:
+                in_specs += [P("model", "data"), P("model", "data")]
         if has_cw:
             in_specs += [P(None, "data"), P(None, "data")]
         step = shard_map(
@@ -1005,6 +1171,8 @@ class ButterflyDLRM:
         @jax.jit
         def eval_step(params, batch: Batch):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if has_rw and bucket:
+                rw = rw + (batch.idx_rwb, batch.wt_rwb)
             if has_cw:
                 rw = rw + (batch.idx_cw, batch.wt_cw)
             return step(params, batch.dense, batch.idx, batch.wt, local_off,

@@ -100,6 +100,9 @@ def global_batch_from_replicated(mesh: Mesh, batch: Batch, specs) -> Batch:
         # column-wise tables: same replicated-over-model layout
         idx_cw=put(batch.idx_cw, P(None, "data")),
         wt_cw=put(batch.wt_cw, P(None, "data")),
+        # owner-bucketed row-wise hits: leading axis sharded over "model"
+        idx_rwb=put(batch.idx_rwb, P("model", "data")),
+        wt_rwb=put(batch.wt_rwb, P("model", "data")),
     )
 
 
@@ -126,6 +129,8 @@ def global_batch_from_local_shard(mesh: Mesh, local: Batch, specs) -> Batch:
         wt_rw=put(local.wt_rw, P(None, "data")),
         idx_cw=put(local.idx_cw, P(None, "data")),
         wt_cw=put(local.wt_cw, P(None, "data")),
+        idx_rwb=put(local.idx_rwb, P("model", "data")),
+        wt_rwb=put(local.wt_rwb, P("model", "data")),
     )
 
 

@@ -122,6 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
         "dlrm_main.py:654-667). Composes with any --sharding_strategy; "
         "requires --embedding_impl fused (or auto resolving to it)",
     )
+    p.add_argument(
+        "--rw_bucket", choices=["off", "on"], default="off",
+        help="host-side OWNER BUCKETING of row-wise-striped tables' hits "
+        "(parallel/rw_bucket.py): each shard gathers only the hits whose "
+        "rows it owns (~hot/M + spill per bag) instead of masking all of "
+        "them — the weak-scaling fix for gather-bound striped tables. "
+        "Requires the fused embedding impl and a plan that stripes",
+    )
     p.add_argument("--auroc_target", type=float, default=None)
     return p
 
@@ -376,6 +384,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     opt_state = init_opt_state(optimizer, params)
     to_device = lambda hb: hb.to_device()  # noqa: E731
     eval_to_device = to_device
+    if args.rw_bucket == "on" and not (
+        args.sharded and len(jax.devices()) > 1
+    ):
+        raise SystemExit(
+            "ERROR: --rw_bucket only applies to --sharded runs on a "
+            "multi-device mesh (single-device training has no striped "
+            "tables to bucket)"
+        )
     if args.column_wise_tables and not (
         args.sharded and len(jax.devices()) > 1
     ):
@@ -411,6 +427,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "ERROR: --column_wise_tables requires the fused "
                 "coalesce+scatter embedding impl (pass --embedding_impl "
                 "fused); the stream butterfly has no column-sharded layout"
+            )
+        if args.rw_bucket == "on" and stream_ok:
+            raise SystemExit(
+                "ERROR: --rw_bucket requires the fused coalesce+scatter "
+                "embedding impl (pass --embedding_impl fused); the stream "
+                "butterfly's striped slots are not bucketed"
             )
         if stream_ok:
             import jax.numpy as jnp
@@ -471,14 +493,36 @@ def main(argv: Optional[List[str]] = None) -> int:
                 cap = int(
                     args.hbm_gb * (2**30) * 0.7 // (d * table_b + acc_b)
                 )
-                bf = ButterflyDLRM(
-                    model, mesh, strategy="mixed", capacity_rows=cap,
-                    cw_tables=cw,
+                plan_kw = dict(
+                    strategy="mixed", capacity_rows=cap, cw_tables=cw
                 )
             else:
+                plan_kw = dict(
+                    strategy=args.sharding_strategy, cw_tables=cw
+                )
+            bf = ButterflyDLRM(model, mesh, **plan_kw)
+            if args.rw_bucket == "on":
+                if bf.num_rw == 0:
+                    raise SystemExit(
+                        "ERROR: --rw_bucket on, but the sharding plan "
+                        "stripes no table row-wise (nothing to bucket)"
+                    )
+                # rebuild with caps sized from the striped tables' real hot
+                # sizes (binomial mean + 3 sigma per owning shard)
+                from dlrm_tpu.parallel.rw_bucket import default_bucket_caps
+
+                hs = hot_sizes or [1] * model_cfg.num_tables
+                rw_hots = [int(hs[int(t)]) for t in bf.rw_ids]
                 bf = ButterflyDLRM(
-                    model, mesh, strategy=args.sharding_strategy,
-                    cw_tables=cw,
+                    model, mesh, **plan_kw,
+                    rw_bucket_caps=default_bucket_caps(
+                        rw_hots, mesh.shape["model"]
+                    ),
+                    rw_spill=max(4, max(rw_hots) // mesh.shape["model"] + 2),
+                )
+                print(
+                    f"rw bucketing: caps={list(bf.rw_bucket_caps)} "
+                    f"spill={bf.rw_spill} over {bf.num_rw} striped tables"
                 )
             params = bf.shard_params(params)
             opt_state = init_opt_state(optimizer, params)

@@ -316,3 +316,61 @@ def test_column_wise_flag_rejections(capsys):
             + ["--sharded", "--mesh_data", "2", "--embedding_impl",
                "fused", "--column_wise_tables", "0;5"]
         )
+
+
+def test_main_sharded_rw_bucket():
+    """--rw_bucket on through the REAL main(): skewed tables force striping
+    on the auto plan, hits route to their owning shards, train + eval run
+    to completion (parity with the masked path is proven in
+    test_rw_bucket.py; this covers the CLI wiring end-to-end)."""
+    sizes = ["600", "48"] * 13  # 13 outliers stripe under a tight budget
+    rc = v2_main.main(
+        [
+            "--limit_train_batches", "4",
+            "--limit_val_batches", "2",
+            "--limit_test_batches", "2",
+            "--batch_size", "16",
+            "--embedding_dim", "8",
+            "--num_embeddings_per_feature", ",".join(sizes),
+            "--multi_hot_sizes", ",".join(["4", "1"] * 13),
+            "--dense_arch_layer_sizes", "16,8",
+            "--over_arch_layer_sizes", "16,8,1",
+            "--sharded",
+            "--mesh_data", "2",
+            "--embedding_impl", "fused",
+            # tiny HBM budget: the auto plan is forced to stripe the 600-row
+            # outliers row-wise, so bucketing has something to route
+            "--sharding_strategy", "auto", "--hbm_gb", "0.00003",
+            "--rw_bucket", "on",
+            "--adagrad",
+        ]
+    )
+    assert rc == 0
+
+
+def test_rw_bucket_flag_rejections():
+    """--rw_bucket is loudly rejected off-mesh, with the stream impl, and
+    when the plan stripes nothing."""
+    base = [
+        "--batch_size", "16",
+        "--embedding_dim", "8",
+        "--num_embeddings_per_feature", ",".join(["48"] * 26),
+        "--dense_arch_layer_sizes", "16,8",
+        "--over_arch_layer_sizes", "16,8,1",
+    ]
+    with pytest.raises(SystemExit, match="multi-device mesh"):
+        v2_main.main(base + ["--rw_bucket", "on"])
+    with pytest.raises(SystemExit, match="embedding_impl fused"):
+        v2_main.main(
+            base
+            + ["--sharded", "--mesh_data", "2", "--embedding_impl",
+               "stream", "--rw_bucket", "on"]
+        )
+    with pytest.raises(SystemExit, match="stripes no table"):
+        # uniform tiny tables: nothing exceeds the balanced per-shard load
+        v2_main.main(
+            base
+            + ["--sharded", "--mesh_data", "2", "--embedding_impl",
+               "fused", "--sharding_strategy", "table_wise",
+               "--rw_bucket", "on"]
+        )

@@ -11,6 +11,7 @@ Tables are initialized DIRECTLY in bf16 on device (an fp32 init would be
   PYTHONPATH=/root/repo:/root/.axon_site python bench_scripts/capacity_probe.py
 """
 
+import os
 import time
 
 import numpy as np
@@ -27,8 +28,9 @@ from dlrm_tpu.train.stream_step import (
     plan_for_model,
 )
 
-ROWS = 1_500_000
-BS = 8192
+ROWS = int(os.environ.get("CAP_ROWS", 1_500_000))
+BS = int(os.environ.get("CAP_BS", 8192))
+BLOCK_ROWS = int(os.environ.get("CAP_BR", 2048))
 OPT = "rwsadagrad"
 
 
@@ -44,10 +46,10 @@ def main():
         compute_dtype="bfloat16",
     )
     model = DLRMModel(cfg)
-    plan = plan_for_model(model, BS, block_rows=2048)
+    plan = plan_for_model(model, BS, block_rows=BLOCK_ROWS)
     gib = plan.padded_rows * 128 * 2 / 2**30
-    print(f"padded table state: {plan.padded_rows} rows = {gib:.2f} GiB bf16",
-          flush=True)
+    print(f"padded table state: {plan.padded_rows} rows = {gib:.2f} GiB bf16 "
+          f"(block_rows={BLOCK_ROWS}, bs={BS})", flush=True)
 
     # dense params from the normal init (tiny); bf16 table born on device
     small = DLRMConfig(

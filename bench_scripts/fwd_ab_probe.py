@@ -10,12 +10,13 @@ steps with loop-carried params, completion forced by a scalar loss fetch.
 Usage: python bench_scripts/fwd_ab_probe.py [iters]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V2_HOT_SIZES = (3, 2, 1, 2, 6, 1, 1, 1, 1, 7, 3, 8, 1, 6, 9, 5, 1, 1, 1,
                 12, 100, 27, 10, 3, 1, 1)
@@ -90,15 +91,22 @@ def measure(fwd_impl: str, grad_impl: str) -> float:
 
 
 def main():
-    for fwd, grad in (("gather", "gather"), ("stream", "gather"),
-                      ("gather", "onehot")):
+    # Only the stream/onehot legs are DESIGNED to reject at this batch
+    # (sized ValueError from stream_kernels.py:111 when the K3/K4 VMEM
+    # budget cannot hold bs 16384); the gather/gather control leg must
+    # succeed, so its failure propagates (nonzero exit) instead of being
+    # folded into the expected-rejection print.
+    rate = measure("gather", "gather")
+    print(f"fwd=gather  grad=gather : {rate:,.0f} examples/s/chip "
+          f"({BATCH * ITERS / rate * 1000 / ITERS:.1f} ms/step)", flush=True)
+    for fwd, grad in (("stream", "gather"), ("gather", "onehot")):
         try:
             rate = measure(fwd, grad)
             print(f"fwd={fwd:7s} grad={grad:7s}: {rate:,.0f} examples/s/chip "
                   f"({BATCH * ITERS / rate * 1000 / ITERS:.1f} ms/step)",
                   flush=True)
-        except Exception as e:
-            print(f"fwd={fwd:7s} grad={grad:7s}: FAILED "
+        except ValueError as e:  # expected VMEM-budget rejection
+            print(f"fwd={fwd:7s} grad={grad:7s}: REJECTED "
                   f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
 

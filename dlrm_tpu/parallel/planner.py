@@ -120,11 +120,15 @@ def _rw_region(sizes, is_rw, num_shards):
 
 
 def _stripe_until_fit(sizes, is_rw, num_shards, capacity_rows, layout,
-                      shard_rows_of, what: str):
+                      shard_rows_of, what: str,
+                      allow_capacity_overflow: bool = False):
     """Capacity-driven striping loop shared by mixed and size_rr: stripe
     the largest still-table-wise eligible table and re-pack until every
-    shard meets the row budget (mutates is_rw); warns when even full
-    striping cannot fit."""
+    shard meets the row budget (mutates is_rw). When even full striping
+    cannot fit, the default is a LOUD error (on a real chip a silently
+    overshot budget is an OOM discovered minutes into training);
+    allow_capacity_overflow=True keeps the plan and downgrades to a
+    warning."""
     out = layout(is_rw)
     if capacity_rows is None:
         return out
@@ -140,15 +144,20 @@ def _stripe_until_fit(sizes, is_rw, num_shards, capacity_rows, layout,
         is_rw[cand] = True
         out = layout(is_rw)
     if shard_rows_of(out) > int(capacity_rows):
+        msg = (
+            f"{what} plan cannot meet capacity_rows={capacity_rows}: "
+            f"best-effort shard_rows={shard_rows_of(out)} "
+            f"({shard_rows_of(out) - int(capacity_rows)} rows over budget) "
+            "even with every eligible table row-wise striped — add shards, "
+            "raise the HBM budget, or pass allow_capacity_overflow=True "
+            "(--allow_capacity_overflow) to proceed anyway"
+        )
+        if not allow_capacity_overflow:
+            raise ValueError(msg)
         import warnings
 
-        warnings.warn(
-            f"{what} plan cannot meet capacity_rows={capacity_rows}: "
-            f"best-effort shard_rows={shard_rows_of(out)} even with every "
-            "eligible table row-wise striped — expect HBM pressure or add "
-            "shards",
-            stacklevel=3,
-        )
+        warnings.warn(msg + " [override active: expect HBM pressure]",
+                      stacklevel=3)
     return out
 
 
@@ -159,6 +168,7 @@ def plan_tables(
     rw_threshold: Optional[int] = None,
     capacity_rows: Optional[int] = None,
     cw_tables: Optional[Sequence[int]] = None,
+    allow_capacity_overflow: bool = False,
 ) -> TablePlacement:
     sizes = [int(n) for n in table_sizes]
     num_t = len(sizes)
@@ -192,6 +202,7 @@ def plan_tables(
         sub = plan_tables(
             [sizes[t] for t in rest], num_shards, strategy=strategy,
             rw_threshold=rw_threshold, capacity_rows=capacity_rows,
+            allow_capacity_overflow=allow_capacity_overflow,
         )
         table_shard = [-2] * num_t
         goff = [0] * num_t
@@ -257,6 +268,7 @@ def plan_tables(
         out = _stripe_until_fit(
             sizes, is_rw, num_shards, capacity_rows, _layout,
             lambda o: o[5], "mixed",
+            allow_capacity_overflow=allow_capacity_overflow,
         )
         rw_slice, rw_off, rw_region, assign, local_off, shard_rows = out
         global_offsets = tuple(
@@ -337,6 +349,7 @@ def plan_tables(
         out = _stripe_until_fit(
             sizes, is_rw, num_shards, capacity_rows, _layout_rr,
             lambda o: o[4], "size_rr",
+            allow_capacity_overflow=allow_capacity_overflow,
         )
         rw_slice, rw_off, assign, local_off, shard_rows, slot_lists = out
         return TablePlacement(

@@ -18,12 +18,14 @@ from typing import Any, Dict, Optional
 
 
 class ScalarLogger:
-    """JSONL scalar writer (TensorBoard-equivalent scalars), plus — when the
-    tensorboard package is importable — REAL TensorBoard event files in
-    `tb_dir`, so `tensorboard --logdir <--tensor-board-filename>` works
-    exactly as it does against the reference (SummaryWriter(tb_file),
-    dlrm_s_pytorch.py:1509-1510). The JSONL stays authoritative: it is
-    dependency-free and what the tests/analysis tooling read."""
+    """JSONL scalar writer (TensorBoard-equivalent scalars), plus REAL
+    TensorBoard event files in `tb_dir` via the repo's own dependency-free
+    tfevents writer (utils/tfevents.py), so
+    `tensorboard --logdir <--tensor-board-filename>` works exactly as it
+    does against the reference (SummaryWriter(tb_file),
+    dlrm_s_pytorch.py:1509-1510) — unconditionally, with no torch/tensorflow
+    import. The JSONL stays authoritative: it is what the tests/analysis
+    tooling read."""
 
     def __init__(self, path: Optional[str] = None,
                  tb_dir: Optional[str] = None):
@@ -34,12 +36,9 @@ class ScalarLogger:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
         if tb_dir:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+            from dlrm_tpu.utils.tfevents import TFEventsWriter
 
-                self._tb = SummaryWriter(tb_dir)
-            except Exception:
-                self._tb = None  # tensorboard absent: JSONL only
+            self._tb = TFEventsWriter(tb_dir)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         if self._f is not None:

@@ -3,14 +3,22 @@
 26 tables x 1.5M rows x 128-dim bf16 = 10.0 GB of embedding state — MORE
 than the 6.8 GB/chip each shard of the 8-chip mixed-plan flagship carries
 (PARITY.md HBM arithmetic), demonstrated live on one v5e with the
-streamed update (K2 streams the whole table per step, so the step cost
-is dominated by the 10 GB table pass at the pallas revolve bandwidth).
+streamed update.
+
+r4 A/B (VERDICT r3 next-round #2): the K2 update used to stream the WHOLE
+table every step (full revolve). With the touched-only block worklist
+(ops/stream_plan.py::touched_update_items) untouched blocks are neither
+DMA-in nor DMA-out under the in-place aliasing, so the step cost becomes
+O(touched blocks). Criteo hits are power-law distributed: at bs 8192 most
+cold-table blocks go untouched. This probe measures both worklists under
+both a uniform and a zipf(1.05) hit distribution.
 
 Tables are initialized DIRECTLY in bf16 on device (an fp32 init would be
 20 GB and cannot coexist with its cast). Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python bench_scripts/capacity_probe.py
 """
 
+import functools
 import os
 import time
 
@@ -32,6 +40,17 @@ ROWS = int(os.environ.get("CAP_ROWS", 1_500_000))
 BS = int(os.environ.get("CAP_BS", 8192))
 BLOCK_ROWS = int(os.environ.get("CAP_BR", 2048))
 OPT = "rwsadagrad"
+ITERS = 20
+
+
+def _zipf_batch(rng, cfg):
+    """Criteo-like power-law hits: zipf(1.05) ids folded into the table."""
+    hb = fixed_multihot_batch(
+        rng, cfg.num_dense, cfg.table_sizes, BS, cfg.num_indices_per_lookup
+    )
+    z = rng.zipf(1.05, size=hb.idx.shape).astype(np.int64)
+    hb.idx = ((z - 1) % ROWS).astype(np.int32)
+    return hb
 
 
 def main():
@@ -58,7 +77,7 @@ def main():
         interaction="dot", loss="bce", num_indices_per_lookup=8,
         compute_dtype="bfloat16",
     )
-    params = DLRMModel(small).init_params(jax.random.PRNGKey(0))
+    dense_init = DLRMModel(small).init_params(jax.random.PRNGKey(0))
 
     @jax.jit
     def init_table(key):
@@ -67,26 +86,11 @@ def main():
             key, (plan.padded_rows, 128), jnp.bfloat16, -b, b
         )
 
-    params["emb"] = {"stacked": init_table(jax.random.PRNGKey(1))}
-    opt_state = init_stream_opt_state(OPT, params, plan)
     step = make_stream_train_step(
         model, OPT, plan, fwd_impl="gather", grad_impl="gather",
         mm_dtype=jnp.bfloat16, stochastic_round=True,
     )
-
-    rng = np.random.default_rng(0)
-    batch = (
-        fixed_multihot_batch(
-            rng, cfg.num_dense, cfg.table_sizes, BS,
-            cfg.num_indices_per_lookup,
-        )
-        .with_stream_work(plan)
-        .to_device()
-    )
     raw = step.__wrapped__
-    iters = 20
-
-    import functools
 
     # donate params/opt_state AND return them: donation is only usable
     # when an output aliases the donated buffer — returning just the
@@ -98,21 +102,50 @@ def main():
             p, s, loss, _ = raw(p, s, b, 0.01)
             return (p, s), loss
 
-        (p, s), losses = jax.lax.scan(one, (p, s), None, length=iters)
+        (p, s), losses = jax.lax.scan(one, (p, s), None, length=ITERS)
         return p, s, losses
 
-    t0 = time.perf_counter()
-    params, opt_state, losses = many(params, opt_state, batch)
-    losses = np.asarray(losses)
-    print(f"compile+first: {time.perf_counter()-t0:.1f}s "
-          f"loss[-1]={losses[-1]:.4f}", flush=True)
-    assert np.isfinite(losses).all()
-    t0 = time.perf_counter()
-    params, opt_state, losses = many(params, opt_state, batch)
-    np.asarray(losses)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"capacity run ({gib:.1f} GiB bf16 tables, bs {BS}): "
-          f"{dt*1e3:.1f} ms/step, {BS/dt:.0f} examples/s/chip", flush=True)
+    rng = np.random.default_rng(0)
+    legs = []
+    for dist in ("uniform", "zipf"):
+        hb = (
+            fixed_multihot_batch(
+                rng, cfg.num_dense, cfg.table_sizes, BS,
+                cfg.num_indices_per_lookup,
+            )
+            if dist == "uniform"
+            else _zipf_batch(rng, cfg)
+        )
+        for touched in (False, True):
+            legs.append((dist, touched, hb))
+
+    for dist, touched, hb in legs:
+        hb2 = hb.with_stream_work(plan, update_touched_only=touched)
+        w = hb2.stream
+        nblk = len(np.unique(w.item_block[: w.num_real_items]))
+        batch = hb2.to_device()
+        params = dict(dense_init)
+        params["emb"] = {"stacked": init_table(jax.random.PRNGKey(1))}
+        opt_state = init_stream_opt_state(OPT, params, plan)
+
+        t0 = time.perf_counter()
+        params, opt_state, losses = many(params, opt_state, batch)
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        params, opt_state, losses = many(params, opt_state, batch)
+        np.asarray(losses)
+        dt = (time.perf_counter() - t0) / ITERS
+        tag = "touched-only" if touched else "full-revolve"
+        print(
+            f"[{dist:7s} {tag:12s}] items={w.num_real_items} "
+            f"blocks={nblk}/{plan.num_blocks} "
+            f"{dt*1e3:.1f} ms/step, {BS/dt:,.0f} ex/s/chip "
+            f"(compile+first {compile_s:.0f}s, loss[-1]={losses[-1]:.4f})",
+            flush=True,
+        )
+        del params, opt_state
 
 
 if __name__ == "__main__":

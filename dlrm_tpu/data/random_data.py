@@ -34,22 +34,32 @@ class HostBatch:
     labels: np.ndarray  # [B, 1] float32
     stream: "object" = None  # Optional[dlrm_tpu.ops.stream_plan.StreamWork]
 
-    def with_stream_work(self, plan, unit_weights: bool = False) -> "HostBatch":
+    def with_stream_work(self, plan, unit_weights: bool = False,
+                         update_touched_only: bool = False) -> "HostBatch":
         """Attach the U-layout work plan (host-side numpy; zero device
         cost — see ops/stream_plan.py). unit_weights=True promises every
         REAL hit (first plan.hot[t] columns) has weight 1.0: the builder
         then skips wts_u and the device derives it from rows_u != -1 —
         one third fewer host writes and H2D bytes (both fixed multi-hot
-        and ragged v2 batches qualify)."""
-        from dlrm_tpu.ops.stream_plan import build_stream_work
+        and ragged v2 batches qualify).
 
-        return dataclasses.replace(
-            self,
-            stream=build_stream_work(
-                plan, self.idx, None if unit_weights else self.wt,
-                skip_wts=unit_weights,
-            ),
+        update_touched_only=True drops the hit-free blocks' items so the
+        K2 update streams only touched blocks (O(touched) instead of
+        O(table) HBM traffic per step). ONLY valid when (a) the in-place
+        aliased update is active (no DLRM_K2_NO_ALIAS) and (b) the step
+        uses fwd_impl='gather' — the streamed forward (K3) needs the full
+        cover items. See ops/stream_plan.py::touched_update_items."""
+        from dlrm_tpu.ops.stream_plan import (
+            build_stream_work, touched_update_items,
         )
+
+        work = build_stream_work(
+            plan, self.idx, None if unit_weights else self.wt,
+            skip_wts=unit_weights,
+        )
+        if update_touched_only:
+            work = touched_update_items(plan, work)
+        return dataclasses.replace(self, stream=work)
 
     def to_device(self, flat_hots=None) -> Batch:
         """flat_hots (per-table hot sizes) ships idx/wt in the FLAT per-hit

@@ -320,7 +320,10 @@ def _sgd_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref, lr_ref,
 
     @pl.when(last)
     def _():
-        _wait_prev_write(blk > 0, blk, upd, out_hbm, sem_w, br)
+        # "a previous write exists" = this is not the FIRST block in the
+        # item list (blk > 0 assumed a dense 0..N block walk; the
+        # touched-only worklist may start anywhere)
+        _wait_prev_write(blk != ib_ref[0], blk, upd, out_hbm, sem_w, br)
         upd[:] = _cast_out(
             table_ref[:].astype(jnp.float32) - lr_ref[0, 0] * gsum[:],
             upd.dtype, sr,
@@ -347,8 +350,9 @@ def _rowwise_adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm,
 
     @pl.when(last)
     def _():
-        _wait_prev_write(blk > 0, blk, upd, out_hbm, sem_w, br)
-        _wait_prev_write(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br // 128)
+        nf = blk != ib_ref[0]  # not the first written block (see _sgd)
+        _wait_prev_write(nf, blk, upd, out_hbm, sem_w, br)
+        _wait_prev_write(nf, blk, acc_upd, acc_hbm, sem_wa, br // 128)
         gs = gsum[:]
         mrow = jnp.sum(gs * gs, axis=1, keepdims=True) / d  # [br, 1]
         ident = _identity128()
@@ -401,8 +405,9 @@ def _adagrad_kernel(ib_ref, ir_ref, iu_ref, g_hbm, rows_hbm, table_ref,
 
     @pl.when(last)
     def _():
-        _wait_prev_write(blk > 0, blk, upd, out_hbm, sem_w, br)
-        _wait_prev_write(blk > 0, blk, acc_upd, acc_hbm, sem_wa, br)
+        nf = blk != ib_ref[0]  # not the first written block (see _sgd)
+        _wait_prev_write(nf, blk, upd, out_hbm, sem_w, br)
+        _wait_prev_write(nf, blk, acc_upd, acc_hbm, sem_wa, br)
         gs = gsum[:]
         new_acc = acc_ref[:].astype(jnp.float32) + gs * gs
         denom = jnp.sqrt(new_acc) + eps

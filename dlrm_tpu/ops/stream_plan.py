@@ -281,6 +281,41 @@ def build_stream_work(
     )
 
 
+def touched_update_items(
+    plan: StreamPlan, work: StreamWork
+) -> StreamWork:
+    """K2-only worklist: keep items of blocks with >= 1 real hit (drop the
+    one-sentinel-chunk items of hit-free blocks and the K3 tail-cover
+    items), re-padded to the same static length.
+
+    The full list exists because K3 must write EVERY R_u slot and, without
+    in-place aliasing, K2 must rewrite every block. Under the aliased
+    update (input_output_aliases, the default — stream_kernels.py design
+    note) untouched blocks need neither the DMA-in nor the DMA-out: on a
+    power-law hit distribution most cold-table blocks go untouched at
+    bs 8192, so the revolve becomes O(touched blocks) instead of O(table)
+    (VERDICT r3 missing #3: the 9.31 GiB capacity config trained at 0.43x
+    baseline because K2 revolved all 9.31 GiB every step).
+
+    ONLY valid for the update kernels with aliasing active; the streamed
+    forward (K3) must keep the full item list."""
+    keep = (work.item_block < plan.pad_block) & (work.item_u < plan.u_size)
+    ib, ir, iu = (
+        work.item_block[keep], work.item_row0[keep], work.item_u[keep]
+    )
+    m = plan.max_items
+    sent_u = plan.u_size
+    out_b = np.full(m, plan.pad_block, np.int32)
+    out_r = np.zeros(m, np.int32)
+    out_u = np.full(m, sent_u, np.int32)
+    n = len(ib)
+    out_b[:n], out_r[:n], out_u[:n] = ib, ir, iu
+    return dataclasses.replace(
+        work, item_block=out_b, item_row0=out_r, item_u=out_u,
+        num_real_items=n,
+    )
+
+
 def stack_tables_padded(
     tables: Sequence[np.ndarray], plan: StreamPlan
 ) -> np.ndarray:

@@ -70,6 +70,7 @@ class ButterflyDLRM:
         cw_tables=None,
         rw_bucket_caps=None,
         rw_spill: int = 4,
+        allow_capacity_overflow: bool = False,
     ):
         """strategy: 'round_robin' (v1 parity, dlrm_s_pytorch.py:636),
         'table_wise' (LPT packing), or 'mixed' (TorchRec-planner-style:
@@ -100,6 +101,7 @@ class ButterflyDLRM:
             cfg.table_sizes, self.msize, strategy=strategy,
             rw_threshold=rw_threshold, capacity_rows=capacity_rows,
             cw_tables=cw_tables,
+            allow_capacity_overflow=allow_capacity_overflow,
         )
         num_t = cfg.num_tables
         # ---- column-wise tables: separate [cw_rows, d] array sharded on the

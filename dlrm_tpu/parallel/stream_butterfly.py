@@ -40,6 +40,7 @@ remaining restriction is learned pooling weights (v_w -> fused butterfly).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -51,7 +52,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from dlrm_tpu.data.batch import Batch, StreamArrays
 from dlrm_tpu.models.dlrm import DLRMModel
 from dlrm_tpu.ops.stream_kernels import gather_grads, stream_update
-from dlrm_tpu.ops.stream_plan import build_stream_work, make_stream_plan
+from dlrm_tpu.ops.stream_plan import (
+    build_stream_work,
+    make_stream_plan,
+    touched_update_items,
+)
 from dlrm_tpu.optim.optimizers import apply_updates
 from dlrm_tpu.parallel.butterfly import ButterflyDLRM, _tree_specs
 
@@ -65,7 +70,9 @@ class StreamButterfly(ButterflyDLRM):
                  stochastic_round: Optional[bool] = None,
                  mm_dtype=jnp.bfloat16, interpret: bool = False,
                  hot_sizes=None, rw_threshold: Optional[int] = None,
-                 capacity_rows: Optional[int] = None):
+                 capacity_rows: Optional[int] = None,
+                 allow_capacity_overflow: bool = False,
+                 rw_bucket_caps=None, rw_spill: int = 4):
         # size_rr assignment: slot j holds comparably-sized tables on every
         # shard, so the common per-slot plan geometry (max size / max hot
         # per slot) pays minimal padding on skewed configs.
@@ -74,9 +81,17 @@ class StreamButterfly(ButterflyDLRM):
         # streams) only its row slice as an extra stream slot — the layout
         # that trains the 40M-row flagship outliers on the streamed path
         # (torchrec_dlrm/README.MD:45-53; VERDICT r2 next-round #1).
+        # rw_bucket_caps owner-buckets the striped slots' FORWARD gather on
+        # the host (parallel/rw_bucket.py), so each shard gathers ~h/M +
+        # spill hits instead of ALL striped-table hits masked — the same
+        # weak-scaling fix the fused path has (VERDICT r3 missing #2). The
+        # backward is untouched: the host U-layout already masks each
+        # shard's update work to its own rows.
         super().__init__(model, mesh, strategy="size_rr",
                          rw_threshold=rw_threshold,
-                         capacity_rows=capacity_rows)
+                         capacity_rows=capacity_rows,
+                         allow_capacity_overflow=allow_capacity_overflow,
+                         rw_bucket_caps=rw_bucket_caps, rw_spill=rw_spill)
         cfg = model.cfg
         if cfg.weighted_pooling is not None:
             raise NotImplementedError(
@@ -298,7 +313,14 @@ class StreamButterfly(ButterflyDLRM):
                     ht = self.hots_all[t]
                     if ht < hmax:
                         wt_s[j, :, ht:] = 0.0
-                works.append(build_stream_work(self.plan, idx_s, wt_s))
+                w_ = build_stream_work(self.plan, idx_s, wt_s)
+                # the butterfly's forward is a gather (K3 never runs), so
+                # the update worklist can always drop hit-free blocks when
+                # the in-place aliased K2 is active (same call-time env
+                # check as stream_kernels._k2_aliases)
+                if not os.environ.get("DLRM_K2_NO_ALIAS"):
+                    w_ = touched_update_items(self.plan, w_)
+                works.append(w_)
             stack = lambda name: np.stack(  # noqa: E731
                 [np.asarray(getattr(w, name)) for w in works]
             )
@@ -314,13 +336,30 @@ class StreamButterfly(ButterflyDLRM):
             )
         kw = {}
         if self.num_rw:
-            # the forward's view of the striped tables: hits replicated over
-            # "model" (every shard masks its own row range, like the fused
-            # mixed plan)
-            kw = dict(
-                idx_rw=self._put(idx[self.rw_ids], P(None, "data")),
-                wt_rw=self._put(wt[self.rw_ids], P(None, "data")),
-            )
+            if self.rw_bucket:
+                # owner-bucketed forward view: each shard receives only the
+                # hits it owns, pre-localized to its STREAM offsets
+                # (self.rw_off is the stream-plan layout here); overflow
+                # spills ride the masked path at width rw_spill
+                from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits
+
+                ib, wb, si, sw = bucket_rw_hits(
+                    idx[self.rw_ids], wt[self.rw_ids], self.rw_bucket_caps,
+                    self.rw_slice, self.rw_off, self.msize, self.rw_spill,
+                )
+                kw = dict(
+                    idx_rw=self._put(si, P(None, "data")),
+                    wt_rw=self._put(sw, P(None, "data")),
+                    idx_rwb=self._put(ib, P("model", "data", None)),
+                    wt_rwb=self._put(wb, P("model", "data", None)),
+                )
+            else:
+                # masked forward view: hits replicated over "model" (every
+                # shard masks its own row range, like the fused mixed plan)
+                kw = dict(
+                    idx_rw=self._put(idx[self.rw_ids], P(None, "data")),
+                    wt_rw=self._put(wt[self.rw_ids], P(None, "data")),
+                )
         idx, wt = self._pad_reorder_sparse(idx, wt, num_t)
         return Batch(
             dense=self._put(hb.dense, P(("data", "model"))),
@@ -351,9 +390,15 @@ class StreamButterfly(ButterflyDLRM):
         if optimizer not in ("sgd", "adagrad", "rwsadagrad"):
             raise ValueError(f"optimizer {optimizer!r} not supported")
 
+        bucket = self.rw_bucket and has_rw
+
         def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
                       off_l, sw, lr, *rw):
-            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+            if bucket:
+                idx_rw_l, wt_rw_l = rw[0], rw[1]  # spill (masked path)
+                idx_rwb_l, wt_rwb_l = rw[2][0], rw[3][0]
+            else:
+                idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
             emb_l = params["emb"]["stacked"]  # [padded_rows, d] local shard
             flat_idx = idx_l + off_l[:, None, None]
             rows_v = jnp.take(emb_l, flat_idx, axis=0)
@@ -369,6 +414,10 @@ class StreamButterfly(ButterflyDLRM):
                 pooled_rw = jnp.einsum(
                     "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
                 )  # partial sums (this shard's rows only)
+                if bucket:  # the masked part above carried only the spill
+                    pooled_rw = pooled_rw + self._rw_bucket_pooled(
+                        params, idx_rwb_l, wt_rwb_l
+                    )
                 pooled = (pooled, pooled_rw)
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
@@ -444,6 +493,9 @@ class StreamButterfly(ButterflyDLRM):
         ]
         if has_rw:
             in_specs += [P(None, "data"), P(None, "data")]
+            if bucket:
+                in_specs += [P("model", "data", None),
+                             P("model", "data", None)]
         step = shard_map(
             device_fn,
             mesh=mesh,
@@ -456,6 +508,8 @@ class StreamButterfly(ButterflyDLRM):
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if bucket:
+                rw = rw + (batch.idx_rwb, batch.wt_rwb)
             return step(
                 params, opt_state, batch.dense, batch.idx, batch.wt,
                 batch.labels, local_off, batch.stream, jnp.float32(lr), *rw,
@@ -466,11 +520,18 @@ class StreamButterfly(ButterflyDLRM):
     def make_eval_step(self, params):
         mesh = self.mesh
         has_rw = self.num_rw > 0
+        bucket = self.rw_bucket and has_rw
 
         def device_fn(params, dense_l, idx_l, wt_l, off_l, *rw):
-            idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+            if bucket:
+                idx_rw_l, wt_rw_l = rw[0], rw[1]  # spill (masked path)
+                idx_rwb_l, wt_rwb_l = rw[2][0], rw[3][0]
+            else:
+                idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
+                idx_rwb_l = wt_rwb_l = None
             return self._forward_local(
-                params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l
+                params, dense_l, idx_l, wt_l, off_l, idx_rw_l, wt_rw_l,
+                idx_rwb_l=idx_rwb_l, wt_rwb_l=wt_rwb_l,
             )[0]
 
         pspec = _tree_specs(params)
@@ -483,6 +544,9 @@ class StreamButterfly(ButterflyDLRM):
         ]
         if has_rw:
             in_specs += [P(None, "data"), P(None, "data")]
+            if bucket:
+                in_specs += [P("model", "data", None),
+                             P("model", "data", None)]
         step = shard_map(
             device_fn,
             mesh=mesh,
@@ -495,6 +559,8 @@ class StreamButterfly(ButterflyDLRM):
         @jax.jit
         def eval_step(params, batch: Batch):
             rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+            if bucket:
+                rw = rw + (batch.idx_rwb, batch.wt_rwb)
             return step(
                 params, batch.dense, batch.idx, batch.wt, local_off, *rw
             )

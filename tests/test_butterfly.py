@@ -290,9 +290,15 @@ def test_all_row_wise_butterfly_matches_single_device():
     mesh = make_mesh(data=2, model=4)
     import warnings
 
+    # capacity_rows=8 is unmeetable even fully striped: without the
+    # override that is now a loud error (VERDICT r3 weak #6) ...
+    with pytest.raises(ValueError, match="cannot meet capacity_rows"):
+        ButterflyDLRM(model, mesh, strategy="mixed", capacity_rows=8)
+    # ... and with it, a best-effort all-striped plan plus a warning.
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # best-effort capacity warning ok
-        bf = ButterflyDLRM(model, mesh, strategy="mixed", capacity_rows=8)
+        warnings.simplefilter("ignore")
+        bf = ButterflyDLRM(model, mesh, strategy="mixed", capacity_rows=8,
+                           allow_capacity_overflow=True)
     assert bf.num_rw == len(MIXED_CFG.table_sizes), (
         bf.num_rw, bf.placement.table_shard,
     )

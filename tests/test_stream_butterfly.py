@@ -213,6 +213,73 @@ def test_stream_butterfly_striped_matches_fused(optimizer):
     np.testing.assert_allclose(probs_eval, ref_probs, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_stream_butterfly_bucketed_striped_matches_fused(optimizer):
+    """VERDICT r3 next-round #1: owner-bucketed striped STREAM slots — each
+    shard's forward gathers only the striped-table hits it owns (~h/M +
+    spill) instead of ALL hits masked, and still matches the single-device
+    fused step exactly. Hot sizes are big enough that the default caps
+    leave real spill traffic on the masked path."""
+    from dlrm_tpu.parallel.rw_bucket import default_bucket_caps
+
+    cfg = STRIPE_CFG
+    hots = (9, 1, 3, 2, 4, 7)  # striped tables carry most hits/sample
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(11)
+    hb = _ragged_batch(rng, cfg, hots, B)
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, optimizer)
+    ref_params, _, ref_loss, _ = ref_step(
+        copy(params), init_opt_state(optimizer, params), hb.to_device(), 0.05
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    # capacity 3500 stripes FOUR tables (9100/1280/990/2050), exercising
+    # multi-slot bucketing with mixed hot sizes
+    probe = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32, hot_sizes=hots, capacity_rows=3500,
+    )
+    assert probe.num_rw >= 2, probe.rw_ids
+    rw_hots = [hots[int(t)] for t in probe.rw_ids]
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32, hot_sizes=hots, capacity_rows=3500,
+        rw_bucket_caps=default_bucket_caps(rw_hots, 4), rw_spill=6,
+    )
+    sp = sb.shard_params(copy(params))
+    sstate = sb.init_opt_state(optimizer, sp)
+    step = sb.make_train_step(optimizer, B, sp, sstate)
+    batch = sb.shard_batch(hb)
+    assert batch.idx_rwb is not None, "bucketed arrays must be shipped"
+    new_params, new_state, loss, probs = step(sp, sstate, batch, 0.05)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    got = sb.unshard_params(new_params)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in ref_params:
+        if k == "emb":
+            continue
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            ),
+            got[k], ref_params[k],
+        )
+    # eval forward parity on the bucketed striped layout
+    eval_step = sb.make_eval_step(new_params)
+    probs_eval = np.asarray(eval_step(new_params, batch)).reshape(-1)
+    ref_probs = np.asarray(model.apply(got, hb.to_device())).reshape(-1)
+    np.testing.assert_allclose(probs_eval, ref_probs, rtol=1e-4, atol=1e-5)
+
+
 def test_stream_butterfly_capacity_stripes():
     """capacity_rows drives striping exactly like the fused mixed plan:
     the biggest table(s) stripe until every shard fits the budget."""

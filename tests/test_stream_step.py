@@ -31,6 +31,54 @@ CFG = DLRMConfig(
 B = 32  # B*H = 128
 
 
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad", "adagrad"])
+def test_touched_only_update_matches_full_revolve(optimizer):
+    """VERDICT r3 next-round #2 (K2 block worklist): with hits concentrated
+    in a few rows (power-law-like), the touched-only worklist must (a) be
+    measurably shorter than the full one and (b) produce bit-identical
+    params/accumulators to the full revolve — untouched blocks survive via
+    the in-place aliasing, never streamed."""
+    model = DLRMModel(CFG)
+    params = model.init_params(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(7)
+    plan = plan_for_model(model, B, block_rows=1024)
+    hb = fixed_multihot_batch(
+        rng, CFG.num_dense, CFG.table_sizes, B, CFG.num_indices_per_lookup
+    )
+    # concentrate every hit in rows < 80: only each table's first block is
+    # touched (1500/300/2200 rows at block_rows=1024 -> 5 blocks, 3 touched)
+    hb.idx %= 80
+    full = hb.with_stream_work(plan)
+    slim = hb.with_stream_work(plan, update_touched_only=True)
+    assert slim.stream.num_real_items < full.stream.num_real_items
+    touched = np.unique(
+        slim.stream.item_block[: slim.stream.num_real_items]
+    )
+    assert len(touched) == 3, touched  # one block per table
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    outs = []
+    for hb2 in (full, slim):
+        sp = pad_params(copy(params), model, plan)
+        sstate = init_stream_opt_state(optimizer, sp, plan)
+        step = make_stream_train_step(
+            model, optimizer, plan, fwd_impl="gather", grad_impl="gather",
+            interpret=True,
+        )
+        outs.append(step(sp, sstate, hb2.to_device(), 0.05))
+    (p_full, s_full, l_full, _), (p_slim, s_slim, l_slim, _) = outs
+    np.testing.assert_array_equal(
+        np.asarray(p_full["emb"]["stacked"]),
+        np.asarray(p_slim["emb"]["stacked"]),
+    )
+    assert float(l_full) == float(l_slim)
+    if optimizer != "sgd":
+        np.testing.assert_array_equal(
+            np.asarray(s_full["accum"]["emb"]["stacked"]),
+            np.asarray(s_slim["accum"]["emb"]["stacked"]),
+        )
+
+
 def _setup(optimizer):
     model = DLRMModel(CFG)
     params = model.init_params(jax.random.PRNGKey(0))

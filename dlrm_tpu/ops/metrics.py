@@ -171,6 +171,85 @@ def auc_compute(state: AucState) -> float:
     return float(np.trapezoid(tpr, fpr))
 
 
+def allreduce_auc_state(state: AucState) -> AucState:
+    """Sum the histogram across processes (torchmetrics AUROC's sync role,
+    torchrec_dlrm/dlrm_main.py:337-366). No-op single-process. Counts ride
+    int32 through the allgather (exact to 2^31 per bucket; jax's default
+    no-x64 mode would silently truncate float64)."""
+    if jax.process_count() == 1:
+        return state
+    from jax.experimental import multihost_utils
+
+    arr = np.stack([state.pos, state.neg]).astype(np.int32)
+    total = np.asarray(
+        multihost_utils.process_allgather(arr)
+    ).sum(axis=0)  # [2, nb]
+    return AucState(
+        pos=total[0].astype(np.float64), neg=total[1].astype(np.float64)
+    )
+
+
+def binary_metrics_from_hist(
+    state: AucState, threshold: float = 0.5
+) -> Dict[str, float]:
+    """The binary_metrics dict computed from the additive score histogram
+    alone — every metric is derivable from per-bucket (pos, neg) counts, so
+    the full MLPerf eval block works distributed without ever concatenating
+    scores on one host. Resolution is the bucket width (1/num_buckets);
+    tests bound the divergence from the exact-sort metrics at 2e-3."""
+    p, n = state.pos, state.neg
+    nb = p.shape[0]
+    n_pos, n_neg = p.sum(), n.sum()
+    # bucket b covers scores [b/nb, (b+1)/nb): scores >= threshold live in
+    # buckets >= ceil(threshold*nb) up to bucket-width resolution
+    kth = int(np.ceil(threshold * nb))
+    tp = float(p[kth:].sum())
+    fp = float(n[kth:].sum())
+    fn = float(p[:kth].sum())
+    tn = float(n[:kth].sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    accuracy = (tp + tn) / max(1.0, n_pos + n_neg)
+    # AP over the bucketed PR curve (threshold sweep at bucket boundaries)
+    if n_pos == 0:
+        ap = float("nan")
+    else:
+        p_desc, n_desc = p[::-1], n[::-1]
+        occupied = (p_desc + n_desc) > 0
+        tp_cum = np.cumsum(p_desc)[occupied]
+        all_cum = np.cumsum(p_desc + n_desc)[occupied]
+        prec = tp_cum / all_cum
+        rec = tp_cum / n_pos
+        rec_prev = np.concatenate([[0.0], rec[:-1]])
+        ap = float(np.sum((rec - rec_prev) * prec))
+    return {
+        "recall": recall,
+        "precision": precision,
+        "f1": f1,
+        "accuracy": accuracy,
+        "ap": ap,
+        "roc_auc": auc_compute(state),
+    }
+
+
+def shards_scores_labels(probs, labels) -> Tuple[np.ndarray, np.ndarray]:
+    """This process's addressable (score, label) rows of a batch-sharded
+    eval output, paired BY DEVICE so shard order can never misalign. On
+    multi-process meshes np.asarray(probs) only sees local shards — this is
+    the host-side view the streaming histogram consumes."""
+    lbl_of = {s.device: s.data for s in labels.addressable_shards}
+    ss, ls = [], []
+    for s in probs.addressable_shards:
+        ss.append(np.asarray(s.data).ravel())
+        ls.append(np.asarray(lbl_of[s.device]).ravel())
+    return np.concatenate(ss), np.concatenate(ls)
+
+
 def auc_update_jax(pos, neg, scores, labels):
     """On-device histogram update (jit/psum friendly): returns new (pos, neg)."""
     nb = pos.shape[0]

@@ -377,22 +377,45 @@ class Trainer:
 
         meta = {} if epoch_num is None else {"epoch_num": epoch_num}
         self.mlperf.start(obs.EVAL_START, metadata=meta)
-        scores: List[np.ndarray] = []
-        labels: List[np.ndarray] = []
-        for batch in DevicePrefetcher(self.test_data, self.to_device):
-            p = self.eval_step(state.params, batch)
-            scores.append(np.asarray(p).ravel())
-            lbl = np.asarray(batch.labels).ravel()
-            labels.append(lbl)
-        s = np.concatenate(scores)
-        l = np.concatenate(labels)
-        mask = l >= 0  # drop padded rows
-        s, l = s[mask], l[mask]
-        if tc.mlperf_logging:
-            results = M.binary_metrics(s, l)
+        import jax
+
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # streaming histogram eval: each rank folds its ADDRESSABLE
+            # shards into additive (pos, neg) bucket counts, summed across
+            # processes — every mlperf metric (auc/acc/prec/recall/f1/ap)
+            # derives from the histogram alone, so no rank ever hosts the
+            # full 89M-row score set (torchmetrics AUROC sync role,
+            # torchrec_dlrm/dlrm_main.py:337-366)
+            hist = M.AucState.create()
+            for batch in DevicePrefetcher(self.test_data, self.to_device):
+                p = self.eval_step(state.params, batch)
+                s, lbl = M.shards_scores_labels(p, batch.labels)
+                hist = M.auc_update(hist, s, lbl)
+            hist = M.allreduce_auc_state(hist)
+            full = M.binary_metrics_from_hist(hist)
+            results = (
+                full
+                if tc.mlperf_logging
+                else {"accuracy": full["accuracy"]}
+            )
         else:
-            # rounded-prediction accuracy (dlrm_s_pytorch.py:814-823)
-            results = {"accuracy": float(np.mean(np.round(s) == l))}
+            scores: List[np.ndarray] = []
+            labels: List[np.ndarray] = []
+            for batch in DevicePrefetcher(self.test_data, self.to_device):
+                p = self.eval_step(state.params, batch)
+                scores.append(np.asarray(p).ravel())
+                lbl = np.asarray(batch.labels).ravel()
+                labels.append(lbl)
+            s = np.concatenate(scores)
+            l = np.concatenate(labels)
+            mask = l >= 0  # drop padded rows
+            s, l = s[mask], l[mask]
+            if tc.mlperf_logging:
+                results = M.binary_metrics(s, l)
+            else:
+                # rounded-prediction accuracy (dlrm_s_pytorch.py:814-823)
+                results = {"accuracy": float(np.mean(np.round(s) == l))}
         self.mlperf.end(obs.EVAL_STOP, metadata=meta)
         # MLPerf DLRM's eval metric IS the AUC (the reference gates RUN_STOP
         # on it, dlrm_s_pytorch.py:1745); fall back to plain accuracy when

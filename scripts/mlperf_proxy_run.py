@@ -151,33 +151,33 @@ def run_v1(workdir: str, auc_threshold: float) -> None:
         f"MLPerf testing auc threshold {auc_threshold} reached" in out,
         "run did NOT stop on the auc threshold",
     )
+    # FULL compliance check over the event log: rule-set-driven checker
+    # (utils/compliance.py — occurrence / value / interval-pairing /
+    # ordering rules, the official mlperf_logging checker's architecture
+    # with the DLRM closed rules; VERDICT r3 next-round #4). Any violation
+    # is a hard proxy failure.
+    from dlrm_tpu.utils.compliance import check_lines
+
+    violations = check_lines(out.splitlines())
+    _check(not violations, "compliance checker violations:\n  "
+           + "\n  ".join(violations))
     events = [
         json.loads(line.split(":::MLLOG ", 1)[1])
         for line in out.splitlines()
         if line.startswith(":::MLLOG")
     ]
     keys = [e["key"] for e in events]
-    # the reference event sequence (dlrm_s_pytorch.py:1036-1040, 1487-1533,
-    # 1752-1781): INIT block, then the submission + hyperparameter block,
-    # then train/eval intervals, RUN_STOP success at the threshold stop
+    # the reference event sequence starts with the cache-clear + INIT block
+    # (dlrm_s_pytorch.py:1036-1040); the checker validates ordering, this
+    # pins the exact prefix
     prefix = ["cache_clear", "init_start", "init_stop", "run_start"]
     _check(keys[: len(prefix)] == prefix, f"bad event prefix {keys[:8]}")
-    for k in (
-        "submission_benchmark", "seed", "global_batch_size",
-        "opt_base_learning_rate", "opt_learning_rate_warmup_steps",
-        "block_start", "epoch_start", "eval_start", "eval_stop",
-        "eval_accuracy",
-    ):
-        _check(k in keys, f"missing event {k}")
-    # the reference emits RUN_STOP at the threshold break and then closes
-    # the enclosing epoch/block intervals (dlrm_s_pytorch.py:1755,1765,1770)
+    # a threshold stop must be a SUCCESS run specifically (the checker only
+    # requires success|aborted)
     stop = [e for e in events if e["key"] == "run_stop"]
     _check(
-        len(stop) == 1 and stop[0]["metadata"]["status"] == "success",
-        f"bad run_stop {stop}",
+        stop[0]["metadata"]["status"] == "success", f"bad run_stop {stop}"
     )
-    after = keys[keys.index("run_stop") + 1 :]
-    _check(set(after) <= {"epoch_stop", "block_stop"}, f"events after run_stop: {after}")
     aucs = [
         e["value"] for e in events if e["key"] == "eval_accuracy"
     ]

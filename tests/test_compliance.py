@@ -1,0 +1,162 @@
+"""The MLPerf compliance checker (utils/compliance.py) — the rule engine
+the proxy runs over its event log (the official mlperf_logging checker's
+role, /root/reference/mlperf_logger.py:16-22). A compliant log passes; each
+rule class catches its violation."""
+
+import json
+
+from dlrm_tpu.utils import compliance as C
+
+
+def _rec(key, event_type="POINT_IN_TIME", value=None, metadata=None, t=None):
+    _rec.t = max(getattr(_rec, "t", 0) + 1, t or 0)
+    return ":::MLLOG " + json.dumps({
+        "namespace": "",
+        "time_ms": _rec.t,
+        "event_type": event_type,
+        "key": key,
+        "value": value,
+        "metadata": metadata or {},
+    })
+
+
+def _compliant_log():
+    _rec.t = 0
+    lines = [
+        _rec("cache_clear", value=True),
+        _rec("init_start", "INTERVAL_START"),
+        _rec("submission_benchmark", value="dlrm"),
+        _rec("submission_division", value="closed"),
+        _rec("submission_org", value="reference"),
+        _rec("submission_platform", value="tpu"),
+        _rec("submission_status", value="onprem"),
+        _rec("seed", value=123),
+        _rec("global_batch_size", value=128),
+        _rec("opt_base_learning_rate", value=0.4),
+        _rec("opt_learning_rate_warmup_steps", value=40),
+        _rec("init_stop", "INTERVAL_END"),
+        _rec("run_start", "INTERVAL_START"),
+        _rec("block_start", "INTERVAL_START",
+             metadata={"first_epoch_num": 1, "epoch_count": 1}),
+        _rec("epoch_start", "INTERVAL_START", metadata={"epoch_num": 1}),
+        _rec("eval_start", "INTERVAL_START", metadata={"epoch_num": 1.5}),
+        _rec("eval_stop", "INTERVAL_END", metadata={"epoch_num": 1.5}),
+        _rec("eval_accuracy", value=0.81, metadata={"epoch_num": 1.5}),
+        _rec("run_stop", "INTERVAL_END", metadata={"status": "success"}),
+        _rec("epoch_stop", "INTERVAL_END", metadata={"epoch_num": 1}),
+        _rec("block_stop", "INTERVAL_END", metadata={"first_epoch_num": 1}),
+    ]
+    return lines
+
+
+def test_compliant_log_passes():
+    assert C.check_lines(_compliant_log()) == []
+
+
+def test_non_mllog_lines_ignored():
+    lines = ["Finished training it 1/3", ""] + _compliant_log() + ["done"]
+    assert C.check_lines(lines) == []
+
+
+def test_empty_log_fails():
+    assert C.check_lines(["no events here"]) == [
+        "no :::MLLOG records found"
+    ]
+
+
+def _drop(lines, key):
+    return [ln for ln in lines if f'"key": "{key}"' not in ln]
+
+
+def test_missing_required_key():
+    errs = C.check_lines(_drop(_compliant_log(), "seed"))
+    assert any("'seed'" in e and "exactly once" in e for e in errs), errs
+
+
+def test_duplicate_exactly_once_key():
+    lines = _compliant_log()
+    lines.insert(8, _rec("seed", value=7, t=99))
+    errs = C.check_lines(lines)
+    assert any("'seed'" in e and "seen 2x" in e for e in errs), errs
+
+
+def test_bad_value_caught():
+    lines = _compliant_log()
+    lines = [
+        ln.replace('"value": 0.4', '"value": -0.4') for ln in lines
+    ]
+    errs = C.check_lines(lines)
+    assert any("opt_base_learning_rate" in e for e in errs), errs
+
+
+def test_bad_run_stop_status():
+    lines = [
+        ln.replace('"status": "success"', '"status": "crashed"')
+        for ln in _compliant_log()
+    ]
+    errs = C.check_lines(lines)
+    assert any("success/aborted" in e for e in errs), errs
+
+
+def test_unclosed_interval():
+    errs = C.check_lines(_drop(_compliant_log(), "eval_stop"))
+    assert any("eval_start never closed" in e for e in errs), errs
+    assert any("'eval_stop'" in e for e in errs), errs  # occurrence too
+
+
+def test_orphan_interval_end():
+    errs = C.check_lines(_drop(_compliant_log(), "eval_start"))
+    assert any("without a matching eval_start" in e for e in errs), errs
+
+
+def test_run_start_before_init_stop():
+    lines = _compliant_log()
+    # swap init_stop and run_start
+    i = next(k for k, ln in enumerate(lines) if '"init_stop"' in ln)
+    lines[i], lines[i + 1] = lines[i + 1], lines[i]
+    errs = C.check_lines(lines)
+    assert any("run_start precedes init_stop" in e for e in errs), errs
+
+
+def test_events_after_run_stop_rejected():
+    lines = _compliant_log()
+    lines.append(_rec("eval_accuracy", value=0.82,
+                      metadata={"epoch_num": 2.0}))
+    errs = C.check_lines(lines)
+    assert any("after run_stop" in e for e in errs), errs
+
+
+def test_time_monotonicity():
+    lines = _compliant_log()
+    lines[-1] = lines[-1].replace(
+        f'"time_ms": {len(lines)}', '"time_ms": 1'
+    )
+    errs = C.check_lines(lines)
+    assert any("time_ms went backwards" in e for e in errs), errs
+
+
+def test_eval_accuracy_needs_epoch_num():
+    lines = [
+        ln.replace('"metadata": {"epoch_num": 1.5}, ', "")
+        if '"eval_accuracy"' in ln
+        else ln
+        for ln in _compliant_log()
+    ]
+    # the replace above won't hit (metadata serializes after value);
+    # rebuild the record explicitly instead
+    lines = [
+        _rec("eval_accuracy", value=0.81, t=98) if '"eval_accuracy"' in ln
+        else ln
+        for ln in _compliant_log()
+    ]
+    errs = C.check_lines(lines)
+    assert any("metadata.epoch_num required" in e for e in errs), errs
+
+
+def test_cli_exit_codes(tmp_path):
+    good = tmp_path / "good.log"
+    good.write_text("\n".join(_compliant_log()) + "\n")
+    assert C.main([str(good)]) == 0
+    bad = tmp_path / "bad.log"
+    bad.write_text("\n".join(_drop(_compliant_log(), "run_stop")) + "\n")
+    assert C.main([str(bad)]) == 1

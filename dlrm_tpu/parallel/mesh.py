@@ -29,9 +29,70 @@ def make_mesh(
     data: int = 1,
     model: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
+    slice_ids: Optional[Sequence[int]] = None,
 ) -> Mesh:
+    """Build the ("data", "model") mesh.
+
+    Multi-slice topologies (TPU pods joined over DCN — SURVEY.md §5.8
+    "mesh axes over ICI and DCN") get the HYBRID layout automatically:
+    the MODEL axis — which carries the heavy per-step collectives (the
+    pooled-embedding all-to-all, the row-wise psum_scatter, the cw
+    feature-assembling a2a) — is laid out strictly WITHIN one slice so
+    that traffic rides ICI; only the DATA axis (one dense-grad psum per
+    step, orders of magnitude less volume than the per-sample embedding
+    exchange) crosses the DCN boundary. Row-wise stripes span the model
+    axis, so stripe traffic stays in-slice by construction (PARITY.md has
+    the traffic arithmetic). Slices are detected from the devices'
+    `slice_index` (None/absent = single slice); `slice_ids` overrides for
+    tests on emulated topologies.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if slice_ids is None:
+        slice_ids = [getattr(d, "slice_index", None) or 0 for d in devices]
+    if len(slice_ids) != n:
+        raise ValueError(f"{len(slice_ids)} slice_ids for {n} devices")
+    groups: dict = {}
+    for d, s in zip(devices, slice_ids):
+        groups.setdefault(int(s), []).append(d)
+    if len(groups) > 1:
+        sizes = {len(g) for g in groups.values()}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"unequal slice sizes {sorted(sizes)} — the hybrid mesh "
+                "needs homogeneous slices"
+            )
+        per = sizes.pop()
+        num_slices = len(groups)
+        if model is None:
+            # widest model axis that stays inside one slice and still
+            # yields a consistent data axis
+            model = per
+            while model > 1 and (per % model or n // model < data):
+                model //= 2
+        if model > per or per % model:
+            raise ValueError(
+                f"model axis {model} does not fit within one {per}-device "
+                f"slice (the model axis must ride ICI; shrink --mesh-model "
+                f"to a divisor of {per})"
+            )
+        rows = []
+        for s in sorted(groups):
+            g = np.asarray(groups[s]).reshape(per // model, model)
+            rows.append(g)
+        arr = np.concatenate(rows, axis=0)  # [num_slices*per/model, model]
+        if data * model != n:
+            raise ValueError(
+                f"mesh {data}x{model} does not match {n} devices over "
+                f"{num_slices} slices"
+            )
+        if arr.shape[0] != data:
+            raise ValueError(
+                f"data axis {data} inconsistent with {num_slices} slices "
+                f"of {per} devices at model={model} "
+                f"(expected data={arr.shape[0]})"
+            )
+        return Mesh(arr, axis_names=("data", "model"))
     if model is None:
         model = n // data
     if data * model != n:

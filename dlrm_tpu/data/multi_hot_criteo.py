@@ -172,7 +172,13 @@ class MultiHotCriteoDataset:
             d += 1
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
-    def read_batch(self, idx: int) -> HostBatch:
+    def read_batch(self, idx: int, flat: bool = False) -> HostBatch:
+        """flat=True keeps the sparse block in its ON-DISK row-major
+        [B, sum(hot)] layout (wt=None): the U-layout builder and the flat
+        per-hit device path consume it directly, skipping the [T, B, Hmax]
+        padding expansion — the hot input path for stream-step training
+        (to_device then REQUIRES flat_hots=). The padded default serves
+        consumers that need [T, B, H] (the fused/butterfly paths)."""
         lo = self.base + idx * self.batch_size
         hi = min(self.base + self.total, lo + self.batch_size)
         dense = self._rows(lo, hi, self.dense)
@@ -180,6 +186,24 @@ class MultiHotCriteoDataset:
         sparse = self._rows(lo, hi, self.sparse)
         n = dense.shape[0]
         num_t = len(self.hot_sizes)
+        if flat:
+            if n < self.batch_size:
+                pad = self.batch_size - n
+                dense = np.concatenate(
+                    [dense, np.zeros((pad, dense.shape[1]), np.float32)]
+                )
+                labels = np.concatenate(
+                    [labels, -np.ones((pad, 1), np.float32)]
+                )
+                sparse = np.concatenate(
+                    [sparse, np.zeros((pad, sparse.shape[1]), np.int32)]
+                )
+            return HostBatch(
+                dense=np.ascontiguousarray(dense, dtype=np.float32),
+                idx=np.ascontiguousarray(sparse, dtype=np.int32),
+                wt=None,
+                labels=np.ascontiguousarray(labels, dtype=np.float32),
+            )
         idx_arr = np.zeros((num_t, n, self.hot_max), dtype=np.int32)
         wt = np.zeros((num_t, n, self.hot_max), dtype=np.float32)
         col = 0

@@ -83,15 +83,30 @@ class HostBatch:
                 item_u=jnp.asarray(w.item_u),
             )
         idx, wt = self.idx, self.wt
+        if idx.ndim == 2 and flat_hots is None:
+            raise ValueError(
+                "a flat [B, sum(hot)] HostBatch must ship with "
+                "flat_hots= (the padded [T, B, H] device layout was never "
+                "materialized)"
+            )
         if flat_hots is not None:
+            col0 = np.concatenate([[0], np.cumsum(flat_hots[:-1])]).astype(int)
+
+            def tbl(arr, t, h):
+                # padded [T, B, Hmax] or flat row-major [B, sum(hot)]
+                # (the materialized on-disk layout)
+                if arr.ndim == 3:
+                    return arr[t, :, :h]
+                return arr[:, col0[t] : col0[t] + h]
+
             idx = np.concatenate(
-                [idx[t, :, :h].ravel() for t, h in enumerate(flat_hots)]
+                [tbl(idx, t, h).ravel() for t, h in enumerate(flat_hots)]
             )
             wt = (
                 None
                 if wt is None
                 else np.concatenate(
-                    [wt[t, :, :h].ravel() for t, h in enumerate(flat_hots)]
+                    [tbl(wt, t, h).ravel() for t, h in enumerate(flat_hots)]
                 )
             )
         return Batch(

@@ -47,7 +47,9 @@ def _load() -> Optional[ctypes.CDLL]:
     fn.restype = ctypes.c_int64
     fn.argtypes = [
         _I32P, _F32P,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),  # per-table base offsets
+        ctypes.c_int64,  # row stride
+        ctypes.c_int32, ctypes.c_int32,
         _I32P,  # per-table hot sizes
         ctypes.c_int32,
         _I32P, _I32P, _I32P,
@@ -74,11 +76,21 @@ def build_stream_work_native(plan, idx: np.ndarray,
 
     lib = _load()
     assert lib is not None
-    t_, b_, h_ = idx.shape
+    t_ = len(plan.hot)
     idx = np.ascontiguousarray(idx, dtype=np.int32)
     wt_arr = (
         None if wt is None else np.ascontiguousarray(wt, dtype=np.float32)
     )
+    if idx.ndim == 3:  # padded [T, B, Hmax]
+        _, b_, h_ = idx.shape
+        t_off = np.arange(t_, dtype=np.int64) * (b_ * h_)
+        row_stride = h_
+    else:  # flat [B, sum_t hot[t]] — the materialized on-disk layout
+        b_, total = idx.shape
+        t_off = np.concatenate(
+            [[0], np.cumsum(plan.hot[:-1])]
+        ).astype(np.int64)
+        row_stride = total
     hot = np.asarray(plan.hot, dtype=np.int32)
     u_base = np.asarray(plan.u_base, dtype=np.int32)
     block_base = np.asarray(plan.block_base, dtype=np.int32)
@@ -95,7 +107,9 @@ def build_stream_work_native(plan, idx: np.ndarray,
     n = lib.build_stream_work_native(
         idx.ctypes.data_as(_I32P),
         None if wt_arr is None else wt_arr.ctypes.data_as(_F32P),
-        t_, b_, h_,
+        t_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        row_stride,
+        t_, b_,
         hot.ctypes.data_as(_I32P),
         plan.block_rows,
         u_base.ctypes.data_as(_I32P),

@@ -35,11 +35,22 @@ extern "C" {
 // All geometry arguments mirror StreamPlan; outputs are caller-allocated:
 //   rows_u/vals_u [u_total] i32, wts_u [u_total] f32, w2t [num_windows] i32,
 //   item_* [max_items] i32.
+//
+// Index addressing is generalized so the SAME entry point consumes either
+// layout with zero copies (element (t, bag, k) = idx[t_off[t] +
+// bag*row_stride + k]):
+//   padded [T, B, H]:          t_off[t] = t*B*H,   row_stride = H
+//   flat   [B, sum_t hot[t]]:  t_off[t] = col0[t], row_stride = sum hot
+// The flat form is the materialized multi-hot ON-DISK layout
+// (data/multi_hot_criteo.py day_*_sparse.npy) — feeding it directly skips
+// the [T, B, Hmax] padding expansion on the hot input path.
 int64_t build_stream_work_native(
-    const int32_t* idx,          // [T*B*H] table-local rows (H = max hot)
-    const float* wt,             // [T*B*H] weights or nullptr (=> 1.0)
-    int32_t t_, int32_t b_, int32_t h_,
-    const int32_t* hot,          // [T] per-table hot size (<= h_)
+    const int32_t* idx,          // base pointer (see addressing above)
+    const float* wt,             // same geometry as idx, or nullptr (=> 1.0)
+    const int64_t* t_off,        // [T] per-table base offset
+    int64_t row_stride,          // elements between consecutive bags
+    int32_t t_, int32_t b_,
+    const int32_t* hot,          // [T] per-table hot size
     int32_t block_rows,
     const int32_t* u_base,       // [T]
     const int32_t* block_base,   // [T]
@@ -50,7 +61,6 @@ int64_t build_stream_work_native(
                         // with unit weights derive it on device from rows_u
     int32_t* rows_u, int32_t* vals_u, float* wts_u, int32_t* w2t,
     int32_t* item_block, int32_t* item_row0, int32_t* item_u) {
-  const int64_t bh = int64_t(b_) * h_;
   const int32_t sent_u = u_size;  // first slot of trailing sentinel window
   const int32_t pad_block = num_blocks;
 
@@ -81,8 +91,8 @@ int64_t build_stream_work_native(
       const int32_t nb = blocks_per_table[t];
       const int32_t gb = block_base[t];
       const int32_t ht = hot[t];  // ragged multi-hot: real columns only
-      const int32_t* rows = idx + int64_t(t) * bh;
-      const float* w = wt ? wt + int64_t(t) * bh : nullptr;
+      const int32_t* rows = idx + t_off[t];
+      const float* w = wt ? wt + t_off[t] : nullptr;
       // clamp malformed indices into the table's block range: an
       // out-of-range row must not corrupt memory (it still produces a
       // deterministic — if meaningless — plan, like the numpy path)
@@ -93,7 +103,7 @@ int64_t build_stream_work_native(
       counts.assign(nb, 0);
       for (int64_t bag = 0; bag < b_; ++bag)
         for (int32_t k = 0; k < ht; ++k)
-          counts[blk_of(rows[bag * h_ + k])]++;
+          counts[blk_of(rows[bag * row_stride + k])]++;
 
       // per-block run starts (each run padded to a multiple of 128)
       cursor.assign(nb, 0);
@@ -122,7 +132,7 @@ int64_t build_stream_work_native(
       }
       // fill slots (scan order; intra-run order is free)
       for (int32_t bag = 0; bag < b_; ++bag) {
-        const int64_t base = int64_t(bag) * h_;
+        const int64_t base = int64_t(bag) * row_stride;
         for (int32_t k = 0; k < ht; ++k) {
           const int64_t i = base + k;
           const int32_t j = blk_of(rows[i]);

@@ -178,8 +178,8 @@ class StreamWork:
 
 def build_stream_work(
     plan: StreamPlan,
-    idx: np.ndarray,  # [T, B, H] table-local indices
-    wt: Optional[np.ndarray] = None,  # [T, B, H] weights (None -> all 1.0)
+    idx: np.ndarray,  # [T, B, H] padded OR [B, sum_t hot_t] flat indices
+    wt: Optional[np.ndarray] = None,  # same geometry (None -> all 1.0)
     prefer_native: bool = True,
     skip_wts: bool = False,  # weights are 1.0 for every REAL hit: leave
     # wts_u None — the device derives it as (rows_u != -1), skipping a
@@ -188,17 +188,32 @@ def build_stream_work(
 ) -> StreamWork:
     """Builds the per-batch U-layout arrays. Uses the threaded C++ builder
     (native/stream_work.cc, ~20x faster) when available; the numpy path
-    below is the reference implementation and the no-toolchain fallback."""
-    t_, b_, h_ = idx.shape
-    if (
-        t_ != len(plan.table_sizes)
-        or b_ != plan.batch
-        or h_ < max(plan.hot)
-    ):
-        raise ValueError(
-            f"batch shape {idx.shape} incompatible with plan "
-            f"({len(plan.table_sizes)}, {plan.batch}, hot={plan.hot})"
-        )
+    below is the reference implementation and the no-toolchain fallback.
+
+    idx may be the padded [T, B, Hmax] layout or the FLAT row-major
+    [B, sum_t hot_t] layout (table-major column blocks — exactly the
+    materialized multi-hot on-disk format, multi_hot_criteo.py:11-20), so
+    the disk input path feeds the builder with no padding expansion."""
+    t_ = len(plan.table_sizes)
+    if idx.ndim == 3:
+        if (
+            idx.shape[0] != t_
+            or idx.shape[1] != plan.batch
+            or idx.shape[2] < max(plan.hot)
+        ):
+            raise ValueError(
+                f"batch shape {idx.shape} incompatible with plan "
+                f"({t_}, {plan.batch}, hot={plan.hot})"
+            )
+    elif idx.ndim == 2:
+        if idx.shape != (plan.batch, int(np.sum(plan.hot))):
+            raise ValueError(
+                f"flat batch shape {idx.shape} incompatible with plan "
+                f"({plan.batch}, sum(hot)={int(np.sum(plan.hot))})"
+            )
+    else:
+        raise ValueError(f"idx must be 2-D flat or 3-D padded, got {idx.shape}")
+    b_ = plan.batch
     if prefer_native:
         from dlrm_tpu.native import stream_native
 
@@ -215,11 +230,19 @@ def build_stream_work(
 
     items = []  # (block, row0, u)
     sent_u = plan.u_size  # first slot of the trailing sentinel window
+    hot_col0 = np.concatenate([[0], np.cumsum(plan.hot[:-1])]).astype(int)
+
+    def _tbl(arr, t, ht):
+        """Table t's [B, ht] view in either input layout."""
+        if arr.ndim == 3:
+            return arr[t, :, :ht]
+        return arr[:, hot_col0[t] : hot_col0[t] + ht]
+
     for t in range(t_):
         ht = plan.hot[t]  # ragged multi-hot: only this table's real columns
         bh = b_ * ht
         bag_of_pos = (np.arange(bh, dtype=np.int32) // ht).astype(np.int32)
-        rows = idx[t, :, :ht].reshape(bh).astype(np.int32)
+        rows = _tbl(idx, t, ht).reshape(bh).astype(np.int32)
         order = np.argsort(rows, kind="stable")
         rs, vs = rows[order], bag_of_pos[order]
         if skip_wts:
@@ -228,7 +251,7 @@ def build_stream_work(
             w = (
                 np.ones(bh, dtype=np.float32)
                 if wt is None
-                else wt[t, :, :ht].reshape(bh).astype(np.float32)
+                else _tbl(wt, t, ht).reshape(bh).astype(np.float32)
             )
             ws = w[order]
         ub = plan.u_base[t]

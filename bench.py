@@ -38,7 +38,7 @@ WARMUP = 3
 K_STAGED = 3
 
 
-def _measure(hot_sizes, flat: bool = True) -> float:
+def _measure(hot_sizes, flat: bool = True, touched_only: bool = False) -> float:
     """Sustained examples/s/chip for one hot-size shape (uniform int or
     per-table tuple): individually dispatched steps with loop-carried
     params, and in every dispatch gap the host builds a fresh batch's
@@ -121,9 +121,9 @@ def _measure(hot_sizes, flat: bool = True) -> float:
 
         hb = dataclasses.replace(hb, wt=None)
         staged.append(
-            hb.with_stream_work(plan, unit_weights=True).to_device(
-                flat_hots=plan.hot if flat else None
-            )
+            hb.with_stream_work(
+                plan, unit_weights=True, update_touched_only=touched_only
+            ).to_device(flat_hots=plan.hot if flat else None)
         )
 
     # Host-side index pool: a sliding window gives each dispatch-gap build
@@ -140,13 +140,16 @@ def _measure(hot_sizes, flat: bool = True) -> float:
     ]
     idx_buf = np.zeros((len(cfg.table_sizes), BATCH, hmax), np.int32)
 
+    from dlrm_tpu.ops.stream_plan import touched_update_items
+
     def host_build(i):
         off = (i * 61) % 4096
         for t, h in enumerate(hots):
             idx_buf[t, :, :h] = pool[t][off : off + BATCH * h].reshape(
                 BATCH, h
             )
-        return build_stream_work(plan, idx_buf, None, skip_wts=True)
+        w = build_stream_work(plan, idx_buf, None, skip_wts=True)
+        return touched_update_items(plan, w) if touched_only else w
 
     lr = 0.01
     p, s = params, opt_state

@@ -666,11 +666,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         eval_step = make_stream_eval_step(model, plan)
         # flat per-hit idx/wt layout: ships each table's REAL plan.hot[t]
         # hits instead of the padded [T, B, Hmax] block — ~12x fewer H2D
-        # idx bytes on the real v2 shape (214 hits/sample vs 26x100 slots)
+        # idx bytes on the real v2 shape (214 hits/sample vs 26x100 slots).
+        # touched-only worklist: this path's forward is a gather (K3 never
+        # runs) and K2 updates in place, so hit-free blocks need no
+        # streaming — O(touched blocks) per step (DLRM_K2_NO_ALIAS
+        # restores the full revolve, matching stream_kernels._k2_aliases)
+        import os as _os
+
+        _touched = not _os.environ.get("DLRM_K2_NO_ALIAS")
         to_device = (  # the U-layout work rides each train batch
-            lambda hb: hb.with_stream_work(plan).to_device(  # noqa: E731
-                flat_hots=plan.hot
-            )
+            lambda hb: hb.with_stream_work(  # noqa: E731
+                plan, update_touched_only=_touched
+            ).to_device(flat_hots=plan.hot)
         )
         eval_to_device = (  # noqa: E731
             lambda hb: hb.to_device(flat_hots=plan.hot)

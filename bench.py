@@ -200,16 +200,23 @@ def _wait_for_device(attempts: int = 3, probe_timeout: int = 300) -> None:
 
 
 def _measure_with_fallback(hot_sizes) -> float:
-    """Prefer the flat per-hit device layout (fewer H2D bytes); if it
-    fails to compile/run on this backend, fall back to the padded
-    [T, B, Hmax] layout that earlier rounds validated on-chip, so the
-    bench still reports a number rather than nothing."""
+    """Layout choice per shape (uniform_ab_probe, r4, quiet machine):
+    UNIFORM hot sizes ship the same bytes padded or flat, and the padded
+    device layout steps ~2.3% faster (202,071 vs 197,457 ex/s at H8) —
+    the whole r2->r3 uniform 'regression' was this layout switch. RAGGED
+    shapes keep the flat layout: 12x fewer H2D bytes at 214 hits/sample.
+    touched_only is on everywhere (neutral here — every block is hot at
+    bs 16384 over 26x200k tables — and the capacity unlock elsewhere).
+    If the preferred layout fails to compile/run, fall back to the other
+    so the bench still reports a number."""
+    flat = isinstance(hot_sizes, tuple)
     try:
-        return _measure(hot_sizes)
+        return _measure(hot_sizes, flat=flat, touched_only=True)
     except Exception as e:
-        print(f"# flat-layout measure failed ({type(e).__name__}: "
-              f"{str(e)[:200]}); retrying with padded layout", flush=True)
-        return _measure(hot_sizes, flat=False)
+        print(f"# {'flat' if flat else 'padded'}-layout measure failed "
+              f"({type(e).__name__}: {str(e)[:200]}); retrying with the "
+              "other layout", flush=True)
+        return _measure(hot_sizes, flat=not flat, touched_only=True)
 
 
 def main():

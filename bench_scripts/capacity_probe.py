@@ -20,9 +20,12 @@ Tables are initialized DIRECTLY in bf16 on device (an fp32 init would be
 
 import functools
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

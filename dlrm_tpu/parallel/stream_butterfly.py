@@ -372,6 +372,17 @@ class StreamButterfly(ButterflyDLRM):
 
     # ----------------------------------------------------------------- steps
 
+    def make_grad_accum_train_step(self, *args, **kwargs):
+        # the inherited accum step targets the FUSED placement layout and
+        # its per-row accumulators; the stream layout's packed rwsadagrad
+        # accumulator ([rows/128, 128]) would shape-error confusingly deep
+        # inside shard_map — reject up front with the supported path
+        raise NotImplementedError(
+            "gradient accumulation composes with the fused butterfly "
+            "(ButterflyDLRM.make_grad_accum_train_step); the streamed "
+            "update path does not implement an accumulation step"
+        )
+
     def _local_offsets(self):
         # table j of every shard starts at the same (uniform) plan offset;
         # only the TABLE-WISE slots — the forward addresses rw slices

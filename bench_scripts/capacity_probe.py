@@ -121,6 +121,11 @@ def main():
         )
         for touched in (False, True):
             legs.append((dist, touched, hb))
+    if os.environ.get("CAP_LEGS"):  # e.g. CAP_LEGS=1,3 or CAP_LEGS=rev
+        sel = os.environ["CAP_LEGS"]
+        legs = legs[::-1] if sel == "rev" else [
+            legs[int(i)] for i in sel.split(",")
+        ]
 
     for dist, touched, hb in legs:
         hb2 = hb.with_stream_work(plan, update_touched_only=touched)

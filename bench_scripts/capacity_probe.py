@@ -28,6 +28,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("CAP_CPU"):  # sitecustomize registers the TPU backend at
+    jax.config.update("jax_platforms", "cpu")  # startup; env vars are too late
+
 import jax.numpy as jnp
 
 from dlrm_tpu.config import DLRMConfig
@@ -44,6 +48,13 @@ BS = int(os.environ.get("CAP_BS", 8192))
 BLOCK_ROWS = int(os.environ.get("CAP_BR", 2048))
 OPT = "rwsadagrad"
 ITERS = 20
+# CAP_IMPL=fused runs the coalesced O(touched rows) update
+# (train/fused_step.py) instead of the K2 streamed revolve: at bs 8192 the
+# batch's 1.7M hits blanket all 19058 2048-row blocks under ANY realistic id
+# distribution (coupon-collector: ~89 hits/block expected), so block-level
+# touched-only skipping cannot win — row-level coalescing is the capacity
+# answer. Measured A/B lives in PERF_NOTES.md.
+IMPL = os.environ.get("CAP_IMPL", "stream")
 
 
 def _zipf_batch(rng, cfg):
@@ -68,10 +79,17 @@ def main():
         compute_dtype="bfloat16",
     )
     model = DLRMModel(cfg)
-    plan = plan_for_model(model, BS, block_rows=BLOCK_ROWS)
-    gib = plan.padded_rows * 128 * 2 / 2**30
-    print(f"padded table state: {plan.padded_rows} rows = {gib:.2f} GiB bf16 "
-          f"(block_rows={BLOCK_ROWS}, bs={BS})", flush=True)
+    if IMPL == "fused":
+        total = model.total_rows
+        gib = total * 128 * 2 / 2**30
+        print(f"stacked table state: {total} rows = {gib:.2f} GiB bf16 "
+              f"(fused coalesced update, bs={BS})", flush=True)
+        plan = None
+    else:
+        plan = plan_for_model(model, BS, block_rows=BLOCK_ROWS)
+        gib = plan.padded_rows * 128 * 2 / 2**30
+        print(f"padded table state: {plan.padded_rows} rows = {gib:.2f} GiB "
+              f"bf16 (block_rows={BLOCK_ROWS}, bs={BS})", flush=True)
 
     # dense params from the normal init (tiny); bf16 table born on device
     small = DLRMConfig(
@@ -82,17 +100,25 @@ def main():
     )
     dense_init = DLRMModel(small).init_params(jax.random.PRNGKey(0))
 
+    n_table_rows = model.total_rows if IMPL == "fused" else plan.padded_rows
+
     @jax.jit
     def init_table(key):
         b = float(np.sqrt(1.0 / ROWS))
         return jax.random.uniform(
-            key, (plan.padded_rows, 128), jnp.bfloat16, -b, b
+            key, (n_table_rows, 128), jnp.bfloat16, -b, b
         )
 
-    step = make_stream_train_step(
-        model, OPT, plan, fwd_impl="gather", grad_impl="gather",
-        mm_dtype=jnp.bfloat16, stochastic_round=True,
-    )
+    if IMPL == "fused":
+        from dlrm_tpu.optim.optimizers import init_opt_state
+        from dlrm_tpu.train.fused_step import make_fused_train_step
+
+        step = make_fused_train_step(model, OPT)
+    else:
+        step = make_stream_train_step(
+            model, OPT, plan, fwd_impl="gather", grad_impl="gather",
+            mm_dtype=jnp.bfloat16, stochastic_round=True,
+        )
     raw = step.__wrapped__
 
     # donate params/opt_state AND return them: donation is only usable
@@ -127,14 +153,30 @@ def main():
             legs[int(i)] for i in sel.split(",")
         ]
 
+    if IMPL == "fused":
+        # fused legs ignore the touched flag (row-level coalescing always on)
+        legs = [(d, t, hb) for d, t, hb in legs if not t]
+
     for dist, touched, hb in legs:
-        hb2 = hb.with_stream_work(plan, update_touched_only=touched)
-        w = hb2.stream
-        nblk = len(np.unique(w.item_block[: w.num_real_items]))
-        batch = hb2.to_device()
-        params = dict(dense_init)
+        if IMPL == "fused":
+            nitems, nblk, nblk_tot = 0, 0, 0
+            batch = hb.to_device()
+        else:
+            hb2 = hb.with_stream_work(plan, update_touched_only=touched)
+            w = hb2.stream
+            nitems = w.num_real_items
+            nblk = len(np.unique(w.item_block[: w.num_real_items]))
+            nblk_tot = plan.num_blocks
+            batch = hb2.to_device()
+        # deep-copy: `many` donates params, so a shallow-copied dense_init
+        # leaves leg 2 holding deleted buffers (the original "leg-2 crash")
+        params = jax.tree_util.tree_map(jnp.copy, dense_init)
         params["emb"] = {"stacked": init_table(jax.random.PRNGKey(1))}
-        opt_state = init_stream_opt_state(OPT, params, plan)
+        opt_state = (
+            init_opt_state(OPT, params)
+            if IMPL == "fused"
+            else init_stream_opt_state(OPT, params, plan)
+        )
 
         t0 = time.perf_counter()
         params, opt_state, losses = many(params, opt_state, batch)
@@ -145,10 +187,13 @@ def main():
         params, opt_state, losses = many(params, opt_state, batch)
         np.asarray(losses)
         dt = (time.perf_counter() - t0) / ITERS
-        tag = "touched-only" if touched else "full-revolve"
+        tag = (
+            "fused-coalesce" if IMPL == "fused"
+            else "touched-only" if touched else "full-revolve"
+        )
         print(
-            f"[{dist:7s} {tag:12s}] items={w.num_real_items} "
-            f"blocks={nblk}/{plan.num_blocks} "
+            f"[{dist:7s} {tag:12s}] items={nitems} "
+            f"blocks={nblk}/{nblk_tot} "
             f"{dt*1e3:.1f} ms/step, {BS/dt:,.0f} ex/s/chip "
             f"(compile+first {compile_s:.0f}s, loss[-1]={losses[-1]:.4f})",
             flush=True,

@@ -22,6 +22,7 @@ train_bench sweep: 8192 -> 160k, 16384 -> 189k, 32768 -> 147k).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -80,7 +81,7 @@ def _measure(hot_sizes, flat: bool = True, touched_only: bool = False) -> float:
     )
     model = DLRMModel(cfg)
     plan = plan_for_model(
-        model, BATCH, block_rows=2048,
+        model, BATCH, block_rows=int(os.environ.get("BENCH_BLOCK_ROWS", 2048)),
         hot_sizes=hot_sizes if ragged else None,
     )
     params = cast_emb(

@@ -125,6 +125,66 @@ def build(variant):
                    pltpu.SemaphoreType.DMA,
                    pltpu.SemaphoreType.DMA]
 
+    if variant == "Q":
+        # fully manual DEPTH-4 read-ahead + write-behind-4 (P is depth-2):
+        # tests whether the ~205 GB/s Pallas revolve floor is outstanding-DMA
+        # depth. Requires NBLK % 4 == 0. Phase branches statically unrolled.
+        DEPTH = 4
+
+        def kernel(ib_ref, t_hbm, o_hbm, *scr):
+            bufs = scr[0:DEPTH]
+            upds = scr[DEPTH : 2 * DEPTH]
+            sem_r = scr[2 * DEPTH : 3 * DEPTH]
+            sem_w = scr[3 * DEPTH : 4 * DEPTH]
+            g = pl.program_id(0)
+            n = pl.num_programs(0)
+
+            def read(blk, buf, sem):
+                return pltpu.make_async_copy(
+                    t_hbm.at[pl.ds(blk * BR, BR)], buf, sem
+                )
+
+            def write(blk, upd, sem):
+                return pltpu.make_async_copy(
+                    upd, o_hbm.at[pl.ds(blk * BR, BR)], sem
+                )
+
+            @pl.when(g == 0)
+            def _():
+                for q in range(DEPTH):
+                    read(q, bufs[q], sem_r[q]).start()
+
+            def body(p):
+                read(g, bufs[p], sem_r[p]).wait()
+
+                @pl.when(g >= DEPTH)
+                def _():
+                    write(g - DEPTH, upds[p], sem_w[p]).wait()
+
+                upds[p][:] = bufs[p][:] + 1.0
+                write(g, upds[p], sem_w[p]).start()
+
+                @pl.when(g + DEPTH < n)
+                def _():
+                    read(g + DEPTH, bufs[p], sem_r[p]).start()
+
+            phase = jax.lax.rem(g, DEPTH)
+            for q in range(DEPTH):
+                pl.when(phase == q)(lambda q=q: body(q))
+
+            @pl.when(g == n - 1)
+            def _():
+                # drain: the last DEPTH writes (one per phase) are in flight
+                for q in range(DEPTH):
+                    write(g, upds[q], sem_w[q]).wait()
+
+        in_spec = any_spec
+        out_spec = any_spec
+        scratch = (
+            [pltpu.VMEM((BR, D_), jnp.float32) for _ in range(2 * DEPTH)]
+            + [pltpu.SemaphoreType.DMA for _ in range(2 * DEPTH)]
+        )
+
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -211,13 +211,18 @@ def _measure_with_fallback(hot_sizes) -> float:
     If the preferred layout fails to compile/run, fall back to the other
     so the bench still reports a number."""
     flat = isinstance(hot_sizes, tuple)
+    # the touched-only worklist skips hit-free blocks' rewrite items, which
+    # is only exact when K2 updates in place (input_output_aliases); under
+    # the DLRM_K2_NO_ALIAS A/B the output is a fresh buffer and skipped
+    # blocks would come back uninitialized — same gate as v2_main.py:676
+    touched = not os.environ.get("DLRM_K2_NO_ALIAS")
     try:
-        return _measure(hot_sizes, flat=flat, touched_only=True)
+        return _measure(hot_sizes, flat=flat, touched_only=touched)
     except Exception as e:
         print(f"# {'flat' if flat else 'padded'}-layout measure failed "
               f"({type(e).__name__}: {str(e)[:200]}); retrying with the "
               "other layout", flush=True)
-        return _measure(hot_sizes, flat=not flat, touched_only=True)
+        return _measure(hot_sizes, flat=not flat, touched_only=touched)
 
 
 def main():

@@ -330,6 +330,24 @@ def main(argv: Optional[List[str]] = None) -> int:
             "plan the model-axis table placement and require --sharded"
         )
 
+    # --allow-capacity-overflow / --hbm-gb only feed the auto capacity
+    # plan; anywhere else they would be the silent-no-op class the checks
+    # above exist to eliminate
+    if args.allow_capacity_overflow and not (
+        args.sharded and args.sharding_strategy == "auto"
+    ):
+        sys.exit(
+            "ERROR: --allow-capacity-overflow only affects the HBM-budget "
+            "capacity plan; it requires --sharded --sharding-strategy auto"
+        )
+    if args.hbm_gb != 16.0 and not (
+        args.sharded and args.sharding_strategy == "auto"
+    ):
+        sys.exit(
+            "ERROR: --hbm-gb only sets the auto plan's per-shard row "
+            "budget; it requires --sharded --sharding-strategy auto"
+        )
+
     if not args.sync_dense_params:
         print(
             "NOTE: --sync-dense-params=False has no effect on TPU — the "
@@ -564,7 +582,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 rw_bucket_caps=default_bucket_caps(
                     rw_hots, mesh.shape["model"]
                 ),
-                rw_spill=4,
+                # spill scales with the hot size (same as v2_main.py:520):
+                # a fixed 4 overflows bucket_rw_hits at moderate
+                # --num-indices-per-lookup once the binomial owner counts
+                # exceed cap+4 on any shard
+                rw_spill=max(4, max(rw_hots) // mesh.shape["model"] + 2),
             )
         nrw, ncw = bf.num_rw, bf.num_cw
         print(

@@ -90,7 +90,9 @@ class HostBatch:
                 "materialized)"
             )
         if flat_hots is not None:
-            col0 = np.concatenate([[0], np.cumsum(flat_hots[:-1])]).astype(int)
+            from dlrm_tpu.ops.stream_plan import flat_col0
+
+            col0 = flat_col0(flat_hots)
 
             def tbl(arr, t, h):
                 # padded [T, B, Hmax] or flat row-major [B, sum(hot)]

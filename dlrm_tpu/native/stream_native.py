@@ -77,6 +77,12 @@ def build_stream_work_native(plan, idx: np.ndarray,
     lib = _load()
     assert lib is not None
     t_ = len(plan.hot)
+    if wt is not None and not skip_wts and wt.ndim != idx.ndim:
+        raise ValueError(
+            f"native builder needs idx and wt in the SAME layout (one "
+            f"t_off/row_stride addresses both); got idx.ndim={idx.ndim} "
+            f"wt.ndim={wt.ndim} — use the numpy path for mixed layouts"
+        )
     idx = np.ascontiguousarray(idx, dtype=np.int32)
     wt_arr = (
         None if wt is None else np.ascontiguousarray(wt, dtype=np.float32)
@@ -87,9 +93,7 @@ def build_stream_work_native(plan, idx: np.ndarray,
         row_stride = h_
     else:  # flat [B, sum_t hot[t]] — the materialized on-disk layout
         b_, total = idx.shape
-        t_off = np.concatenate(
-            [[0], np.cumsum(plan.hot[:-1])]
-        ).astype(np.int64)
+        t_off = plan.hot_col0  # the flat addressing contract, defined once
         row_stride = total
     hot = np.asarray(plan.hot, dtype=np.int32)
     u_base = np.asarray(plan.u_base, dtype=np.int32)

@@ -93,6 +93,20 @@ class StreamPlan:
         """Rows of the packed row-wise accumulator [padded_rows/128, 128]."""
         return self.padded_rows // 128
 
+    @property
+    def hot_col0(self) -> np.ndarray:
+        """Table t's first column in the flat row-major [B, sum(hot)]
+        sparse layout (the materialized on-disk format). The single source
+        for the flat addressing contract — the numpy builder, the native
+        builder, and HostBatch.to_device all index through this."""
+        return flat_col0(self.hot)
+
+
+def flat_col0(hot) -> np.ndarray:
+    """First flat column per table for a [B, sum(hot)] sparse block."""
+    hot = np.asarray(hot)
+    return np.concatenate([[0], np.cumsum(hot[:-1])]).astype(np.int64)
+
 
 def make_stream_plan(
     table_sizes: Sequence[int],
@@ -217,7 +231,12 @@ def build_stream_work(
     if prefer_native:
         from dlrm_tpu.native import stream_native
 
-        if stream_native.available():
+        # the native builder derives ONE t_off/row_stride from idx's layout
+        # and applies it to wt too — a mixed flat-idx/padded-wt batch would
+        # read weights at wrong addresses there, so mixed layouts take the
+        # numpy path (which dispatches per array via _tbl below)
+        layouts_match = wt is None or skip_wts or wt.ndim == idx.ndim
+        if stream_native.available() and layouts_match:
             return stream_native.build_stream_work_native(
                 plan, idx, wt, skip_wts=skip_wts
             )
@@ -230,7 +249,7 @@ def build_stream_work(
 
     items = []  # (block, row0, u)
     sent_u = plan.u_size  # first slot of the trailing sentinel window
-    hot_col0 = np.concatenate([[0], np.cumsum(plan.hot[:-1])]).astype(int)
+    hot_col0 = plan.hot_col0
 
     def _tbl(arr, t, ht):
         """Table t's [B, ht] view in either input layout."""

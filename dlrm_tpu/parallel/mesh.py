@@ -66,10 +66,13 @@ def make_mesh(
         num_slices = len(groups)
         if model is None:
             # widest model axis that stays inside one slice and still
-            # yields a consistent data axis
-            model = per
-            while model > 1 and (per % model or n // model < data):
-                model //= 2
+            # yields a consistent data axis — walk ALL divisors of the
+            # slice size (halving alone skips e.g. model=2 for per=6)
+            model = 1
+            for m in range(per, 0, -1):
+                if per % m == 0 and n % m == 0 and n // m == data:
+                    model = m
+                    break
         if model > per or per % model:
             raise ValueError(
                 f"model axis {model} does not fit within one {per}-device "

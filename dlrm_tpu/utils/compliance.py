@@ -171,6 +171,13 @@ def parse_lines(lines: Sequence[str]) -> tuple[List[Record], List[str]]:
         if not isinstance(d["metadata"], dict):
             errors.append(f"line {i}: metadata must be an object")
             continue
+        # a malformed time_ms is a VIOLATION, not a checker crash — the
+        # CLI must exit 1 with NON-COMPLIANT lines, never a traceback
+        if not _is_num(d["time_ms"]):
+            errors.append(
+                f"line {i}: time_ms {d['time_ms']!r} must be a number"
+            )
+            continue
         recs.append(Record(i, int(d["time_ms"]), d["event_type"], d["key"],
                            d["value"], d["metadata"]))
     return recs, errors

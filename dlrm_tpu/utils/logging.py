@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+import warnings
 from typing import Any, Dict, Optional
 
 
@@ -38,7 +39,17 @@ class ScalarLogger:
         if tb_dir:
             from dlrm_tpu.utils.tfevents import TFEventsWriter
 
-            self._tb = TFEventsWriter(tb_dir)
+            # best-effort, like the old SummaryWriter fallback: an
+            # unwritable TB dir degrades to JSONL-only instead of killing
+            # the run at logger construction
+            try:
+                self._tb = TFEventsWriter(tb_dir)
+            except OSError as e:
+                warnings.warn(
+                    f"cannot write TensorBoard events to {tb_dir!r} ({e}); "
+                    "continuing with JSONL scalars only"
+                )
+                self._tb = None
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         if self._f is not None:

@@ -196,13 +196,11 @@ def _evaluate(eval_step, params, loader, to_device, stage: str) -> float:
     multiproc = jax.process_count() > 1
     hist = AucState.create()
     scores, labels = [], []
-    n_local = 0
     for batch in DevicePrefetcher(loader, to_device):
         probs = eval_step(params, batch)
         if multiproc:
             s, lbl = shards_scores_labels(probs, batch.labels)
             hist = auc_update(hist, s, lbl)  # label<0 pad rows masked inside
-            n_local += int((lbl >= 0).sum())
         else:
             lbl = np.asarray(batch.labels).ravel()
             keep = lbl >= 0

@@ -153,6 +153,20 @@ def test_eval_accuracy_needs_epoch_num():
     assert any("metadata.epoch_num required" in e for e in errs), errs
 
 
+def test_non_numeric_time_ms_is_violation_not_crash():
+    """A malformed time_ms (null / string) must surface as NON-COMPLIANT,
+    not crash parse_lines with a TypeError — the checker's whole job is to
+    survive malformed logs (review r4)."""
+    for bad in (None, "soon", True):
+        lines = _compliant_log()
+        d = json.loads(lines[0][len(":::MLLOG "):])
+        d["time_ms"] = bad
+        lines[0] = ":::MLLOG " + json.dumps(d)
+        errs = C.check_lines(lines)
+        assert any("time_ms" in e and "must be a number" in e
+                   for e in errs), (bad, errs)
+
+
 def test_cli_exit_codes(tmp_path):
     good = tmp_path / "good.log"
     good.write_text("\n".join(_compliant_log()) + "\n")

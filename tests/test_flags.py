@@ -108,6 +108,30 @@ def test_tensor_board_filename_writes_scalars_and_event_files(tmp_path):
     )
 
 
+def test_unwritable_tb_dir_degrades_to_jsonl(tmp_path):
+    """An unwritable TB dir must degrade to JSONL-only with a warning, not
+    kill the run at logger construction (the old SummaryWriter path was
+    best-effort; review r4 kept that contract for the tfevents writer)."""
+    import warnings as _warnings
+
+    from dlrm_tpu.utils.logging import ScalarLogger
+
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    ro.chmod(0o500)
+    if os.access(str(ro / "x"), os.W_OK) or os.geteuid() == 0:
+        pytest.skip("running as root: directory modes not enforced")
+    jsonl = str(tmp_path / "s.jsonl")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        lg = ScalarLogger(jsonl, tb_dir=str(ro / "tb"))
+    assert lg._tb is None
+    assert any("JSONL scalars only" in str(x.message) for x in w)
+    lg.add_scalar("Train/Loss", 0.5, 1)
+    lg.close()
+    assert '"Train/Loss"' in open(jsonl).read()
+
+
 def test_num_workers_same_goldens():
     rc0, out0 = _run_cli(["--mini-batch-size=2", "--data-size=6"])
     rc1, out1 = _run_cli(
@@ -400,6 +424,35 @@ def test_rw_bucket_rejected_when_plan_stripes_nothing():
     with pytest.raises(SystemExit):
         _run_cli(["--mini-batch-size=8", "--data-size=16", "--sharded",
                   "--rw-bucket=on"])
+
+
+def test_capacity_flags_require_auto_plan():
+    """--allow-capacity-overflow / --hbm-gb only feed the auto capacity
+    plan; off it they would be silent no-ops — the class the adjacent
+    planner-flag rejections exist to eliminate (review r4)."""
+    for extra in (["--allow-capacity-overflow"], ["--hbm-gb=8"]):
+        with pytest.raises(SystemExit):  # no --sharded at all
+            _run_cli(["--mini-batch-size=2", "--data-size=2"] + extra)
+        with pytest.raises(SystemExit):  # sharded but non-auto plan
+            _run_cli(["--mini-batch-size=2", "--data-size=2", "--sharded",
+                      "--sharding-strategy=table_wise"] + extra)
+
+
+def test_sharded_rw_bucket_large_hot_trains():
+    """rw_spill must scale with the hot size: hardcoded spill=4 overflowed
+    bucket_rw_hits at --num-indices-per-lookup ~100 once any shard's
+    binomial owner count exceeded cap+4 (review r4; v2_main.py:520 had the
+    scaling formula, the v1 surface did not)."""
+    rc, out = _run_cli(
+        ["--mini-batch-size=16", "--data-size=64", "--sharded",
+         "--arch-embedding-size=600-48-600-48-600-48",
+         "--num-indices-per-lookup=100",
+         "--sharding-strategy=auto", "--hbm-gb=0.0000001",
+         "--allow-capacity-overflow", "--rw-bucket=on"]
+    )
+    assert rc == 0
+    m = re.search(r"(\d+) row-wise", out)
+    assert m and int(m.group(1)) > 0, out
 
 
 def test_v1_capacity_overflow_is_loud_without_override():

@@ -287,6 +287,32 @@ def test_flat_layout_build_matches_padded():
         np.testing.assert_array_equal(lf.vals_u, lp.vals_u)
 
 
+def test_mixed_layout_build_routes_off_native():
+    """flat idx + padded wt: the native builder derives ONE t_off/row_stride
+    from idx and would read the [T, B, H] weight buffer at wrong addresses,
+    so build_stream_work must take the per-array numpy path (and the native
+    wrapper must reject mixed layouts outright)."""
+    from dlrm_tpu.native import stream_native
+    from dlrm_tpu.ops.stream_plan import build_stream_work
+
+    rng = np.random.default_rng(17)
+    hots = (2, 1, 2)
+    plan = make_stream_plan(TABLES, D, B, hots, block_rows=BR)
+    idx = np.stack(
+        [rng.integers(0, n, (B, H)) for n in TABLES]
+    ).astype(np.int32)
+    wt = rng.uniform(0.5, 1.5, size=(len(TABLES), B, H)).astype(np.float32)
+    flat_idx = np.concatenate(
+        [idx[t, :, :h] for t, h in enumerate(hots)], axis=1
+    )
+    oracle = build_stream_work(plan, idx, wt, prefer_native=False)
+    mixed = build_stream_work(plan, flat_idx, wt, prefer_native=True)
+    _check_work_equal(mixed, oracle)
+    if stream_native.available():
+        with pytest.raises(ValueError, match="SAME layout"):
+            stream_native.build_stream_work_native(plan, flat_idx, wt)
+
+
 def test_flat_hostbatch_to_device_matches_padded():
     """HostBatch with a flat 2-D idx ships the same flat per-hit device
     arrays as the padded batch with flat_hots (and refuses to ship the

@@ -162,8 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="table placement over the model axis; auto = mixed with an "
         "HBM-derived per-shard row budget (--hbm-gb)",
     )
-    p.add_argument("--hbm-gb", type=float, default=16.0,
-                   help="per-chip HBM (GiB) for the auto capacity budget")
+    # default None = "not given" sentinel (resolved to 16.0 after the
+    # misuse check below): an EXPLICIT --hbm-gb=16 off the auto plan is
+    # still a silent no-op and must be rejected (ADVICE r4)
+    p.add_argument("--hbm-gb", type=float, default=None,
+                   help="per-chip HBM (GiB) for the auto capacity budget "
+                   "(default 16)")
     p.add_argument(
         "--column-wise-tables", type=str, default="",
         help="comma-separated table ids to shard column-wise (feature dim "
@@ -340,13 +344,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             "ERROR: --allow-capacity-overflow only affects the HBM-budget "
             "capacity plan; it requires --sharded --sharding-strategy auto"
         )
-    if args.hbm_gb != 16.0 and not (
+    if args.hbm_gb is not None and not (
         args.sharded and args.sharding_strategy == "auto"
     ):
         sys.exit(
             "ERROR: --hbm-gb only sets the auto plan's per-shard row "
             "budget; it requires --sharded --sharding-strategy auto"
         )
+    if args.hbm_gb is None:
+        args.hbm_gb = 16.0
 
     if not args.sync_dense_params:
         print(

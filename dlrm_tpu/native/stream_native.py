@@ -77,11 +77,14 @@ def build_stream_work_native(plan, idx: np.ndarray,
     lib = _load()
     assert lib is not None
     t_ = len(plan.hot)
-    if wt is not None and not skip_wts and wt.ndim != idx.ndim:
+    if wt is not None and not skip_wts and wt.shape != idx.shape:
+        # full-shape check, not just ndim: two padded 3-D arrays with
+        # different Hmax would share a row_stride derived from idx alone
+        # and misaddress wt (ADVICE r4)
         raise ValueError(
             f"native builder needs idx and wt in the SAME layout (one "
-            f"t_off/row_stride addresses both); got idx.ndim={idx.ndim} "
-            f"wt.ndim={wt.ndim} — use the numpy path for mixed layouts"
+            f"t_off/row_stride addresses both); got idx.shape={idx.shape} "
+            f"wt.shape={wt.shape} — use the numpy path for mixed layouts"
         )
     idx = np.ascontiguousarray(idx, dtype=np.int32)
     wt_arr = (

@@ -232,10 +232,11 @@ def build_stream_work(
         from dlrm_tpu.native import stream_native
 
         # the native builder derives ONE t_off/row_stride from idx's layout
-        # and applies it to wt too — a mixed flat-idx/padded-wt batch would
-        # read weights at wrong addresses there, so mixed layouts take the
-        # numpy path (which dispatches per array via _tbl below)
-        layouts_match = wt is None or skip_wts or wt.ndim == idx.ndim
+        # and applies it to wt too — a mixed flat-idx/padded-wt batch (or
+        # two padded arrays with different Hmax, ADVICE r4) would read
+        # weights at wrong addresses there, so any shape mismatch takes
+        # the numpy path (which dispatches per array via _tbl below)
+        layouts_match = wt is None or skip_wts or wt.shape == idx.shape
         if stream_native.available() and layouts_match:
             return stream_native.build_stream_work_native(
                 plan, idx, wt, skip_wts=skip_wts

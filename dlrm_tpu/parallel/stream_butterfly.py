@@ -34,7 +34,10 @@ butterfly.py); backward streams only the slice — the host U-layout build
 masks each shard's work to its own rows, so per-shard update cost scales
 down with the stripe. This is what trains the 40M-row flagship outliers
 (torchrec_dlrm/README.MD:45-53) on the streamed (fastest) path. The
-remaining restriction is learned pooling weights (v_w -> fused butterfly).
+remaining restriction is pooling weights (v_w) on the SHARDED stream path:
+this class has no v_w slot layout and raises loudly (v2_main routes the
+combination to the fused butterfly with an explicit error). Single-chip
+stream training of v_w is supported (train/stream_step.py, r5).
 """
 
 from __future__ import annotations

@@ -40,10 +40,9 @@ def plan_for_model(model: DLRMModel, batch_size: int,
     per table, so ragged configs pay for their REAL hits, not the padded
     [T, B, Hmax] layout."""
     cfg = model.cfg
-    if not model.fused or cfg.weighted_pooling is not None:
+    if not model.fused:
         raise ValueError(
-            "stream step requires plain uniform-width tables without "
-            "learned pooling"
+            "stream step requires plain uniform-width tables"
         )
     return make_stream_plan(
         cfg.table_sizes, cfg.embedding_dim, batch_size,
@@ -65,6 +64,17 @@ def pad_params(params, model: DLRMModel, plan: StreamPlan):
         )
     out = dict(params)
     out["emb"] = {"stacked": padded}
+    if "v_w" in params:
+        # pooling weights ride the same padded row layout as the table
+        vw = params["v_w"]
+        pv = jnp.zeros((plan.padded_rows,), vw.dtype)
+        for t, n in enumerate(plan.table_sizes):
+            pv = jax.lax.dynamic_update_slice(
+                pv,
+                jax.lax.dynamic_slice(vw, (int(model.row_offsets[t]),), (n,)),
+                (plan.padded_offsets[t],),
+            )
+        out["v_w"] = pv
     return out
 
 
@@ -84,6 +94,16 @@ def unpad_params(params, model: DLRMModel, plan: StreamPlan):
         )
     out = dict(params)
     out["emb"] = {"stacked": stacked}
+    if "v_w" in params:
+        vw_p = params["v_w"]
+        vw = jnp.zeros((model.total_rows,), vw_p.dtype)
+        for t, n in enumerate(plan.table_sizes):
+            vw = jax.lax.dynamic_update_slice(
+                vw,
+                jax.lax.dynamic_slice(vw_p, (plan.padded_offsets[t],), (n,)),
+                (int(model.row_offsets[t]),),
+            )
+        out["v_w"] = vw
     return out
 
 
@@ -93,6 +113,21 @@ def cast_emb(params, dtype):
     out = dict(params)
     out["emb"] = {"stacked": params["emb"]["stacked"].astype(dtype)}
     return out
+
+
+def _padded_hit_ids(plan: StreamPlan, idx, offsets, batch=None):
+    """Per-hit PADDED-layout row ids matching idx's own layout (flat
+    [sum_t B*h_t] table-major or padded [T, B, Hmax]) — the index space of
+    the stream-layout table and of v_w after pad_params. batch: the flat
+    layout's batch size when it differs from plan.batch (eval batches)."""
+    if idx.ndim == 1:  # flat per-hit, table-major blocks of B*h_t
+        b = plan.batch if batch is None else int(batch)
+        reps = [b * int(h) for h in plan.hot]
+        off = np.repeat(
+            np.asarray(plan.padded_offsets, np.int64), reps
+        ).astype(np.int32)
+        return idx + jnp.asarray(off)
+    return idx + offsets[:, None, None]
 
 
 def init_stream_opt_state(optimizer: str, params, plan: StreamPlan):
@@ -144,6 +179,13 @@ def make_stream_train_step(
     eps = ADAGRAD_EPS if eps is None else float(eps)
     cfg = model.cfg
     offsets = jnp.asarray(np.asarray(plan.padded_offsets, np.int32))
+    weighted = cfg.weighted_pooling  # None | "fixed" | "learned"
+    if weighted is not None and fwd_impl != "gather":
+        raise ValueError(
+            "weighted pooling on the stream step requires fwd_impl="
+            "'gather' (the pooled forward must sit inside the autodiff "
+            "region to produce d(loss)/d(v_w); K3/K4 pool outside it)"
+        )
 
     def train_step(params, opt_state, batch: Batch, lr):
         sw = batch.stream
@@ -160,31 +202,73 @@ def make_stream_train_step(
             sw = sw._replace(
                 wts_u=(sw.rows_u != SENTINEL_ROW).astype(jnp.float32)
             )
-        if fwd_impl == "stream":
-            pooled_t = stream_embedding_fwd(
-                plan, emb, sw.rows_u, sw.vals_u, sw.wts_u, sw.w2t,
-                sw.item_block, sw.item_row0, sw.item_u,
-                mm_dtype=mm_dtype, r_dtype=g_dtype, interpret=interpret,
-            )
-            pooled = jnp.transpose(pooled_t, (1, 0, 2))
-        else:
-            pooled = grouped_embedding_bag(
-                emb, offsets, batch.idx, batch.wt, plan.hot,
-                batch=batch.dense.shape[0],
-            )
-
         dense_params = {k: v for k, v in params.items() if k != "emb"}
 
-        def rest(dp, ly):
-            probs, logits = model.forward_from_pooled(dp, batch.dense, ly)
-            return masked_mean(
-                per_example_loss(cfg, probs, batch.labels, logits),
-                batch.labels,
-            ), probs
+        if weighted is not None:
+            # v_w (reference: per_sample_weights = v_W[lS_i],
+            # dlrm_s_pytorch.py:286-294, 320-340) rides the padded row
+            # layout. The pooled forward sits INSIDE the autodiff region
+            # with the table stop-gradient'd and a zero residual added to
+            # pooled, so ONE grad call yields d(loss)/d(v_w) (XLA derives
+            # the per-hit dot(row, dly_bag) + scatter) AND dly for the
+            # manual K2 table path. "fixed" stop-grads v_w -> zero grads
+            # -> exact optimizer no-op (pooling_weights contract).
+            emb_c = jax.lax.stop_gradient(emb)
+            pidx = _padded_hit_ids(plan, batch.idx, offsets)
+            b = batch.dense.shape[0]
+            zero = jnp.zeros(
+                (b, len(plan.table_sizes), cfg.embedding_dim), jnp.float32
+            )
 
-        (loss, probs), (dgrads, dly) = jax.value_and_grad(
-            rest, argnums=(0, 1), has_aux=True
-        )(dense_params, pooled)
+            def fwd_rest(dp, z):
+                vw_p = dp["v_w"]
+                if weighted == "fixed":
+                    vw_p = jax.lax.stop_gradient(vw_p)
+                vw_hits = jnp.take(vw_p, pidx, axis=0)
+                wt_eff = (
+                    vw_hits if batch.wt is None else batch.wt * vw_hits
+                )
+                ly = grouped_embedding_bag(
+                    emb_c, offsets, batch.idx, wt_eff, plan.hot, batch=b
+                ).astype(jnp.float32) + z
+                mp = {k: v for k, v in dp.items() if k != "v_w"}
+                probs, logits = model.forward_from_pooled(
+                    mp, batch.dense, ly
+                )
+                return masked_mean(
+                    per_example_loss(cfg, probs, batch.labels, logits),
+                    batch.labels,
+                ), probs
+
+            (loss, probs), (dgrads, dly) = jax.value_and_grad(
+                fwd_rest, argnums=(0, 1), has_aux=True
+            )(dense_params, zero)
+        else:
+            if fwd_impl == "stream":
+                pooled_t = stream_embedding_fwd(
+                    plan, emb, sw.rows_u, sw.vals_u, sw.wts_u, sw.w2t,
+                    sw.item_block, sw.item_row0, sw.item_u,
+                    mm_dtype=mm_dtype, r_dtype=g_dtype, interpret=interpret,
+                )
+                pooled = jnp.transpose(pooled_t, (1, 0, 2))
+            else:
+                pooled = grouped_embedding_bag(
+                    emb, offsets, batch.idx, batch.wt, plan.hot,
+                    batch=batch.dense.shape[0],
+                )
+
+            def rest(dp, ly):
+                probs, logits = model.forward_from_pooled(
+                    dp, batch.dense, ly
+                )
+                return masked_mean(
+                    per_example_loss(cfg, probs, batch.labels, logits),
+                    batch.labels,
+                ), probs
+
+            (loss, probs), (dgrads, dly) = jax.value_and_grad(
+                rest, argnums=(0, 1), has_aux=True
+            )(dense_params, pooled)
 
         # dense params: the regular optimizer
         if optimizer == "sgd":
@@ -202,13 +286,25 @@ def make_stream_train_step(
 
         # table: K1 (grads in U-order) + K2 (streamed block update)
         dly_t = jnp.transpose(dly, (1, 0, 2))  # [T, B, d]
+        wts_g = sw.wts_u
+        if weighted is not None:
+            # d(loss)/d(row) = sum_hits wt * v_w[row] * dly[bag]: the v_w
+            # factor multiplies into the per-hit weights at the OLD v_w
+            # (grads are taken at the step's input params)
+            off_w = jnp.take(offsets, sw.w2t)  # [Uw] window -> table offset
+            rows_pad = jnp.where(
+                sw.rows_u < 0, 0, sw.rows_u + off_w[:, None, None]
+            )
+            wts_g = wts_g * jnp.take(
+                jax.lax.stop_gradient(params["v_w"]), rows_pad, axis=0
+            )
         if grad_impl == "gather":
             g_u = gather_grads(
-                dly_t, sw.vals_u, sw.wts_u, sw.w2t, out_dtype=g_dtype,
+                dly_t, sw.vals_u, wts_g, sw.w2t, out_dtype=g_dtype,
             )
         else:
             g_u = window_grads(
-                dly_t, sw.vals_u, sw.wts_u, sw.w2t,
+                dly_t, sw.vals_u, wts_g, sw.w2t,
                 out_dtype=g_dtype, mm_dtype=mm_dtype, interpret=interpret,
             )
         acc = (
@@ -246,8 +342,17 @@ def make_stream_eval_step(model: DLRMModel, plan: StreamPlan):
     offsets = jnp.asarray(np.asarray(plan.padded_offsets, np.int32))
 
     def eval_step(params, batch: Batch):
+        wt = batch.wt
+        if "v_w" in params:
+            vw_hits = jnp.take(
+                params["v_w"],
+                _padded_hit_ids(plan, batch.idx, offsets,
+                                batch=batch.dense.shape[0]),
+                axis=0,
+            )
+            wt = vw_hits if wt is None else wt * vw_hits
         pooled = grouped_embedding_bag(
-            params["emb"]["stacked"], offsets, batch.idx, batch.wt, plan.hot,
+            params["emb"]["stacked"], offsets, batch.idx, wt, plan.hot,
             batch=batch.dense.shape[0],
         )
         dense_params = {k: v for k, v in params.items() if k != "emb"}

@@ -98,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
         "stochastic-rounding updates on the stream path",
     )
     p.add_argument("--collect_multi_hot_freqs_stats", action="store_true")
+    p.add_argument(
+        "--weighted_pooling", choices=["fixed", "learned"], default=None,
+        help="per-row pooling weights v_w (the v1 surface's "
+        "--weighted-pooling, dlrm_s_pytorch.py:286-294; a superset flag "
+        "here so the v2 stream path can train them): fixed = frozen "
+        "buffers, learned = trained parameters",
+    )
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=0)
     p.add_argument("--sharded", action="store_true", default=False)
@@ -305,6 +312,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         loss="bce",
         num_indices_per_lookup=max(hot_sizes) if hot_sizes else 1,
         compute_dtype="bfloat16",
+        weighted_pooling=args.weighted_pooling,
     )
     optimizer = "rwsadagrad" if args.adagrad else "sgd"
     model = DLRMModel(model_cfg)
@@ -467,6 +475,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "ERROR: --column_wise_tables requires the fused "
                 "coalesce+scatter embedding impl (pass --embedding_impl "
                 "fused); the stream butterfly has no column-sharded layout"
+            )
+        if args.weighted_pooling and stream_ok:
+            raise SystemExit(
+                "ERROR: --weighted_pooling on a SHARDED mesh requires the "
+                "fused butterfly (--embedding_impl fused) — the stream "
+                "butterfly has no v_w slot layout; single-chip "
+                "--embedding_impl stream trains v_w"
             )
         if stream_ok:
             import jax.numpy as jnp
@@ -641,9 +656,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             plan_for_model,
         )
 
-        if not supports_fused(model):
+        if not model.fused:
             raise SystemExit("--embedding_impl stream needs plain uniform "
-                             "tables (no qr/md/weighted pooling)")
+                             "tables (no qr/md)")
         plan = plan_for_model(
             model, args.batch_size,
             hot_sizes=hot_sizes if hot_sizes else None,

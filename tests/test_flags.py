@@ -108,23 +108,31 @@ def test_tensor_board_filename_writes_scalars_and_event_files(tmp_path):
     )
 
 
-def test_unwritable_tb_dir_degrades_to_jsonl(tmp_path):
+def test_unwritable_tb_dir_degrades_to_jsonl(tmp_path, monkeypatch):
     """An unwritable TB dir must degrade to JSONL-only with a warning, not
     kill the run at logger construction (the old SummaryWriter path was
-    best-effort; review r4 kept that contract for the tfevents writer)."""
+    best-effort; review r4 kept that contract for the tfevents writer).
+
+    The failure is INJECTED (TFEventsWriter raising PermissionError) rather
+    than staged with directory modes: this image runs as root, and root
+    bypasses a chmod-0o500 directory — the mode-based variant of this test
+    could only ever skip here (VERDICT r4 weak #7 / ADVICE r4)."""
     import warnings as _warnings
 
+    from dlrm_tpu.utils import logging as dlrm_logging
+    from dlrm_tpu.utils import tfevents as dlrm_tfevents
     from dlrm_tpu.utils.logging import ScalarLogger
 
-    ro = tmp_path / "ro"
-    ro.mkdir()
-    ro.chmod(0o500)
-    if os.access(str(ro / "x"), os.W_OK) or os.geteuid() == 0:
-        pytest.skip("running as root: directory modes not enforced")
+    class _DeniedWriter:
+        def __init__(self, logdir):
+            raise PermissionError(13, "Permission denied", str(logdir))
+
+    monkeypatch.setattr(dlrm_tfevents, "TFEventsWriter", _DeniedWriter)
+    assert dlrm_logging  # the logger imports TFEventsWriter lazily by module
     jsonl = str(tmp_path / "s.jsonl")
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
-        lg = ScalarLogger(jsonl, tb_dir=str(ro / "tb"))
+        lg = ScalarLogger(jsonl, tb_dir=str(tmp_path / "ro" / "tb"))
     assert lg._tb is None
     assert any("JSONL scalars only" in str(x.message) for x in w)
     lg.add_scalar("Train/Loss", 0.5, 1)

@@ -145,9 +145,28 @@ class StreamButterfly(ButterflyDLRM):
         # row slice — identical geometry on every shard (equal slices), so
         # the common plan still holds. Forward masks hits to the shard's
         # row range (+psum_scatter); the update streams only the slice.
+        #
+        # BUCKET-COMPACT striped U (r5): under rw_bucket the host already
+        # routes each striped hit to its owning shard (caps + spill), so
+        # the slot's U geometry needs only cap+spill columns of OWNED hits
+        # instead of all hots_all[t] masked — per-shard U (and G_u, and the
+        # host sort) scale as ~h/M instead of h. At the flagship shape this
+        # is the difference between an 11.3 GiB and a ~5 GiB per-shard G_u
+        # at global batch 131072 (bench_scripts/shard_slice_probe.py).
+        # Compactness is per-table: small-hot tables where cap+spill >= h
+        # keep the (already smaller) masked geometry.
+        self.rw_compact = []
         for i, t in enumerate(self.rw_ids):
             slot_sizes.append(int(self.rw_slice[i]))
-            slot_hots.append(self.hots_all[int(t)])
+            ht = self.hots_all[int(t)]
+            cw = (
+                int(self.rw_bucket_caps[i]) + int(self.rw_spill)
+                if self.rw_bucket
+                else ht
+            )
+            compact = self.rw_bucket and cw < ht
+            self.rw_compact.append(compact)
+            slot_hots.append(cw if compact else ht)
         self.local_sizes = tuple(slot_sizes)
         self.slot_hots = tuple(slot_hots)
         self.n_slots = self.t_local + self.num_rw
@@ -284,6 +303,19 @@ class StreamButterfly(ButterflyDLRM):
             if hb.wt is not None
             else np.ones((num_t, b, h), np.float32)
         )
+        # owner-bucketed row-wise hits, computed ONCE: the forward's
+        # bucketed view and (r5) the compact striped slots' U fill
+        bucketed = None
+        if self.num_rw and self.rw_bucket:
+            from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits
+
+            bucketed = bucket_rw_hits(
+                idx[self.rw_ids], wt[self.rw_ids], self.rw_bucket_caps,
+                self.rw_slice, self.rw_off, self.msize, self.rw_spill,
+            )
+        cap0 = np.concatenate(
+            [[0], np.cumsum(np.asarray(self.rw_bucket_caps))]
+        ).astype(np.int64) if self.rw_bucket else None
         stream = None
         if with_stream:
             hmax = max(max(self.slot_hots), h)
@@ -302,20 +334,44 @@ class StreamButterfly(ButterflyDLRM):
                     if ht < hmax:
                         wt_s[j, :, ht:] = 0.0
                 # row-wise striped slots: each shard streams only the hits
-                # landing in ITS row slice; foreign hits are localized to
-                # row 0 with weight 0 (exact no-ops through the kernels),
-                # so the global update covers every hit exactly once
+                # landing in ITS row slice, exactly once globally. COMPACT
+                # slots take their hits from the bucketed layout (owned
+                # hits pre-routed, cap columns) + the shard-masked spill;
+                # non-compact slots keep the masked full-hot fill (foreign
+                # hits localized to row 0 at weight 0 — exact no-ops).
                 for i, t in enumerate(self.rw_ids):
                     t = int(t)
                     sl = int(self.rw_slice[i])
                     lo = s * sl
-                    own = (idx[t] >= lo) & (idx[t] < lo + sl)
                     j = self.t_local + i
-                    idx_s[j, :, :h] = np.where(own, idx[t] - lo, 0)
-                    wt_s[j, :, :h] = wt[t] * own
-                    ht = self.hots_all[t]
-                    if ht < hmax:
-                        wt_s[j, :, ht:] = 0.0
+                    if self.rw_compact[i]:
+                        ib, wb, sp_i, sp_w = bucketed
+                        c = int(self.rw_bucket_caps[i])
+                        seg = slice(int(cap0[i]), int(cap0[i]) + c)
+                        # bucketed rows are pre-localized to the STREAM
+                        # offsets; the builder wants slot-local rows
+                        off = int(self.plan.padded_offsets[j])
+                        wseg = wb[s, :, seg]
+                        idx_s[j, :, :c] = np.where(
+                            wseg != 0, ib[s, :, seg] - off, 0
+                        )
+                        wt_s[j, :, :c] = wseg
+                        own = (
+                            (sp_i[i] >= lo)
+                            & (sp_i[i] < lo + sl)
+                            & (sp_w[i] != 0)
+                        )
+                        idx_s[j, :, c : c + self.rw_spill] = np.where(
+                            own, sp_i[i] - lo, 0
+                        )
+                        wt_s[j, :, c : c + self.rw_spill] = sp_w[i] * own
+                    else:
+                        own = (idx[t] >= lo) & (idx[t] < lo + sl)
+                        idx_s[j, :, :h] = np.where(own, idx[t] - lo, 0)
+                        wt_s[j, :, :h] = wt[t] * own
+                        ht = self.hots_all[t]
+                        if ht < hmax:
+                            wt_s[j, :, ht:] = 0.0
                 w_ = build_stream_work(self.plan, idx_s, wt_s)
                 # the butterfly's forward is a gather (K3 never runs), so
                 # the update worklist can always drop hit-free blocks when
@@ -344,12 +400,7 @@ class StreamButterfly(ButterflyDLRM):
                 # hits it owns, pre-localized to its STREAM offsets
                 # (self.rw_off is the stream-plan layout here); overflow
                 # spills ride the masked path at width rw_spill
-                from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits
-
-                ib, wb, si, sw = bucket_rw_hits(
-                    idx[self.rw_ids], wt[self.rw_ids], self.rw_bucket_caps,
-                    self.rw_slice, self.rw_off, self.msize, self.rw_spill,
-                )
+                ib, wb, si, sw = bucketed
                 kw = dict(
                     idx_rw=self._put(si, P(None, "data")),
                     wt_rw=self._put(sw, P(None, "data")),
@@ -414,12 +465,23 @@ class StreamButterfly(ButterflyDLRM):
             else:
                 idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
             emb_l = params["emb"]["stacked"]  # [padded_rows, d] local shard
-            flat_idx = idx_l + off_l[:, None, None]
-            rows_v = jnp.take(emb_l, flat_idx, axis=0)
-            pooled = jnp.sum(
-                rows_v * wt_l[..., None].astype(rows_v.dtype), axis=2,
-                dtype=jnp.float32,
-            ).astype(rows_v.dtype)  # [t_local, b_d, d]
+            # per-slot-hot gathers (r5): idx_l is padded to the GLOBAL hot
+            # max (100 on the real v2 shape) but slot j's tables never use
+            # more than slot_hots[j] columns — a single padded take would
+            # gather [t_local, b, 100, d] (9.4 GiB at the flagship batch)
+            # where the real hits are <= (10, 6, 1) per slot
+            parts = []
+            for j in range(self.t_local):
+                hj = int(self.slot_hots[j])
+                fi = idx_l[j, :, :hj] + off_l[j]
+                rows = jnp.take(emb_l, fi, axis=0)  # [b, hj, d]
+                parts.append(
+                    jnp.sum(
+                        rows * wt_l[j, :, :hj, None].astype(rows.dtype),
+                        axis=1, dtype=jnp.float32,
+                    )
+                )
+            pooled = jnp.stack(parts).astype(emb_l.dtype)  # [t_local, b, d]
             if has_rw:
                 loc_rw, wt_rw_eff = self._rw_local_hits(
                     params, idx_rw_l, wt_rw_l

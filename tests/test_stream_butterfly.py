@@ -291,3 +291,77 @@ def test_stream_butterfly_capacity_stripes():
     )
     assert sb.num_rw >= 1
     assert 9100 // 4 <= int(sb.rw_slice[0]) <= -(-9100 // 4)
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_stream_butterfly_compact_striped_u_matches_fused(optimizer):
+    """r5 bucket-COMPACT striped U: when a striped table's bucket cap +
+    spill is below its hot size, the slot's U geometry covers only the
+    owned hits + spill (plan.hot[slot] == cap + spill, not the full hot) —
+    ~h/M per-shard update work — and the step must still match the
+    single-device fused oracle exactly (every hit updated once globally)."""
+    from dlrm_tpu.parallel.rw_bucket import default_bucket_caps
+
+    cfg = STRIPE_CFG
+    # table 0 (the 9100-row striped one) gets a BIG hot size so that
+    # cap + spill < 32 and the compact geometry engages
+    hots = (32, 1, 3, 2, 4, 7)
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(6))
+    rng = np.random.default_rng(13)
+    hb = _ragged_batch(rng, cfg, hots, B)
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, optimizer)
+    ref_params, _, ref_loss, _ = ref_step(
+        copy(params), init_opt_state(optimizer, params), hb.to_device(), 0.05
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    probe = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32, hot_sizes=hots, capacity_rows=3500,
+    )
+    rw_hots = [hots[int(t)] for t in probe.rw_ids]
+    caps = default_bucket_caps(rw_hots, 4)
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32, hot_sizes=hots, capacity_rows=3500,
+        rw_bucket_caps=caps, rw_spill=4,
+    )
+    assert any(sb.rw_compact), (sb.rw_compact, caps)
+    for i, compact in enumerate(sb.rw_compact):
+        slot = sb.t_local + i
+        if compact:
+            assert sb.plan.hot[slot] == int(caps[i]) + 4
+            assert sb.plan.hot[slot] < rw_hots[i]
+    # the compact plan's raw hit count shrinks (u_size itself only shrinks
+    # at realistic batch sizes — per-table U segments round up to the
+    # 1024-slot window, which hides a 672-vs-1024 difference at B=32)
+    assert sum(h * B for h in sb.plan.hot) < sum(
+        h * B for h in probe.plan.hot
+    )
+
+    sp = sb.shard_params(copy(params))
+    sstate = sb.init_opt_state(optimizer, sp)
+    step = sb.make_train_step(optimizer, B, sp, sstate)
+    batch = sb.shard_batch(hb)
+    new_params, new_state, loss, _ = step(sp, sstate, batch, 0.05)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    got = sb.unshard_params(new_params)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in ref_params:
+        if k == "emb":
+            continue
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            ),
+            got[k], ref_params[k],
+        )

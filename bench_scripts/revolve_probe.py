@@ -29,6 +29,28 @@ def fetch(x):
 
 
 def build(variant):
+    if variant == "E":
+        # whole-array elementwise: XLA's overlapped-DMA ceiling (~412 GB/s
+        # aggregate measured r4) in this harness's units
+        def call_e(ib, t):
+            return t + 1.0
+
+        return call_e
+    if variant == "X":
+        # pure-XLA revolve (VERDICT r4 next-round #4): fori_loop of
+        # dynamic_slice -> +1 -> dynamic_update_slice over the same
+        # dynamic block walk as D/M. Tests whether XLA's loop lowering
+        # overlaps the read and write streams (like its elementwise path)
+        # where Pallas manual DMAs do not (~205 GB/s/dir, PERF_NOTES r4).
+        def call_x(ib, t):
+            def body(g, t):
+                off = ib[g] * BR
+                sl = jax.lax.dynamic_slice(t, (off, 0), (BR, D_))
+                return jax.lax.dynamic_update_slice(t, sl + 1.0, (off, 0))
+
+            return jax.lax.fori_loop(0, NBLK, body, t)
+
+        return call_x
     blocked_dyn = pl.BlockSpec((BR, D_), lambda g, ib: (ib[g], 0),
                                memory_space=pltpu.VMEM)
     blocked_static = pl.BlockSpec((BR, D_), lambda g, ib: (g, 0),

@@ -172,7 +172,11 @@ def _accumulate_gsum(iu_ref, ir_ref, g_hbm, rows_hbm, gsum,
     m = pl.num_programs(0)
 
     def dmas(i, rbuf, gbuf, sr, sg):
-        u = iu_ref[i]
+        # item u offsets are CHUNK-aligned by construction
+        # (stream_plan.build_stream_work emits items at CHUNK strides);
+        # the hint lets Mosaic prove tile alignment for bf16 G_u (whose
+        # (8,128)(2,1) tiling otherwise fails the divisibility proof)
+        u = pl.multiple_of(iu_ref[i], CHUNK)
         rtile = (u // WINDOW) * 8
         return (
             pltpu.make_async_copy(

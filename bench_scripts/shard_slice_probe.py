@@ -141,23 +141,14 @@ def host_batch_for_shard(sb, cfg, global_batch: int, seed: int, shard: int = 0):
         sl = int(sb.rw_slice[i])
         lo = s * sl
         j = sb.t_local + i
-        if sb.rw_compact[i]:
-            c = int(sb.rw_bucket_caps[i])
-            seg = slice(int(cap0[i]), int(cap0[i]) + c)
-            off = int(plan.padded_offsets[j])
-            wseg = wb[s, :, seg]
-            idx_s[j, :, :c] = np.where(wseg != 0, ib[s, :, seg] - off, 0)
-            wt_s[j, :, :c] = wseg
-            own = (sp_i[i] >= lo) & (sp_i[i] < lo + sl) & (sp_w[i] != 0)
-            idx_s[j, :, c : c + sb.rw_spill] = np.where(own, sp_i[i] - lo, 0)
-            wt_s[j, :, c : c + sb.rw_spill] = sp_w[i] * own
-        else:
-            own = (idx[t] >= lo) & (idx[t] < lo + sl)
-            idx_s[j, :, :hmax] = np.where(own, idx[t] - lo, 0)
-            wt_s[j, :, :hmax] = wt[t] * own
-            ht = V2_HOTS[t]
-            if ht < slot_hmax:
-                wt_s[j, :, ht:] = 0.0
+        # masked fill; the slot's u_budget makes the builder DROP the
+        # weight-0 foreign hits (owned-hits-only U, r5)
+        own = (idx[t] >= lo) & (idx[t] < lo + sl)
+        idx_s[j, :, :hmax] = np.where(own, idx[t] - lo, 0)
+        wt_s[j, :, :hmax] = wt[t] * own
+        ht = V2_HOTS[t]
+        if ht < slot_hmax:
+            wt_s[j, :, ht:] = 0.0
     w_ = build_stream_work(plan, idx_s[:, :, : max(plan.hot)],
                            wt_s[:, :, : max(plan.hot)])
     w_ = touched_update_items(plan, w_)
@@ -312,7 +303,8 @@ def main():
     d = cfg.embedding_dim
     b_l = args.global_batch // (D_AX * M)
     print(f"shard 0: {sb.t_local} tw slots (hots {sb.slot_hots[:sb.t_local]})"
-          f" + {sb.num_rw} striped (compact {sb.rw_compact});"
+          f" + {sb.num_rw} striped (u budgets"
+          f" {[sb.plan.u_budget[sb.t_local+i] for i in range(sb.num_rw)]});"
           f" {plan.padded_rows/1e6:.1f}M padded rows = "
           f"{plan.padded_rows*d*2/2**30:.2f} GiB bf16"
           f" (+{plan.padded_rows*4/2**30:.2f} acc); plan u={plan.u_size/1e6:.1f}M"

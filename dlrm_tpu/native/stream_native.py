@@ -51,6 +51,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,  # row stride
         ctypes.c_int32, ctypes.c_int32,
         _I32P,  # per-table hot sizes
+        _I32P,  # per-table u budgets (-1 = unbudgeted)
         ctypes.c_int32,
         _I32P, _I32P, _I32P,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -99,6 +100,16 @@ def build_stream_work_native(plan, idx: np.ndarray,
         t_off = plan.hot_col0  # the flat addressing contract, defined once
         row_stride = total
     hot = np.asarray(plan.hot, dtype=np.int32)
+    budgets = np.asarray(
+        plan.u_budget if plan.u_budget else (-1,) * t_, dtype=np.int32
+    )
+    if (wt_arr is None or skip_wts) and np.any(
+        (budgets >= 0) & (budgets < b_ * hot.astype(np.int64))
+    ):
+        raise ValueError(
+            "u_budget-ed tables drop weight-0 hits and need real weights; "
+            "got wt=None/skip_wts (unit-weight batches cannot be budgeted)"
+        )
     u_base = np.asarray(plan.u_base, dtype=np.int32)
     block_base = np.asarray(plan.block_base, dtype=np.int32)
     nblks = np.asarray(plan.blocks_per_table, dtype=np.int32)
@@ -118,6 +129,7 @@ def build_stream_work_native(plan, idx: np.ndarray,
         row_stride,
         t_, b_,
         hot.ctypes.data_as(_I32P),
+        budgets.ctypes.data_as(_I32P),
         plan.block_rows,
         u_base.ctypes.data_as(_I32P),
         block_base.ctypes.data_as(_I32P),
@@ -133,6 +145,12 @@ def build_stream_work_native(plan, idx: np.ndarray,
         item_row0.ctypes.data_as(_I32P),
         item_u.ctypes.data_as(_I32P),
     )
+    if n <= -100:
+        t_over = int(-n) - 100
+        raise ValueError(
+            f"table {t_over}: nonzero-weight hits exceed u_budget "
+            f"{int(budgets[t_over])} — widen the budget margin"
+        )
     if n < 0:
         raise AssertionError(f"items > static bound {m}")
     return StreamWork(

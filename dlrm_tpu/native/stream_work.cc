@@ -44,6 +44,8 @@ extern "C" {
 // The flat form is the materialized multi-hot ON-DISK layout
 // (data/multi_hot_criteo.py day_*_sparse.npy) — feeding it directly skips
 // the [T, B, Hmax] padding expansion on the hot input path.
+// Returns the number of real items, -1 if max_items would overflow, or
+// -(100+t) if table t's nonzero-weight hits exceed its u_budget.
 int64_t build_stream_work_native(
     const int32_t* idx,          // base pointer (see addressing above)
     const float* wt,             // same geometry as idx, or nullptr (=> 1.0)
@@ -51,6 +53,9 @@ int64_t build_stream_work_native(
     int64_t row_stride,          // elements between consecutive bags
     int32_t t_, int32_t b_,
     const int32_t* hot,          // [T] per-table hot size
+    const int32_t* u_budget,     // [T] slot budgets, -1 = unbudgeted; a
+                                 // budgeted table DROPS weight-0 hits
+                                 // (owned-hits-only striped slots)
     int32_t block_rows,
     const int32_t* u_base,       // [T]
     const int32_t* block_base,   // [T]
@@ -73,6 +78,7 @@ int64_t build_stream_work_native(
     std::memset(wts_u + u_size, 0, sizeof(float) * (u_total - u_size));
   std::fill(w2t, w2t + num_windows, t_ - 1);
 
+  std::atomic<int64_t> err{0};
   std::vector<std::vector<Item>> items(t_);
   std::vector<int32_t> useg_end(t_);
   for (int t = 0; t < t_; ++t)
@@ -93,6 +99,10 @@ int64_t build_stream_work_native(
       const int32_t ht = hot[t];  // ragged multi-hot: real columns only
       const int32_t* rows = idx + t_off[t];
       const float* w = wt ? wt + t_off[t] : nullptr;
+      const int64_t bh = int64_t(b_) * ht;
+      const bool budgeted =
+          u_budget && u_budget[t] >= 0 && u_budget[t] < bh && w;
+      const int32_t bud = budgeted ? u_budget[t] : 0;
       // clamp malformed indices into the table's block range: an
       // out-of-range row must not corrupt memory (it still produces a
       // deterministic — if meaningless — plan, like the numpy path)
@@ -101,9 +111,18 @@ int64_t build_stream_work_native(
         return j >= nb ? nb - 1 : j;
       };
       counts.assign(nb, 0);
+      int64_t kept = 0;
       for (int64_t bag = 0; bag < b_; ++bag)
-        for (int32_t k = 0; k < ht; ++k)
-          counts[blk_of(rows[bag * row_stride + k])]++;
+        for (int32_t k = 0; k < ht; ++k) {
+          const int64_t i = bag * row_stride + k;
+          if (budgeted && w[i] == 0.0f) continue;  // dropped hit
+          counts[blk_of(rows[i])]++;
+          ++kept;
+        }
+      if (budgeted && kept > bud) {
+        err.store(100 + t);
+        return;
+      }
 
       // per-block run starts (each run padded to a multiple of 128)
       cursor.assign(nb, 0);
@@ -135,6 +154,7 @@ int64_t build_stream_work_native(
         const int64_t base = int64_t(bag) * row_stride;
         for (int32_t k = 0; k < ht; ++k) {
           const int64_t i = base + k;
+          if (budgeted && w[i] == 0.0f) continue;  // dropped hit
           const int32_t j = blk_of(rows[i]);
           const int32_t slot = cursor[j]++;
           rows_u[slot] = rows[i];
@@ -161,6 +181,7 @@ int64_t build_stream_work_native(
   pool.reserve(n_threads);
   for (unsigned i = 0; i < n_threads; ++i) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+  if (err.load()) return -err.load();
 
   // concatenate per-table items in table order; cover the sentinel window
   int64_t n = 0;

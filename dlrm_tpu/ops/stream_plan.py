@@ -75,6 +75,13 @@ class StreamPlan:
     u_base: Tuple[int, ...]  # first U-slot per table
     u_size: int  # real U-slots (excl. trailing sentinel window)
     max_items: int
+    # per-table U budget in slots, -1 = unbudgeted (segment sized B*hot).
+    # A budgeted table's builder DROPS weight-0 hits and errors loudly if
+    # the kept hits exceed the budget — the owned-hits-only layout for
+    # row-wise striped slots, whose per-shard masked weights zero ~(M-1)/M
+    # of the hits (PERF_NOTES r5 shard_slice_probe: the static u_size is
+    # what G_u gathers and K2 items cost, so the budget IS the lever).
+    u_budget: Tuple[int, ...] = ()
 
     @property
     def pad_block(self) -> int:
@@ -114,6 +121,7 @@ def make_stream_plan(
     batch: int,
     hot,  # int (uniform) or per-table Sequence[int] (ragged multi-hot)
     block_rows: int = 512,
+    u_budget=None,  # per-table Optional[int] slot budgets (None/-1 = B*hot)
 ) -> StreamPlan:
     if block_rows % 128 != 0:
         raise ValueError("block_rows must be a multiple of 128")
@@ -134,6 +142,17 @@ def make_stream_plan(
             "no windows and window_pool would leave its output block "
             "uninitialized)"
         )
+    if u_budget is None:
+        budgets = (-1,) * len(table_sizes)
+    else:
+        if len(u_budget) != len(table_sizes):
+            raise ValueError(
+                f"{len(u_budget)} u_budget entries for "
+                f"{len(table_sizes)} tables"
+            )
+        budgets = tuple(
+            -1 if b is None else int(b) for b in u_budget
+        )
     offs, bases, nblks = [], [], []
     acc = 0
     for n in table_sizes:
@@ -145,9 +164,10 @@ def make_stream_plan(
     num_blocks = acc // block_rows
     padded_rows = acc + block_rows
     u_base, u_acc = [], 0
-    for nb, h in zip(nblks, hot_t):
+    for nb, h, bud in zip(nblks, hot_t, budgets):
         u_base.append(u_acc)
-        bh = batch * h  # this table's hit count — U sized TIGHTLY per table
+        bh = batch * h if bud < 0 else min(bud, batch * h)
+        # this table's hit count — U sized TIGHTLY per table
         # + CHUNK: work items span 256 slots but runs pad only to 128, so a
         # segment filled exactly to its bound would let its last chunk read
         # the NEXT table's first run (cross-table bleed: those rows are
@@ -173,6 +193,7 @@ def make_stream_plan(
         u_base=u_base,
         u_size=u_size,
         max_items=int(max_items),
+        u_budget=budgets,
     )
 
 
@@ -258,21 +279,42 @@ def build_stream_work(
             return arr[t, :, :ht]
         return arr[:, hot_col0[t] : hot_col0[t] + ht]
 
+    budgets = plan.u_budget or (-1,) * t_
     for t in range(t_):
         ht = plan.hot[t]  # ragged multi-hot: only this table's real columns
         bh = b_ * ht
         bag_of_pos = (np.arange(bh, dtype=np.int32) // ht).astype(np.int32)
         rows = _tbl(idx, t, ht).reshape(bh).astype(np.int32)
+        bud = budgets[t]
+        w_full = None
+        if not skip_wts and wt is not None:
+            w_full = _tbl(wt, t, ht).reshape(bh).astype(np.float32)
+        if bud >= 0 and bud < bh:
+            # owned-hits-only segment: drop weight-0 hits (exact — they
+            # contribute nothing) so the static U covers only this shard's
+            # ~1/M owned share; overflow is a loud error, not corruption
+            if w_full is None:
+                raise ValueError(
+                    f"table {t} has u_budget {bud} < {bh} hits but no "
+                    "weights to drop by (unit-weight batches have no "
+                    "zero-weight hits)"
+                )
+            keep = np.flatnonzero(w_full != 0)
+            if len(keep) > bud:
+                raise ValueError(
+                    f"table {t}: {len(keep)} nonzero-weight hits exceed "
+                    f"u_budget {bud} — widen the budget margin"
+                )
+            rows = rows[keep]
+            bag_of_pos = bag_of_pos[keep]
+            w_full = w_full[keep]
+            bh = len(keep)
         order = np.argsort(rows, kind="stable")
         rs, vs = rows[order], bag_of_pos[order]
         if skip_wts:
             ws = None
         else:
-            w = (
-                np.ones(bh, dtype=np.float32)
-                if wt is None
-                else _tbl(wt, t, ht).reshape(bh).astype(np.float32)
-            )
+            w = np.ones(bh, dtype=np.float32) if w_full is None else w_full
             ws = w[order]
         ub = plan.u_base[t]
         nb = plan.blocks_per_table[t]

@@ -146,33 +146,30 @@ class StreamButterfly(ButterflyDLRM):
         # the common plan still holds. Forward masks hits to the shard's
         # row range (+psum_scatter); the update streams only the slice.
         #
-        # BUCKET-COMPACT striped U (r5): under rw_bucket the host already
-        # routes each striped hit to its owning shard (caps + spill), so
-        # the slot's U geometry needs only cap+spill columns of OWNED hits
-        # instead of all hots_all[t] masked — per-shard U (and G_u, and the
-        # host sort) scale as ~h/M instead of h. At the flagship shape this
-        # is the difference between an 11.3 GiB and a ~5 GiB per-shard G_u
-        # at global batch 131072 (bench_scripts/shard_slice_probe.py).
-        # Compactness is per-table: small-hot tables where cap+spill >= h
-        # keep the (already smaller) masked geometry.
-        self.rw_compact = []
+        # OWNED-HITS U budgets for striped slots (r5): the shard-masked
+        # weights zero ~(M-1)/M of a striped slot's hits, and the STATIC
+        # u segment size is what G_u gathers, K2 items, and the host sort
+        # all cost (PERF_NOTES r5 shard_slice_probe). Budgeting the
+        # segment at the binomial owned-count mean + 6 sigma (+CHUNK
+        # slack) lets the builder DROP the weight-0 foreign hits — exact,
+        # with a LOUD overflow error at ~1e-9/batch odds — so per-shard
+        # striped update work scales as ~h/M instead of h.
+        u_budget = [None] * self.t_local
         for i, t in enumerate(self.rw_ids):
             slot_sizes.append(int(self.rw_slice[i]))
             ht = self.hots_all[int(t)]
-            cw = (
-                int(self.rw_bucket_caps[i]) + int(self.rw_spill)
-                if self.rw_bucket
-                else ht
-            )
-            compact = self.rw_bucket and cw < ht
-            self.rw_compact.append(compact)
-            slot_hots.append(cw if compact else ht)
+            slot_hots.append(ht)
+            bh = batch_size * ht
+            p = 1.0 / self.msize
+            bud = int(bh * p + 6.0 * np.sqrt(bh * p * (1 - p))) + 256
+            u_budget.append(min(bh, bud))
         self.local_sizes = tuple(slot_sizes)
         self.slot_hots = tuple(slot_hots)
         self.n_slots = self.t_local + self.num_rw
         self.plan = make_stream_plan(
             self.local_sizes, cfg.embedding_dim, batch_size,
             self.slot_hots, block_rows=block_rows,
+            u_budget=u_budget,
         )
         if self.num_rw:
             # the forward's masked lookup addresses rw slices at their
@@ -313,9 +310,6 @@ class StreamButterfly(ButterflyDLRM):
                 idx[self.rw_ids], wt[self.rw_ids], self.rw_bucket_caps,
                 self.rw_slice, self.rw_off, self.msize, self.rw_spill,
             )
-        cap0 = np.concatenate(
-            [[0], np.cumsum(np.asarray(self.rw_bucket_caps))]
-        ).astype(np.int64) if self.rw_bucket else None
         stream = None
         if with_stream:
             hmax = max(max(self.slot_hots), h)
@@ -334,44 +328,22 @@ class StreamButterfly(ButterflyDLRM):
                     if ht < hmax:
                         wt_s[j, :, ht:] = 0.0
                 # row-wise striped slots: each shard streams only the hits
-                # landing in ITS row slice, exactly once globally. COMPACT
-                # slots take their hits from the bucketed layout (owned
-                # hits pre-routed, cap columns) + the shard-masked spill;
-                # non-compact slots keep the masked full-hot fill (foreign
-                # hits localized to row 0 at weight 0 — exact no-ops).
+                # landing in ITS row slice, exactly once globally — the
+                # masked fill localizes foreign hits to row 0 at weight 0,
+                # and the slot's u_budget makes the builder DROP those
+                # weight-0 hits so the U segment holds only ~1/M owned
+                # hits (r5; loud overflow if the 6-sigma budget is beat).
                 for i, t in enumerate(self.rw_ids):
                     t = int(t)
                     sl = int(self.rw_slice[i])
                     lo = s * sl
                     j = self.t_local + i
-                    if self.rw_compact[i]:
-                        ib, wb, sp_i, sp_w = bucketed
-                        c = int(self.rw_bucket_caps[i])
-                        seg = slice(int(cap0[i]), int(cap0[i]) + c)
-                        # bucketed rows are pre-localized to the STREAM
-                        # offsets; the builder wants slot-local rows
-                        off = int(self.plan.padded_offsets[j])
-                        wseg = wb[s, :, seg]
-                        idx_s[j, :, :c] = np.where(
-                            wseg != 0, ib[s, :, seg] - off, 0
-                        )
-                        wt_s[j, :, :c] = wseg
-                        own = (
-                            (sp_i[i] >= lo)
-                            & (sp_i[i] < lo + sl)
-                            & (sp_w[i] != 0)
-                        )
-                        idx_s[j, :, c : c + self.rw_spill] = np.where(
-                            own, sp_i[i] - lo, 0
-                        )
-                        wt_s[j, :, c : c + self.rw_spill] = sp_w[i] * own
-                    else:
-                        own = (idx[t] >= lo) & (idx[t] < lo + sl)
-                        idx_s[j, :, :h] = np.where(own, idx[t] - lo, 0)
-                        wt_s[j, :, :h] = wt[t] * own
-                        ht = self.hots_all[t]
-                        if ht < hmax:
-                            wt_s[j, :, ht:] = 0.0
+                    own = (idx[t] >= lo) & (idx[t] < lo + sl)
+                    idx_s[j, :, :h] = np.where(own, idx[t] - lo, 0)
+                    wt_s[j, :, :h] = wt[t] * own
+                    ht = self.hots_all[t]
+                    if ht < hmax:
+                        wt_s[j, :, ht:] = 0.0
                 w_ = build_stream_work(self.plan, idx_s, wt_s)
                 # the butterfly's forward is a gather (K3 never runs), so
                 # the update worklist can always drop hit-free blocks when

@@ -329,18 +329,17 @@ def test_stream_butterfly_compact_striped_u_matches_fused(optimizer):
         mm_dtype=jnp.float32, hot_sizes=hots, capacity_rows=3500,
         rw_bucket_caps=caps, rw_spill=4,
     )
-    assert any(sb.rw_compact), (sb.rw_compact, caps)
-    for i, compact in enumerate(sb.rw_compact):
+    # striped slots carry owned-hits u budgets (< B*h: the builder drops
+    # the masked-out foreign hits); tw slots stay unbudgeted
+    for j in range(sb.t_local):
+        assert sb.plan.u_budget[j] == -1
+    for i in range(sb.num_rw):
         slot = sb.t_local + i
-        if compact:
-            assert sb.plan.hot[slot] == int(caps[i]) + 4
-            assert sb.plan.hot[slot] < rw_hots[i]
-    # the compact plan's raw hit count shrinks (u_size itself only shrinks
-    # at realistic batch sizes — per-table U segments round up to the
-    # 1024-slot window, which hides a 672-vs-1024 difference at B=32)
-    assert sum(h * B for h in sb.plan.hot) < sum(
-        h * B for h in probe.plan.hot
-    )
+        bud = sb.plan.u_budget[slot]
+        assert 0 <= bud <= B * rw_hots[i], (slot, bud)
+    # the big-hot striped table's budget is a real reduction
+    big = sb.t_local + list(rw_hots).index(32)
+    assert sb.plan.u_budget[big] < B * 32
 
     sp = sb.shard_params(copy(params))
     sstate = sb.init_opt_state(optimizer, sp)

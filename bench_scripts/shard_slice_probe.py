@@ -11,8 +11,9 @@ The repo's 8-chip production story for the reference's 104.5 GiB flagship
     capacity): 6 striped tables (hots 3,7,3,12,100,27 = 152 of the 214
     hits/sample), shard 0 = 3 LPT tables + six 1/8 stripe slices
     = 26.0M padded rows = 6.25 GiB bf16 (+0.10 GiB rowwise-adagrad acc);
-  * owner-bucketed worklists (parallel/rw_bucket.py) + the r5
-    bucket-COMPACT striped U (stream_butterfly.py);
+  * owner-bucketed forward (parallel/rw_bucket.py) + the r5 OWNED-HITS
+    u budgets for striped slots (the builder drops the masked-out
+    foreign hits, so each shard's U holds ~1/M of the striped hits);
   * local batch 16384 -> GLOBAL batch 131072 (the weak-scaling claim is
     "per-chip step ~= single-chip step at constant local batch");
   * the full local step: per-slot-hot gathers + bucketed/spill pooling,

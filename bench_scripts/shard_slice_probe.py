@@ -59,7 +59,7 @@ class _StubMesh:
     shape = {"data": D_AX, "model": M}
 
 
-def build_shard(global_batch: int, spill: int):
+def build_shard(global_batch: int, spill: int, shared: bool):
     from dlrm_tpu.config import DLRMConfig
     from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS
     from dlrm_tpu.models.dlrm import DLRMModel
@@ -85,12 +85,19 @@ def build_shard(global_batch: int, spill: int):
         hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
     )
     rw_hots = [V2_HOTS[int(t)] for t in pre.rw_ids]
-    caps = default_bucket_caps(rw_hots, M)
-    sb = StreamButterfly(
-        model, _StubMesh(), block_rows=2048, batch_size=global_batch,
-        hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
-        rw_bucket_caps=caps, rw_spill=spill,
-    )
+    if shared:
+        sb = StreamButterfly(
+            model, _StubMesh(), block_rows=2048, batch_size=global_batch,
+            hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
+            rw_shared_cap="auto", rw_spill=spill,
+        )
+    else:
+        caps = default_bucket_caps(rw_hots, M)
+        sb = StreamButterfly(
+            model, _StubMesh(), block_rows=2048, batch_size=global_batch,
+            hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
+            rw_bucket_caps=caps, rw_spill=spill,
+        )
     return model, cfg, sb
 
 
@@ -115,14 +122,19 @@ def host_batch_for_shard(sb, cfg, global_batch: int, seed: int, shard: int = 0):
         wt[t, :, :h] = 1.0
 
     t0 = time.perf_counter()
-    bucketed = bucket_rw_hits(
-        idx[sb.rw_ids], wt[sb.rw_ids], sb.rw_bucket_caps, sb.rw_slice,
-        sb.rw_off, M, sb.rw_spill,
-    )
-    ib, wb, sp_i, sp_w = bucketed
-    cap0 = np.concatenate(
-        [[0], np.cumsum(np.asarray(sb.rw_bucket_caps))]
-    ).astype(np.int64)
+    if sb.rw_shared is not None:
+        from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits_shared
+
+        ib, wb, tb, sp_i, sp_w, sp_t = bucket_rw_hits_shared(
+            idx[sb.rw_ids], wt[sb.rw_ids], sb.rw_shared, sb.rw_slice,
+            sb.rw_off, M, sb.rw_spill,
+        )
+    else:
+        ib, wb, sp_i, sp_w = bucket_rw_hits(
+            idx[sb.rw_ids], wt[sb.rw_ids], sb.rw_bucket_caps, sb.rw_slice,
+            sb.rw_off, M, sb.rw_spill,
+        )
+        tb = sp_t = None
 
     s = shard
     plan = sb.plan
@@ -175,8 +187,10 @@ def host_batch_for_shard(sb, cfg, global_batch: int, seed: int, shard: int = 0):
         "wt_tw": jnp.asarray(wt_tw),
         "idx_rwb": jnp.asarray(ib[s]),
         "wt_rwb": jnp.asarray(wb[s]),
+        "tid_rwb": None if tb is None else jnp.asarray(tb[s]),
         "idx_sp": jnp.asarray(sp_i),
         "wt_sp": jnp.asarray(sp_w),
+        "tid_sp": None if sp_t is None else jnp.asarray(sp_t),
         "rows_u": jnp.asarray(w_.rows_u),
         "vals_u": jnp.asarray(w_.vals_u),
         "wts_u": jnp.asarray(w_.wts_u),
@@ -198,8 +212,11 @@ def make_step(model, cfg, sb, global_batch: int):
     b_l = global_batch // (D_AX * M)
     t_all = cfg.num_tables
     num_rw = sb.num_rw
-    caps = sb.rw_bucket_caps
-    cap0 = np.concatenate([[0], np.cumsum(np.asarray(caps))]).astype(int)
+    caps = sb.rw_bucket_caps if sb.rw_shared is None else None
+    cap0 = (
+        None if caps is None
+        else np.concatenate([[0], np.cumsum(np.asarray(caps))]).astype(int)
+    )
     rw_off = jnp.asarray(sb.rw_off)
     rw_slice = jnp.asarray(sb.rw_slice)
     tw_off = jnp.asarray(
@@ -223,24 +240,54 @@ def make_step(model, cfg, sb, global_batch: int):
         pooled_tw = jnp.stack(parts).astype(emb_l.dtype)  # [t_local, B, d]
 
         # ---- striped: bucketed owned pools + shard-masked spill pools
-        outs = []
-        for i in range(num_rw):
-            seg = bt["idx_rwb"][:, cap0[i] : cap0[i] + int(caps[i])]
-            w = bt["wt_rwb"][:, cap0[i] : cap0[i] + int(caps[i])]
-            rows = jnp.take(emb_l, seg, axis=0)
-            outs.append(jnp.einsum("bcd,bc->bd", rows, w.astype(rows.dtype)))
-        pooled_b = jnp.stack(outs)  # [T_rw, B, d]
-        lo = 0 * rw_slice  # shard 0
-        mask = (bt["idx_sp"] >= lo[:, None, None]) & (
-            bt["idx_sp"] < (lo + rw_slice)[:, None, None]
-        )
-        loc = jnp.where(mask, bt["idx_sp"] - lo[:, None, None]
-                        + rw_off[:, None, None], 0)
-        w_sp = bt["wt_sp"] * mask.astype(bt["wt_sp"].dtype)
-        rows_sp = jnp.take(emb_l, loc, axis=0)
-        pooled_rw = pooled_b + jnp.einsum(
-            "tbhd,tbh->tbd", rows_sp, w_sp.astype(rows_sp.dtype)
-        )
+        if sb.rw_shared is not None:
+            # SHARED segment: one gather for all striped tables + per-table
+            # masked einsums; shared [B, S] spill with tid-indexed ranges
+            rows = jnp.take(emb_l, bt["idx_rwb"], axis=0)  # [B, C, d]
+            outs = []
+            for t in range(num_rw):
+                w = bt["wt_rwb"] * (bt["tid_rwb"] == t).astype(jnp.float32)
+                outs.append(
+                    jnp.einsum("bcd,bc->bd", rows, w.astype(rows.dtype))
+                )
+            pooled_b = jnp.stack(outs)
+            sl_h = jnp.take(rw_slice, bt["tid_sp"])  # [B, S] (shard 0)
+            off_h = jnp.take(rw_off, bt["tid_sp"])
+            maskh = (bt["idx_sp"] >= 0) & (bt["idx_sp"] < sl_h) & (
+                bt["wt_sp"] != 0
+            )
+            loch = jnp.where(maskh, bt["idx_sp"] + off_h, 0)
+            rows_h = jnp.take(emb_l, loch, axis=0)  # [B, S, d]
+            sp_outs = []
+            for t in range(num_rw):
+                w = bt["wt_sp"] * (
+                    maskh & (bt["tid_sp"] == t)
+                ).astype(jnp.float32)
+                sp_outs.append(
+                    jnp.einsum("bsd,bs->bd", rows_h, w.astype(rows_h.dtype))
+                )
+            pooled_rw = pooled_b + jnp.stack(sp_outs)
+        else:
+            outs = []
+            for i in range(num_rw):
+                seg = bt["idx_rwb"][:, cap0[i] : cap0[i] + int(caps[i])]
+                w = bt["wt_rwb"][:, cap0[i] : cap0[i] + int(caps[i])]
+                rows = jnp.take(emb_l, seg, axis=0)
+                outs.append(
+                    jnp.einsum("bcd,bc->bd", rows, w.astype(rows.dtype))
+                )
+            pooled_b = jnp.stack(outs)  # [T_rw, B, d]
+            lo = 0 * rw_slice  # shard 0
+            mask = (bt["idx_sp"] >= lo[:, None, None]) & (
+                bt["idx_sp"] < (lo + rw_slice)[:, None, None]
+            )
+            loc = jnp.where(mask, bt["idx_sp"] - lo[:, None, None]
+                            + rw_off[:, None, None], 0)
+            w_sp = bt["wt_sp"] * mask.astype(bt["wt_sp"].dtype)
+            rows_sp = jnp.take(emb_l, loc, axis=0)
+            pooled_rw = pooled_b + jnp.einsum(
+                "tbhd,tbh->tbd", rows_sp, w_sp.astype(rows_sp.dtype)
+            )
 
         # ---- FAKE collectives at matching shapes:
         # a2a: shard would receive its t_local slots from all M shards for
@@ -297,9 +344,11 @@ def main():
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--staged", type=int, default=2)
     p.add_argument("--spill", type=int, default=6)
+    p.add_argument("--shared", action="store_true",
+                   help="shared-segment bucket (rw_shared_cap=auto)")
     args = p.parse_args()
 
-    model, cfg, sb = build_shard(args.global_batch, args.spill)
+    model, cfg, sb = build_shard(args.global_batch, args.spill, args.shared)
     plan = sb.plan
     d = cfg.embedding_dim
     b_l = args.global_batch // (D_AX * M)

@@ -55,6 +55,13 @@ class Batch(NamedTuple):
     # set, idx_rw/wt_rw above carry only the small overflow spill.
     idx_rwb: Optional[jax.Array] = None  # [M, B, C_total] int32 local rows
     wt_rwb: Optional[jax.Array] = None  # [M, B, C_total] float32
+    # SHARED-segment bucketing (rw_bucket.bucket_rw_hits_shared): all
+    # striped tables share one [C] segment per (shard, bag) — the sigma
+    # padding is paid once, not per table — with an int32 table id per
+    # slot for the per-table pooling masks. When set, idx_rw/wt_rw carry
+    # the [B, S] shared spill (GLOBAL rows) and tid_rw its table ids.
+    tid_rwb: Optional[jax.Array] = None  # [M, B, C] int32
+    tid_rw: Optional[jax.Array] = None  # [B, S] int32
 
     @property
     def batch_size(self) -> int:

@@ -129,3 +129,97 @@ def bucket_rw_hits(
             sp_wt[t, sbi, scnt[sp_mask]] = w_s[sp_mask]
         c0 += caps[t]
     return idx_b, wt_b, sp_idx, sp_wt
+
+
+def default_shared_cap(
+    hot_sizes: Sequence[int], msize: int, sigma: float = 6.0
+) -> int:
+    """Shared bucket cap for the TOTAL owned count per (bag, shard) across
+    ALL striped tables: binomial(sum h_t, 1/M) mean + sigma sd. One shared
+    segment pays the sigma padding ONCE instead of per table — at the
+    flagship shape (152 striped hits/sample, M=8) the per-table caps sum
+    to 51 columns where the shared cap is ~45 at 6 sigma and ~32 at 3 —
+    and the forward gathers cap columns (PERF_NOTES r5 shard_slice_probe:
+    the per-shard step is forward-gather bound)."""
+    h = int(sum(hot_sizes))
+    p = 1.0 / msize
+    mu = h * p
+    sd = math.sqrt(h * p * (1.0 - p))
+    return int(min(h, max(1, math.ceil(mu + sigma * sd + 1))))
+
+
+def bucket_rw_hits_shared(
+    idx: np.ndarray,  # [T_rw, B, H] GLOBAL row ids
+    wt: Optional[np.ndarray],  # [T_rw, B, H] or None (all-ones)
+    cap: int,  # shared bucket width C (columns per shard per bag)
+    slice_len: Sequence[int],  # [T_rw] rows per shard slice
+    local_off: Sequence[int],  # [T_rw] table start inside the shard stack
+    msize: int,
+    spill: int,  # shared spill width S
+) -> Tuple[np.ndarray, ...]:
+    """Shared-segment variant of bucket_rw_hits: ALL striped tables' hits
+    of a bag land in ONE [C] segment per owning shard, with an int32 table
+    id per slot for the per-table pooling masks. Returns
+    (idx_b [M, B, C] LOCAL stacked rows, wt_b, tid_b,
+     sp_idx [B, S] GLOBAL rows, sp_wt, sp_tid). Raises on spill overflow."""
+    t_rw, b, h = idx.shape
+    ht = t_rw * h
+    ids = np.ascontiguousarray(idx.transpose(1, 0, 2)).reshape(b, ht)
+    w = (
+        np.ones((b, ht), np.float32)
+        if wt is None
+        else np.ascontiguousarray(
+            wt.transpose(1, 0, 2).astype(np.float32)
+        ).reshape(b, ht)
+    )
+    tid_cols = np.repeat(np.arange(t_rw, dtype=np.int32), h)
+    tid = np.broadcast_to(tid_cols, (b, ht))
+    sl_all = np.asarray(slice_len, np.int64)[tid]  # [b, ht]
+    off_all = np.asarray(local_off, np.int64)[tid]
+    keep = w != 0
+    owner = np.where(keep, ids // sl_all, msize)  # dropped pads -> group M
+    order = np.argsort(owner, axis=1, kind="stable")
+    own_s = np.take_along_axis(owner, order, 1)
+    ids_s = np.take_along_axis(ids, order, 1)
+    w_s = np.take_along_axis(w, order, 1)
+    tid_s = np.take_along_axis(tid, order, 1)
+    sl_s = np.take_along_axis(sl_all, order, 1)
+    off_s = np.take_along_axis(off_all, order, 1)
+    ar = np.broadcast_to(np.arange(ht), (b, ht))
+    newgrp = np.ones((b, ht), bool)
+    if ht > 1:
+        newgrp[:, 1:] = own_s[:, 1:] != own_s[:, :-1]
+    grp_start = np.maximum.accumulate(np.where(newgrp, ar, 0), axis=1)
+    pos = ar - grp_start
+    valid = own_s < msize
+
+    idx_b = np.zeros((msize, b, cap), np.int32)
+    wt_b = np.zeros((msize, b, cap), np.float32)
+    tid_b = np.zeros((msize, b, cap), np.int32)
+    sp_idx = np.zeros((b, spill), np.int32)
+    sp_wt = np.zeros((b, spill), np.float32)
+    sp_tid = np.zeros((b, spill), np.int32)
+
+    in_b = valid & (pos < cap)
+    bi = np.nonzero(in_b)[0]
+    m = own_s[in_b]
+    idx_b[m, bi, pos[in_b]] = (
+        ids_s[in_b] - m * sl_s[in_b] + off_s[in_b]
+    ).astype(np.int32)
+    wt_b[m, bi, pos[in_b]] = w_s[in_b]
+    tid_b[m, bi, pos[in_b]] = tid_s[in_b]
+    sp_mask = valid & (pos >= cap)
+    if sp_mask.any():
+        scnt = np.cumsum(sp_mask, axis=1) - 1
+        worst = int(scnt[sp_mask].max()) + 1
+        if worst > spill:
+            raise ValueError(
+                f"shared row-wise bucket overflow: a bag needs {worst} "
+                f"spill slots (spill={spill}, cap={cap}, shards={msize}) "
+                "— raise the shared cap or spill width"
+            )
+        sbi = np.nonzero(sp_mask)[0]
+        sp_idx[sbi, scnt[sp_mask]] = ids_s[sp_mask].astype(np.int32)
+        sp_wt[sbi, scnt[sp_mask]] = w_s[sp_mask]
+        sp_tid[sbi, scnt[sp_mask]] = tid_s[sp_mask]
+    return idx_b, wt_b, tid_b, sp_idx, sp_wt, sp_tid

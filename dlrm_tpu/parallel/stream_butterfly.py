@@ -75,7 +75,8 @@ class StreamButterfly(ButterflyDLRM):
                  hot_sizes=None, rw_threshold: Optional[int] = None,
                  capacity_rows: Optional[int] = None,
                  allow_capacity_overflow: bool = False,
-                 rw_bucket_caps=None, rw_spill: int = 4):
+                 rw_bucket_caps=None, rw_spill: int = 4,
+                 rw_shared_cap=None):
         # size_rr assignment: slot j holds comparably-sized tables on every
         # shard, so the common per-slot plan geometry (max size / max hot
         # per slot) pays minimal padding on skewed configs.
@@ -90,11 +91,41 @@ class StreamButterfly(ButterflyDLRM):
         # weak-scaling fix the fused path has (VERDICT r3 missing #2). The
         # backward is untouched: the host U-layout already masks each
         # shard's update work to its own rows.
+        # rw_shared_cap ("auto" or int) buckets ALL striped tables' owned
+        # hits into ONE [C] segment per (shard, bag) with per-slot table
+        # ids (rw_bucket.bucket_rw_hits_shared): the sigma padding of the
+        # per-table caps is paid once, cutting the forward's striped
+        # gather count ~1.7x at the flagship shape (PERF_NOTES r5).
         super().__init__(model, mesh, strategy="size_rr",
                          rw_threshold=rw_threshold,
                          capacity_rows=capacity_rows,
                          allow_capacity_overflow=allow_capacity_overflow,
                          rw_bucket_caps=rw_bucket_caps, rw_spill=rw_spill)
+        if rw_shared_cap is not None:
+            if rw_bucket_caps is not None:
+                raise ValueError(
+                    "rw_shared_cap and rw_bucket_caps are mutually "
+                    "exclusive bucketing modes"
+                )
+            if not self.num_rw:
+                raise ValueError(
+                    "rw_shared_cap given but the plan stripes no tables"
+                )
+            from dlrm_tpu.parallel.rw_bucket import default_shared_cap
+
+            rw_hots_ = [
+                (hot_sizes[int(t)] if hot_sizes is not None
+                 else model.cfg.num_indices_per_lookup)
+                for t in self.rw_ids
+            ]
+            self.rw_shared = (
+                default_shared_cap(rw_hots_, self.msize)
+                if rw_shared_cap == "auto"
+                else int(rw_shared_cap)
+            )
+            self.rw_spill = int(rw_spill)
+        else:
+            self.rw_shared = None
         cfg = model.cfg
         if cfg.weighted_pooling is not None:
             raise NotImplementedError(
@@ -302,12 +333,21 @@ class StreamButterfly(ButterflyDLRM):
         )
         # owner-bucketed row-wise hits, computed ONCE: the forward's
         # bucketed view and (r5) the compact striped slots' U fill
-        bucketed = None
+        bucketed = shared = None
         if self.num_rw and self.rw_bucket:
             from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits
 
             bucketed = bucket_rw_hits(
                 idx[self.rw_ids], wt[self.rw_ids], self.rw_bucket_caps,
+                self.rw_slice, self.rw_off, self.msize, self.rw_spill,
+            )
+        elif self.num_rw and self.rw_shared is not None and with_stream:
+            # shared-segment bucketing (train batches; eval batches ride
+            # the masked path below — with_stream=False)
+            from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits_shared
+
+            shared = bucket_rw_hits_shared(
+                idx[self.rw_ids], wt[self.rw_ids], self.rw_shared,
                 self.rw_slice, self.rw_off, self.msize, self.rw_spill,
             )
         stream = None
@@ -367,7 +407,17 @@ class StreamButterfly(ButterflyDLRM):
             )
         kw = {}
         if self.num_rw:
-            if self.rw_bucket:
+            if shared is not None:
+                ib, wb, tb, si, sw_, st = shared
+                kw = dict(
+                    idx_rwb=self._put(ib, P("model", "data", None)),
+                    wt_rwb=self._put(wb, P("model", "data", None)),
+                    tid_rwb=self._put(tb, P("model", "data", None)),
+                    idx_rw=self._put(si, P("data")),
+                    wt_rw=self._put(sw_, P("data")),
+                    tid_rw=self._put(st, P("data")),
+                )
+            elif self.rw_bucket:
                 # owner-bucketed forward view: each shard receives only the
                 # hits it owns, pre-localized to its STREAM offsets
                 # (self.rw_off is the stream-plan layout here); overflow
@@ -418,6 +468,41 @@ class StreamButterfly(ButterflyDLRM):
         )
         return self._put(np.tile(offs, self.msize), P("model"))
 
+    def _rw_shared_pooled(self, params, idxb_l, wtb_l, tidb_l):
+        """Partial pools from the SHARED bucket segment [b, C]: one gather
+        for all striped tables, then one masked einsum per table (the
+        einsum FLOPs are trivial next to the gathers this layout avoids —
+        a per-table-caps layout gathers sum(C_t)+T_rw*spill columns where
+        this gathers C_shared+S). Pad slots are tid 0 / weight 0 no-ops."""
+        emb_l = params["emb"]["stacked"]
+        rows = jnp.take(emb_l, idxb_l, axis=0)  # [b, C, d]
+        outs = []
+        for t in range(self.num_rw):
+            w = wtb_l * (tidb_l == t).astype(wtb_l.dtype)
+            outs.append(
+                jnp.einsum("bcd,bc->bd", rows, w.astype(rows.dtype))
+            )
+        return jnp.stack(outs)  # [T_rw, b, d]
+
+    def _rw_shared_spill_pooled(self, params, sp_row, sp_wt, sp_tid):
+        """Shared [b, S] spill: GLOBAL rows + table ids; each shard masks
+        to its per-table row range (tid-indexed slice lengths/offsets)."""
+        emb_l = params["emb"]["stacked"]
+        s = jax.lax.axis_index("model")
+        sl = jnp.take(jnp.asarray(self.rw_slice), sp_tid)  # [b, S]
+        off = jnp.take(jnp.asarray(self.rw_off), sp_tid)
+        lo = s * sl
+        mask = (sp_row >= lo) & (sp_row < lo + sl) & (sp_wt != 0)
+        loc = jnp.where(mask, sp_row - lo + off, 0)
+        rows = jnp.take(emb_l, loc, axis=0)  # [b, S, d]
+        outs = []
+        for t in range(self.num_rw):
+            w = sp_wt * (mask & (sp_tid == t)).astype(sp_wt.dtype)
+            outs.append(
+                jnp.einsum("bsd,bs->bd", rows, w.astype(rows.dtype))
+            )
+        return jnp.stack(outs)  # [T_rw, b, d]
+
     def make_train_step(self, optimizer: str, global_batch: int, params,
                         opt_state, eps: float = None):
         cfg = self.cfg
@@ -428,12 +513,20 @@ class StreamButterfly(ButterflyDLRM):
             raise ValueError(f"optimizer {optimizer!r} not supported")
 
         bucket = self.rw_bucket and has_rw
+        shared = self.rw_shared is not None and has_rw
 
         def device_fn(params, opt_state, dense_l, idx_l, wt_l, labels_l,
                       off_l, sw, lr, *rw):
+            sp_i_l = sp_w_l = sp_t_l = tid_rwb_l = None
             if bucket:
                 idx_rw_l, wt_rw_l = rw[0], rw[1]  # spill (masked path)
                 idx_rwb_l, wt_rwb_l = rw[2][0], rw[3][0]
+            elif shared:
+                sp_i_l, sp_w_l, sp_t_l = rw[0], rw[1], rw[2]
+                idx_rwb_l, wt_rwb_l, tid_rwb_l = (
+                    rw[3][0], rw[4][0], rw[5][0]
+                )
+                idx_rw_l = wt_rw_l = None
             else:
                 idx_rw_l, wt_rw_l = rw if has_rw else (None, None)
             emb_l = params["emb"]["stacked"]  # [padded_rows, d] local shard
@@ -455,17 +548,25 @@ class StreamButterfly(ButterflyDLRM):
                 )
             pooled = jnp.stack(parts).astype(emb_l.dtype)  # [t_local, b, d]
             if has_rw:
-                loc_rw, wt_rw_eff = self._rw_local_hits(
-                    params, idx_rw_l, wt_rw_l
-                )
-                rows_rw = jnp.take(emb_l, loc_rw, axis=0)
-                pooled_rw = jnp.einsum(
-                    "tbhd,tbh->tbd", rows_rw, wt_rw_eff.astype(rows_rw.dtype)
-                )  # partial sums (this shard's rows only)
-                if bucket:  # the masked part above carried only the spill
-                    pooled_rw = pooled_rw + self._rw_bucket_pooled(
-                        params, idx_rwb_l, wt_rwb_l
+                if shared:
+                    pooled_rw = self._rw_shared_pooled(
+                        params, idx_rwb_l, wt_rwb_l, tid_rwb_l
+                    ) + self._rw_shared_spill_pooled(
+                        params, sp_i_l, sp_w_l, sp_t_l
                     )
+                else:
+                    loc_rw, wt_rw_eff = self._rw_local_hits(
+                        params, idx_rw_l, wt_rw_l
+                    )
+                    rows_rw = jnp.take(emb_l, loc_rw, axis=0)
+                    pooled_rw = jnp.einsum(
+                        "tbhd,tbh->tbd", rows_rw,
+                        wt_rw_eff.astype(rows_rw.dtype),
+                    )  # partial sums (this shard's rows only)
+                    if bucket:  # the masked part carried only the spill
+                        pooled_rw = pooled_rw + self._rw_bucket_pooled(
+                            params, idx_rwb_l, wt_rwb_l
+                        )
                 pooled = (pooled, pooled_rw)
             loss, probs, dpooled, new_dense, new_dense_state = (
                 self._dense_half(
@@ -540,10 +641,16 @@ class StreamButterfly(ButterflyDLRM):
             P(),
         ]
         if has_rw:
-            in_specs += [P(None, "data"), P(None, "data")]
-            if bucket:
-                in_specs += [P("model", "data", None),
+            if shared:
+                in_specs += [P("data"), P("data"), P("data"),
+                             P("model", "data", None),
+                             P("model", "data", None),
                              P("model", "data", None)]
+            else:
+                in_specs += [P(None, "data"), P(None, "data")]
+                if bucket:
+                    in_specs += [P("model", "data", None),
+                                 P("model", "data", None)]
         step = shard_map(
             device_fn,
             mesh=mesh,
@@ -555,9 +662,13 @@ class StreamButterfly(ButterflyDLRM):
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch: Batch, lr):
-            rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
-            if bucket:
-                rw = rw + (batch.idx_rwb, batch.wt_rwb)
+            if shared:
+                rw = (batch.idx_rw, batch.wt_rw, batch.tid_rw,
+                      batch.idx_rwb, batch.wt_rwb, batch.tid_rwb)
+            else:
+                rw = (batch.idx_rw, batch.wt_rw) if has_rw else ()
+                if bucket:
+                    rw = rw + (batch.idx_rwb, batch.wt_rwb)
             return step(
                 params, opt_state, batch.dense, batch.idx, batch.wt,
                 batch.labels, local_off, batch.stream, jnp.float32(lr), *rw,

@@ -364,3 +364,67 @@ def test_stream_butterfly_compact_striped_u_matches_fused(optimizer):
             ),
             got[k], ref_params[k],
         )
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "rwsadagrad"])
+def test_stream_butterfly_shared_bucket_matches_fused(optimizer):
+    """r5 SHARED-segment bucketing (rw_shared_cap): all striped tables'
+    owned hits in ONE [C] segment per (shard, bag) + a shared spill, with
+    per-slot table ids — must match the single-device fused oracle
+    exactly, like the per-table-caps mode."""
+    cfg = STRIPE_CFG
+    hots = (32, 1, 3, 2, 4, 7)
+    model = DLRMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(8))
+    rng = np.random.default_rng(17)
+    hb = _ragged_batch(rng, cfg, hots, B)
+
+    copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+    ref_step = make_fused_train_step(model, optimizer)
+    ref_params, _, ref_loss, _ = ref_step(
+        copy(params), init_opt_state(optimizer, params), hb.to_device(), 0.05
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    sb = StreamButterfly(
+        model, mesh, block_rows=1024, batch_size=B, interpret=True,
+        mm_dtype=jnp.float32, hot_sizes=hots, capacity_rows=3500,
+        rw_shared_cap="auto", rw_spill=8,
+    )
+    assert sb.rw_shared is not None and sb.num_rw >= 2
+    sp = sb.shard_params(copy(params))
+    sstate = sb.init_opt_state(optimizer, sp)
+    step = sb.make_train_step(optimizer, B, sp, sstate)
+    batch = sb.shard_batch(hb)
+    assert batch.tid_rwb is not None, "shared-mode table ids must ship"
+    assert batch.idx_rw.ndim == 2, "shared spill is [B, S]"
+    new_params, _, loss, _ = step(sp, sstate, batch, 0.05)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    got = sb.unshard_params(new_params)
+    np.testing.assert_allclose(
+        np.asarray(got["emb"]["stacked"]),
+        np.asarray(ref_params["emb"]["stacked"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    # eval in shared mode rides the masked path (with_stream=False)
+    eval_step = sb.make_eval_step(new_params)
+    probs_eval = np.asarray(
+        eval_step(new_params, sb.shard_batch(hb, with_stream=False))
+    ).reshape(-1)
+    ref_probs = np.asarray(model.apply(got, hb.to_device())).reshape(-1)
+    np.testing.assert_allclose(probs_eval, ref_probs, rtol=1e-4, atol=1e-5)
+
+
+def test_shared_bucket_overflow_raises():
+    """A too-small shared cap+spill must fail LOUDLY at the host builder,
+    never truncate hits silently."""
+    from dlrm_tpu.parallel.rw_bucket import bucket_rw_hits_shared
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 400, (2, 8, 16), dtype=np.int64).astype(np.int32)
+    with pytest.raises(ValueError, match="overflow"):
+        bucket_rw_hits_shared(
+            idx, None, 2, [100, 100], [0, 128], 4, 1
+        )

@@ -59,7 +59,8 @@ class _StubMesh:
     shape = {"data": D_AX, "model": M}
 
 
-def build_shard(global_batch: int, spill: int, shared: bool):
+def build_shard(global_batch: int, spill: int, shared: bool,
+                shared_cap=None):
     from dlrm_tpu.config import DLRMConfig
     from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS
     from dlrm_tpu.models.dlrm import DLRMModel
@@ -89,7 +90,8 @@ def build_shard(global_batch: int, spill: int, shared: bool):
         sb = StreamButterfly(
             model, _StubMesh(), block_rows=2048, batch_size=global_batch,
             hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
-            rw_shared_cap="auto", rw_spill=spill,
+            rw_shared_cap="auto" if shared_cap is None else shared_cap,
+            rw_spill=spill,
         )
     else:
         caps = default_bucket_caps(rw_hots, M)
@@ -346,9 +348,13 @@ def main():
     p.add_argument("--spill", type=int, default=6)
     p.add_argument("--shared", action="store_true",
                    help="shared-segment bucket (rw_shared_cap=auto)")
+    p.add_argument("--shared-cap", type=int, default=None,
+                   help="override the shared cap (auto = mean + 6 sigma; "
+                   "3 sigma ~= 33 at the flagship shape)")
     args = p.parse_args()
 
-    model, cfg, sb = build_shard(args.global_batch, args.spill, args.shared)
+    model, cfg, sb = build_shard(args.global_batch, args.spill, args.shared,
+                                 args.shared_cap)
     plan = sb.plan
     d = cfg.embedding_dim
     b_l = args.global_batch // (D_AX * M)

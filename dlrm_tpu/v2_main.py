@@ -130,12 +130,15 @@ def build_parser() -> argparse.ArgumentParser:
         "requires --embedding_impl fused (or auto resolving to it)",
     )
     p.add_argument(
-        "--rw_bucket", choices=["off", "on"], default="off",
+        "--rw_bucket", choices=["off", "on", "shared"], default="off",
         help="host-side OWNER BUCKETING of row-wise-striped tables' hits "
         "(parallel/rw_bucket.py): each shard gathers only the hits whose "
         "rows it owns (~hot/M + spill per bag) instead of masking all of "
         "them — the weak-scaling fix for gather-bound striped tables. "
-        "Requires the fused embedding impl and a plan that stripes",
+        "'on' = per-table caps (fused or stream butterfly); 'shared' = "
+        "one owned-hits segment across all striped tables (stream "
+        "butterfly only, r5 — the sigma padding is paid once). Requires "
+        "a sharded plan that stripes",
     )
     p.add_argument(
         "--allow_capacity_overflow", action="store_true", default=False,
@@ -432,7 +435,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     opt_state = init_opt_state(optimizer, params)
     to_device = lambda hb: hb.to_device()  # noqa: E731
     eval_to_device = to_device
-    if args.rw_bucket == "on" and not (
+    if args.rw_bucket != "off" and not (
         args.sharded and len(jax.devices()) > 1
     ):
         raise SystemExit(
@@ -511,7 +514,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                 allow_capacity_overflow=args.allow_capacity_overflow,
             )
             bf = StreamButterfly(model, mesh, **sb_kw)
-            if args.rw_bucket == "on":
+            if args.rw_bucket == "shared":
+                # ONE owned-hits segment per (shard, bag) across all
+                # striped tables (r5; rw_bucket.bucket_rw_hits_shared) —
+                # the per-table sigma padding is paid once
+                if bf.num_rw == 0:
+                    raise SystemExit(
+                        "ERROR: --rw_bucket shared, but the sharding plan "
+                        "stripes no table row-wise (nothing to bucket)"
+                    )
+                rw_hots = [int(bf.hots_all[int(t)]) for t in bf.rw_ids]
+                bf = StreamButterfly(
+                    model, mesh, **sb_kw, rw_shared_cap="auto",
+                    rw_spill=max(6, max(rw_hots) // mesh.shape["model"] + 2),
+                )
+                print(
+                    f"rw bucketing: SHARED cap={bf.rw_shared} "
+                    f"spill={bf.rw_spill} over {bf.num_rw} striped slots"
+                )
+            elif args.rw_bucket == "on":
                 # owner-bucket the striped STREAM slots' forward gather
                 # (VERDICT r3 missing #2): rebuild with caps sized from the
                 # striped tables' real hot sizes, like the fused branch
@@ -578,6 +599,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     strategy=args.sharding_strategy, cw_tables=cw
                 )
             bf = ButterflyDLRM(model, mesh, **plan_kw)
+            if args.rw_bucket == "shared":
+                raise SystemExit(
+                    "ERROR: --rw_bucket shared is a stream-butterfly "
+                    "layout (pass --embedding_impl stream); the fused "
+                    "butterfly supports --rw_bucket on (per-table caps)"
+                )
             if args.rw_bucket == "on":
                 if bf.num_rw == 0:
                     raise SystemExit(

@@ -468,3 +468,33 @@ def test_weighted_pooling_sharded_stream_rejected():
                 "--weighted_pooling", "learned",
             ]
         )
+
+
+def test_rw_bucket_shared_stream_cli():
+    """--rw_bucket shared on the sharded stream path trains (striped plan
+    forced via a tiny capacity budget) and is rejected on the fused path."""
+    base = [
+        "--limit_train_batches", "2",
+        "--limit_val_batches", "1",
+        "--limit_test_batches", "1",
+        "--batch_size", "16",
+        "--embedding_dim", "128",
+        "--num_embeddings_per_feature",
+        ",".join(["5000"] + ["48"] * 25),
+        "--dense_arch_layer_sizes", "16,128",
+        "--over_arch_layer_sizes", "16,8,1",
+        "--adagrad", "--learning_rate", "0.05",
+        "--sharded", "--mesh_data", "2",
+        "--sharding_strategy", "auto",
+        # ~1600-row per-shard budget: the 5000-row table must stripe
+        # (1250-row slices; 25x48/4 + 1250 = 1550 fits)
+        "--hbm_gb", str(1600 * (128 * 4 + 4) / 0.7 / 2**30),
+    ]
+    rc = v2_main.main(
+        base + ["--embedding_impl", "stream", "--rw_bucket", "shared"]
+    )
+    assert rc == 0
+    with pytest.raises(SystemExit, match="stream"):
+        v2_main.main(
+            base + ["--embedding_impl", "fused", "--rw_bucket", "shared"]
+        )

@@ -29,6 +29,11 @@ Prints per-shard step ms and the examples/s/chip-equivalent
 
 Usage: PYTHONPATH=/root/repo python bench_scripts/shard_slice_probe.py
        [--global-batch 131072] [--iters 30] [--staged 2] [--spill 6]
+       [--shared [--shared-cap N]]
+
+Measured r5 progression (PERF_NOTES): per-table caps + full-size U
+512.8 ms -> owned-hits U budgets 396.8 -> --shared 328.0 ->
+--shared --shared-cap 33 --spill 10: 309.7 ms (52.9k ex/s/chip-eq).
 """
 
 import argparse

@@ -33,7 +33,8 @@ Usage: PYTHONPATH=/root/repo python bench_scripts/shard_slice_probe.py
 
 Measured r5 progression (PERF_NOTES): per-table caps + full-size U
 512.8 ms -> owned-hits U budgets 396.8 -> --shared 328.0 ->
---shared --shared-cap 33 --spill 10: 309.7 ms (52.9k ex/s/chip-eq).
+--shared --shared-cap 33 --spill 10: 309.7 ->
++ --block-rows 4096: 304.7 ms (53.8k ex/s/chip-eq, 0.361x baseline).
 """
 
 import argparse
@@ -65,7 +66,7 @@ class _StubMesh:
 
 
 def build_shard(global_batch: int, spill: int, shared: bool,
-                shared_cap=None):
+                shared_cap=None, block_rows: int = 2048):
     from dlrm_tpu.config import DLRMConfig
     from dlrm_tpu.configs.presets import CRITEO_1TB_COUNTS
     from dlrm_tpu.models.dlrm import DLRMModel
@@ -87,13 +88,13 @@ def build_shard(global_batch: int, spill: int, shared: bool,
     cap = int(sum(counts) / M * 1.1)  # balanced-load budget (stripes the
     # 40M-row outliers; the PARITY.md deployment plan)
     pre = StreamButterfly(
-        model, _StubMesh(), block_rows=2048, batch_size=global_batch,
+        model, _StubMesh(), block_rows=block_rows, batch_size=global_batch,
         hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
     )
     rw_hots = [V2_HOTS[int(t)] for t in pre.rw_ids]
     if shared:
         sb = StreamButterfly(
-            model, _StubMesh(), block_rows=2048, batch_size=global_batch,
+            model, _StubMesh(), block_rows=block_rows, batch_size=global_batch,
             hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
             rw_shared_cap="auto" if shared_cap is None else shared_cap,
             rw_spill=spill,
@@ -101,7 +102,7 @@ def build_shard(global_batch: int, spill: int, shared: bool,
     else:
         caps = default_bucket_caps(rw_hots, M)
         sb = StreamButterfly(
-            model, _StubMesh(), block_rows=2048, batch_size=global_batch,
+            model, _StubMesh(), block_rows=block_rows, batch_size=global_batch,
             hot_sizes=V2_HOTS, capacity_rows=cap, table_dtype=jnp.bfloat16,
             rw_bucket_caps=caps, rw_spill=spill,
         )
@@ -353,13 +354,14 @@ def main():
     p.add_argument("--spill", type=int, default=6)
     p.add_argument("--shared", action="store_true",
                    help="shared-segment bucket (rw_shared_cap=auto)")
+    p.add_argument("--block-rows", type=int, default=2048)
     p.add_argument("--shared-cap", type=int, default=None,
                    help="override the shared cap (auto = mean + 6 sigma; "
                    "3 sigma ~= 33 at the flagship shape)")
     args = p.parse_args()
 
     model, cfg, sb = build_shard(args.global_batch, args.spill, args.shared,
-                                 args.shared_cap)
+                                 args.shared_cap, args.block_rows)
     plan = sb.plan
     d = cfg.embedding_dim
     b_l = args.global_batch // (D_AX * M)
